@@ -1,0 +1,282 @@
+"""Layered configuration.
+
+Mirrors the reference's ASP.NET configuration model: typed option classes
+bound from a layered key/value view (src/OmniRecall.Api/Program.cs:32-34),
+with defaults from code (AiRoutingOptions.cs:5-7, IngestionOptions.cs:5-8,
+ChatQualityOptions.cs:5-13), then an optional ``appsettings.json``-style file,
+then environment variables with ``__`` separators
+(e.g. ``OMNI__Ingestion__ChunkSizeWords=200`` — reference README.md:77 uses
+bare ``Section__Key``; we namespace with an ``OMNI__`` prefix to avoid
+collisions).
+
+Reference gotchas preserved: the code default for
+``EnableRecallOnlyFallbackOnProviderFailure`` is False while appsettings ships
+True; parallelism code default 3 vs appsettings 2. Our code defaults mirror
+the reference *code* defaults; a shipped ``appsettings.json`` can override
+them exactly as in the reference.
+
+New (TPU engine) section: ``Engine`` configures the device index and kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, fields
+from pathlib import Path
+from typing import Any
+
+ENV_PREFIX = "OMNI"
+
+
+@dataclass
+class AiRoutingOptions:
+    """AiRoutingOptions.cs:5-7."""
+
+    max_attempts_per_provider: int = 2
+    retry_base_delay_ms: int = 500
+    retry_max_delay_ms: int = 5_000
+
+
+@dataclass
+class IngestionOptions:
+    """IngestionOptions.cs:5-8."""
+
+    chunk_size_words: int = 120
+    chunk_overlap_words: int = 24
+    max_upload_bytes: int = 10 * 1024 * 1024
+    embedding_parallelism: int = 3
+
+
+@dataclass
+class ChatQualityOptions:
+    """ChatQualityOptions.cs:5-13."""
+
+    minimum_citation_count: int = 1
+    minimum_strong_citation_score: float = 0.25
+    insufficient_evidence_message: str = (
+        "Insufficient evidence in current indexed snippets. "
+        "Try uploading more relevant documents or increasing TopK."
+    )
+    enable_recall_only_fallback_on_provider_failure: bool = False
+    recall_only_fallback_max_citations: int = 4
+    recall_only_fallback_message: str = (
+        "AI providers are temporarily unavailable on free tier. "
+        "Returning retrieval-only answer from indexed snippets."
+    )
+
+
+@dataclass
+class GeminiOptions:
+    """appsettings.json Gemini section + GeminiChatClient.cs:14-21 defaults."""
+
+    api_key: str = ""
+    model: str = "gemini-2.5-flash"
+    fallback_models: list[str] = field(
+        default_factory=lambda: [
+            "gemini-2.5-flash-lite",
+            "gemini-flash-latest",
+            "gemini-flash-lite-latest",
+            "gemini-3-flash-preview",
+        ]
+    )
+    embedding_model: str = "gemini-embedding-001"
+    base_url: str = "https://generativelanguage.googleapis.com/v1beta"
+
+
+@dataclass
+class GitHubModelsOptions:
+    """appsettings.json GitHubModels + GitHubModelsChatClient.cs:12."""
+
+    token: str = ""
+    model: str = "deepseek/DeepSeek-V3-0324"
+    base_url: str = "https://models.github.ai/inference"
+
+
+@dataclass
+class OcrOptions:
+    """appsettings.json Ocr + PdfPigTextExtractor.cs:16 and
+    AzureDocumentIntelligenceOcrTextExtractor.cs:23-24 defaults."""
+
+    provider: str = "None"
+    pdf_text_min_chars: int = 120
+    poll_ms: int = 800
+    max_poll_attempts: int = 20
+    endpoint: str = ""
+    key: str = ""
+
+
+@dataclass
+class StorageOptions:
+    provider: str = "InMemory"  # InMemory | LocalDisk
+    root: str = ".omni_recall_data"
+
+
+@dataclass
+class EmbeddingsOptions:
+    # None | Gemini | Hash | Local  (Hash/Local are new deterministic
+    # device-side embedders; the reference only has None | Gemini,
+    # Program.cs:50-57)
+    provider: str = "None"
+    dim: int = 768
+
+
+@dataclass
+class CorsOptions:
+    allowed_origins_csv: str = ""
+
+
+@dataclass
+class HealthOptions:
+    probe_external_ai: bool = False
+
+
+@dataclass
+class EngineOptions:
+    """TPU device-engine knobs (new scope; no reference equivalent)."""
+
+    # scoring backend: oracle (host NumPy) | xla (jnp) | pallas (fused kernel)
+    backend: str = "xla"
+    embedding_dim: int = 768
+    # index capacity grows in these row blocks (bounds recompilation)
+    capacity_block: int = 8192
+    # reference candidate window (RecallSearchService.cs:26); <=0 disables the
+    # window and scores the whole index (the TPU-scale mode)
+    recent_window: int = 300
+    # device candidates fetched per query for host exact-rescore; certificate
+    # escalation multiplies by 4 until exact
+    candidate_m: int = 128
+    # keyword bloom signature: bits per chunk and char-n-gram size
+    bloom_bits: int = 2048
+    ngram: int = 4
+    bloom_hashes: int = 2
+    # store embeddings on device in bf16 (halves HBM traffic; host exact
+    # rescore still uses f32)
+    bf16_embeddings: bool = False
+
+
+@dataclass
+class AppConfig:
+    ai_routing: AiRoutingOptions = field(default_factory=AiRoutingOptions)
+    ingestion: IngestionOptions = field(default_factory=IngestionOptions)
+    chat_quality: ChatQualityOptions = field(default_factory=ChatQualityOptions)
+    gemini: GeminiOptions = field(default_factory=GeminiOptions)
+    github_models: GitHubModelsOptions = field(default_factory=GitHubModelsOptions)
+    ocr: OcrOptions = field(default_factory=OcrOptions)
+    storage: StorageOptions = field(default_factory=StorageOptions)
+    embeddings: EmbeddingsOptions = field(default_factory=EmbeddingsOptions)
+    cors: CorsOptions = field(default_factory=CorsOptions)
+    health: HealthOptions = field(default_factory=HealthOptions)
+    engine: EngineOptions = field(default_factory=EngineOptions)
+
+
+_SECTION_NAMES = {
+    "AiRouting": "ai_routing",
+    "Ingestion": "ingestion",
+    "ChatQuality": "chat_quality",
+    "Gemini": "gemini",
+    "GitHubModels": "github_models",
+    "Ocr": "ocr",
+    "Storage": "storage",
+    "Embeddings": "embeddings",
+    "Cors": "cors",
+    "Health": "health",
+    "Engine": "engine",
+}
+
+
+def _pascal_to_snake(name: str) -> str:
+    out = []
+    for i, ch in enumerate(name):
+        if ch.isupper() and i > 0 and (not name[i - 1].isupper() or (i + 1 < len(name) and name[i + 1].islower())):
+            out.append("_")
+        out.append(ch.lower())
+    return "".join(out)
+
+
+def _coerce(value: Any, target_type: Any) -> Any:
+    if target_type is bool:
+        if isinstance(value, bool):
+            return value
+        return str(value).strip().lower() in ("1", "true", "yes", "on")
+    if target_type is int:
+        return int(value)
+    if target_type is float:
+        return float(value)
+    if target_type is str:
+        return str(value)
+    if isinstance(value, str) and target_type in (list, list[str]):
+        return [v.strip() for v in value.split(",") if v.strip()]
+    return value
+
+
+_TYPE_NAMES: dict[str, Any] = {
+    "int": int,
+    "float": float,
+    "bool": bool,
+    "str": str,
+    "list[str]": list,
+}
+
+
+def _apply(section_obj: Any, key: str, value: Any) -> None:
+    attr = _pascal_to_snake(key)
+    for f in fields(section_obj):
+        if f.name == attr:
+            # With `from __future__ import annotations` field types are
+            # strings; resolve the handful we use.
+            base = f.type if isinstance(f.type, type) else _TYPE_NAMES.get(str(f.type))
+            if base is None:
+                current = getattr(section_obj, f.name)
+                base = type(current) if current is not None else str
+            setattr(section_obj, f.name, _coerce(value, base))
+            return
+    # Unknown keys are ignored (matches IConfiguration behavior).
+
+
+def load_config(
+    settings_file: str | Path | None = None,
+    env: dict[str, str] | None = None,
+    overrides: dict[str, Any] | None = None,
+) -> AppConfig:
+    """Build an AppConfig from code defaults <- JSON file <- env <- overrides.
+
+    ``overrides`` uses ``Section:Key`` (or ``Section__Key``) flat keys, the
+    same addressing as the reference's in-memory test configuration
+    (tests/.../DocumentEndpointTests.cs:47-58).
+    """
+    cfg = AppConfig()
+
+    if settings_file is None:
+        candidate = Path(os.environ.get("OMNI_SETTINGS_FILE", "appsettings.json"))
+        settings_file = candidate if candidate.is_file() else None
+    if settings_file is not None:
+        data = json.loads(Path(settings_file).read_text(encoding="utf-8"))
+        for section, values in data.items():
+            attr = _SECTION_NAMES.get(section)
+            if attr is None or not isinstance(values, dict):
+                continue
+            section_obj = getattr(cfg, attr)
+            for key, value in values.items():
+                _apply(section_obj, key, value)
+
+    env = dict(os.environ if env is None else env)
+    for raw_key, value in env.items():
+        parts = raw_key.split("__")
+        if len(parts) != 3 or parts[0] != ENV_PREFIX:
+            continue
+        attr = _SECTION_NAMES.get(parts[1])
+        if attr is None:
+            continue
+        _apply(getattr(cfg, attr), parts[2], value)
+
+    for flat_key, value in (overrides or {}).items():
+        parts = flat_key.replace("__", ":").split(":")
+        if len(parts) != 2:
+            continue
+        attr = _SECTION_NAMES.get(parts[0])
+        if attr is None:
+            continue
+        _apply(getattr(cfg, attr), parts[1], value)
+
+    return cfg
