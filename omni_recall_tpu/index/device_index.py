@@ -1,0 +1,235 @@
+"""HBM-resident chunk index (structure-of-arrays).
+
+This is the TPU-native replacement for the reference's per-chunk record scan
+(src/OmniRecall.Api/Services/InMemoryIngestionStore.cs:57-66 feeding
+RecallSearchService.cs:28-37). Rows are append-only in (created_at, seq)
+order — which is monotone because created_at is assigned at ingest time — so
+the reference's "300 most recent chunks" candidate window
+(RecallSearchService.cs:26) is a row-index threshold computed on the host and
+passed to the kernel as a scalar. Deletions clear the valid mask (tombstones);
+reindex overwrites embeddings in place (content, bloom and created_at are
+unchanged by reindex, DocumentIngestionService.cs:268-278).
+
+Per row the device holds:
+- ``emb``      f32[cap, d]   L2-normalized embedding (zeros when the chunk has
+                             no usable embedding — dot against anything is 0,
+                             matching the reference's cosine-of-missing = 0),
+- ``bloom``    u16[cap, W]   char-n-gram bloom signature (ops/hashing.py),
+- ``created``  f32[cap]      days since epoch (recency term),
+- ``valid``    bool[cap]     liveness mask.
+
+Capacity grows in ``capacity_block`` row blocks so jitted consumers see a
+bounded set of shapes. Host mirrors live in numpy; device sync uploads dirty
+block-aligned slabs via a donated jitted row-slab update.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omni_recall_tpu.index.records import ChunkRecord
+from omni_recall_tpu.ops import hashing
+
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def to_days(dt: datetime | None) -> float:
+    if dt is None:
+        return 0.0
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return (dt - EPOCH).total_seconds() / 86400.0
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _set_slab(dev: jax.Array, slab: jax.Array, start: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice_in_dim(dev, slab, start, axis=0)
+
+
+@dataclass
+class DeviceArrays:
+    emb: jax.Array
+    bloom: jax.Array
+    created: jax.Array
+    valid: jax.Array
+
+
+class DeviceIndex:
+    def __init__(
+        self,
+        dim: int,
+        *,
+        capacity_block: int = 8192,
+        bloom_bits: int = 1024,
+        ngram: int = 4,
+        bloom_hashes: int = 1,
+    ) -> None:
+        if bloom_bits % 16 != 0:
+            raise ValueError("bloom_bits must be a multiple of 16")
+        self.dim = dim
+        self.capacity_block = max(128, capacity_block)
+        self.bloom_bits = bloom_bits
+        self.ngram = ngram
+        self.bloom_hashes = bloom_hashes
+
+        self._cap = 0
+        self._n = 0  # rows allocated (including tombstones)
+        self._n_valid = 0
+        self.emb = np.zeros((0, dim), dtype=np.float32)
+        self.bloom = np.zeros((0, bloom_bits // 16), dtype=np.uint16)
+        self.created = np.zeros((0,), dtype=np.float32)
+        self.valid = np.zeros((0,), dtype=bool)
+        self.meta: list[ChunkRecord | None] = []
+        self._row_by_chunk_id: dict[str, int] = {}
+
+        self._device: DeviceArrays | None = None
+        self._dirty_lo = 0
+        self._dirty_hi = 0
+        self._device_cap = -1
+
+    # ---- sizing ----
+
+    @property
+    def n_rows(self) -> int:
+        return self._n
+
+    @property
+    def n_valid(self) -> int:
+        return self._n_valid
+
+    def _ensure_capacity(self, needed: int) -> None:
+        if needed <= self._cap:
+            return
+        new_cap = ((needed + self.capacity_block - 1) // self.capacity_block) * self.capacity_block
+        grow = new_cap - self._cap
+
+        def pad(a: np.ndarray) -> np.ndarray:
+            pad_width = [(0, grow)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, pad_width)
+
+        self.emb = pad(self.emb)
+        self.bloom = pad(self.bloom)
+        self.created = pad(self.created)
+        self.valid = pad(self.valid)
+        self._cap = new_cap
+        self._device = None  # capacity changed -> full re-upload
+        self._device_cap = -1
+
+    def _mark_dirty(self, lo: int, hi: int) -> None:
+        if self._dirty_hi <= self._dirty_lo:
+            self._dirty_lo, self._dirty_hi = lo, hi
+        else:
+            self._dirty_lo = min(self._dirty_lo, lo)
+            self._dirty_hi = max(self._dirty_hi, hi)
+
+    # ---- mutation ----
+
+    def _normalize(self, embedding: list[float] | None) -> np.ndarray | None:
+        if embedding is None or len(embedding) != self.dim:
+            return None
+        vec = np.asarray(embedding, dtype=np.float32)
+        norm_sq = float(np.sum((vec * vec).astype(np.float64)))
+        if norm_sq <= 0.0:
+            return None
+        return (vec.astype(np.float64) / np.sqrt(norm_sq)).astype(np.float32)
+
+    def append(self, chunks: list[ChunkRecord]) -> None:
+        if not chunks:
+            return
+        start = self._n
+        self._ensure_capacity(start + len(chunks))
+        for offset, chunk in enumerate(chunks):
+            row = start + offset
+            vec = self._normalize(chunk.embedding)
+            self.emb[row] = 0.0 if vec is None else vec
+            self.bloom[row] = hashing.chunk_signature(
+                chunk.content.lower(), self.bloom_bits, self.ngram, self.bloom_hashes
+            )
+            self.created[row] = to_days(chunk.created_at_utc)
+            self.valid[row] = True
+            self.meta.append(chunk)
+            self._row_by_chunk_id[chunk.id] = row
+        self._n += len(chunks)
+        self._n_valid += len(chunks)
+        self._mark_dirty(start, self._n)
+
+    def update_embedding(self, chunk_id: str, embedding: list[float] | None) -> bool:
+        row = self._row_by_chunk_id.get(chunk_id)
+        if row is None or not self.valid[row]:
+            return False
+        vec = self._normalize(embedding)
+        self.emb[row] = 0.0 if vec is None else vec
+        meta = self.meta[row]
+        if meta is not None:
+            meta.embedding = embedding
+        self._mark_dirty(row, row + 1)
+        return True
+
+    def delete_document(self, document_id: str) -> int:
+        removed = 0
+        for row, chunk in enumerate(self.meta):
+            if chunk is not None and chunk.document_id == document_id and self.valid[row]:
+                self.valid[row] = False
+                self.emb[row] = 0.0
+                self.bloom[row] = 0
+                self.meta[row] = None
+                self._row_by_chunk_id.pop(chunk.id, None)
+                self._mark_dirty(row, row + 1)
+                removed += 1
+        self._n_valid -= removed
+        return removed
+
+    # ---- candidate window ----
+
+    def window_start_row(self, window: int) -> int:
+        """Smallest row r0 such that rows [r0, n) contain <= window valid
+        chunks and they are exactly the `window` most recent (rows are in
+        (created, seq) order). window <= 0 means no window."""
+        if window <= 0 or self._n_valid <= window:
+            return 0
+        count = 0
+        for row in range(self._n - 1, -1, -1):
+            if self.valid[row]:
+                count += 1
+                if count == window:
+                    return row
+        return 0
+
+    # ---- device sync ----
+
+    def device_arrays(self) -> DeviceArrays:
+        """Upload pending host changes and return the device-resident SoA."""
+        if self._device is None or self._device_cap != self._cap:
+            self._device = DeviceArrays(
+                emb=jnp.asarray(self.emb),
+                bloom=jnp.asarray(self.bloom),
+                created=jnp.asarray(self.created),
+                valid=jnp.asarray(self.valid),
+            )
+            self._device_cap = self._cap
+            self._dirty_lo = self._dirty_hi = 0
+            return self._device
+
+        if self._dirty_hi > self._dirty_lo:
+            block = self.capacity_block
+            lo = (self._dirty_lo // block) * block
+            hi = min(self._cap, ((self._dirty_hi + block - 1) // block) * block)
+            dev = self._device
+            for b_lo in range(lo, hi, block):
+                b_hi = b_lo + block
+                start = jnp.int32(b_lo)
+                dev = DeviceArrays(
+                    emb=_set_slab(dev.emb, jnp.asarray(self.emb[b_lo:b_hi]), start),
+                    bloom=_set_slab(dev.bloom, jnp.asarray(self.bloom[b_lo:b_hi]), start),
+                    created=_set_slab(dev.created, jnp.asarray(self.created[b_lo:b_hi]), start),
+                    valid=_set_slab(dev.valid, jnp.asarray(self.valid[b_lo:b_hi]), start),
+                )
+            self._device = dev
+            self._dirty_lo = self._dirty_hi = 0
+        return self._device

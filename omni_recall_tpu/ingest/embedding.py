@@ -1,0 +1,169 @@
+"""Embedding clients.
+
+Mirrors the reference's embedding abstraction
+(src/OmniRecall.Api/Services/IEmbeddingClient.cs:3-21): clients NEVER raise;
+they return ``EmbeddingResult(vector, status, model, message)`` with status in
+{success, empty, rate_limited, not_supported, error}.
+
+- ``NoOpEmbeddingClient`` — the default when no provider is configured
+  (NoOpEmbeddingClient.cs:9, Program.cs:50-57); search degrades to
+  keyword+recency only.
+- ``HashEmbeddingClient`` — NEW: local deterministic embedder
+  (models/hash_embedder.py) for offline/bench operation.
+- ``GeminiEmbeddingClient`` — HTTPS client with the reference's model-chain
+  semantics (GeminiEmbeddingClient.cs:13-117): candidates = configured model +
+  [gemini-embedding-001, embedding-001] deduped; 429 -> rate_limited;
+  404 -> try next model; 401/403 -> error; parses ``embedding.values``.
+  The HTTP transport is injectable so tests replay scripted responses, like
+  the reference's fake HttpMessageHandlers (GeminiEmbeddingClientTests.cs).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from enum import Enum
+from typing import Callable, Protocol
+
+from omni_recall_tpu.config import GeminiOptions
+from omni_recall_tpu.models import hash_embedder
+
+
+class EmbeddingStatus(str, Enum):
+    SUCCESS = "success"
+    EMPTY = "empty"
+    RATE_LIMITED = "rate_limited"
+    NOT_SUPPORTED = "not_supported"
+    ERROR = "error"
+
+
+@dataclass(frozen=True)
+class EmbeddingResult:
+    vector: list[float]
+    status: EmbeddingStatus
+    model: str | None = None
+    message: str | None = None
+
+
+class HttpResponse(Protocol):
+    status: int
+    body: bytes
+
+
+@dataclass
+class SimpleHttpResponse:
+    status: int
+    body: bytes
+
+
+Transport = Callable[[str, str, dict[str, str], bytes | None, float], SimpleHttpResponse]
+
+
+def urllib_transport(
+    method: str, url: str, headers: dict[str, str], body: bytes | None, timeout: float
+) -> SimpleHttpResponse:
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return SimpleHttpResponse(resp.status, resp.read())
+    except urllib.error.HTTPError as exc:
+        return SimpleHttpResponse(exc.code, exc.read())
+
+
+class NoOpEmbeddingClient:
+    def embed(self, text: str) -> EmbeddingResult:
+        return EmbeddingResult([], EmbeddingStatus.EMPTY, model="none")
+
+
+class HashEmbeddingClient:
+    def __init__(self, dim: int = 768) -> None:
+        self.dim = dim
+
+    def embed(self, text: str) -> EmbeddingResult:
+        vec = hash_embedder.embed_text(text, self.dim)
+        if not vec:
+            return EmbeddingResult([], EmbeddingStatus.EMPTY, model="hash")
+        return EmbeddingResult(vec, EmbeddingStatus.SUCCESS, model="hash")
+
+
+class FakeEmbeddingClient:
+    """Scripted test double (reference pattern:
+    DocumentIngestionServiceTests.cs FakeEmbeddingClient)."""
+
+    def __init__(self, results: list[EmbeddingResult] | None = None, default: EmbeddingResult | None = None):
+        self.results = list(results or [])
+        self.default = default or EmbeddingResult([1.0, 0.0], EmbeddingStatus.SUCCESS, model="fake")
+        self.calls: list[str] = []
+
+    def embed(self, text: str) -> EmbeddingResult:
+        self.calls.append(text)
+        if self.results:
+            return self.results.pop(0)
+        return self.default
+
+
+_DEFAULT_MODEL_CHAIN = ["gemini-embedding-001", "embedding-001"]
+
+
+class GeminiEmbeddingClient:
+    def __init__(self, options: GeminiOptions, transport: Transport | None = None, timeout: float = 30.0):
+        self.options = options
+        self.transport = transport or urllib_transport
+        self.timeout = timeout
+
+    def _candidate_models(self) -> list[str]:
+        configured = (self.options.embedding_model or "").strip()
+        chain = ([configured] if configured else []) + _DEFAULT_MODEL_CHAIN
+        return list(dict.fromkeys(chain))
+
+    def embed(self, text: str) -> EmbeddingResult:
+        if not self.options.api_key:
+            return EmbeddingResult(
+                [], EmbeddingStatus.NOT_SUPPORTED, message="Gemini API key is not configured."
+            )
+        payload = json.dumps({"content": {"parts": [{"text": text}]}}).encode("utf-8")
+        last: EmbeddingResult | None = None
+        for model in self._candidate_models():
+            url = f"{self.options.base_url}/models/{model}:embedContent?key={self.options.api_key}"
+            try:
+                resp = self.transport(
+                    "POST", url, {"Content-Type": "application/json"}, payload, self.timeout
+                )
+            except Exception as exc:  # network failure: never raise
+                last = EmbeddingResult([], EmbeddingStatus.ERROR, model=model, message=str(exc))
+                continue
+            if resp.status == 429:
+                return EmbeddingResult(
+                    [], EmbeddingStatus.RATE_LIMITED, model=model, message="Rate limited."
+                )
+            if resp.status == 404:
+                last = EmbeddingResult(
+                    [], EmbeddingStatus.ERROR, model=model, message="Model not found."
+                )
+                continue
+            if resp.status in (401, 403):
+                return EmbeddingResult(
+                    [], EmbeddingStatus.ERROR, model=model,
+                    message=f"Embedding request unauthorized ({resp.status}).",
+                )
+            if resp.status >= 400:
+                last = EmbeddingResult(
+                    [], EmbeddingStatus.ERROR, model=model, message=f"HTTP {resp.status}."
+                )
+                continue
+            try:
+                data = json.loads(resp.body.decode("utf-8"))
+                values = data.get("embedding", {}).get("values")
+                if not values:
+                    return EmbeddingResult(
+                        [], EmbeddingStatus.EMPTY, model=model, message="No embedding values."
+                    )
+                return EmbeddingResult(
+                    [float(v) for v in values], EmbeddingStatus.SUCCESS, model=model
+                )
+            except (ValueError, KeyError, TypeError) as exc:
+                last = EmbeddingResult([], EmbeddingStatus.ERROR, model=model, message=str(exc))
+        return last or EmbeddingResult([], EmbeddingStatus.ERROR, message="No candidate models.")

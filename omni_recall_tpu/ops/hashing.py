@@ -1,0 +1,128 @@
+"""Character-n-gram bloom signatures for device-side keyword upper bounds.
+
+The reference's keyword component is *substring containment*: the fraction of
+distinct query terms contained (ordinal, lowercased) in the chunk content
+(src/OmniRecall.Api/Services/RecallSearchService.cs:90-113). Substring match
+cannot be computed exactly on-device at scale, so the device kernel computes a
+**sound upper bound** instead and the host exact-rescores the top candidates:
+
+- Each chunk stores a bloom signature over the character n-grams of its
+  lowercased content (gram lengths {1, 2, NGRAM}; terms contain no
+  whitespace, so whitespace-crossing grams are skipped).
+- A query term ``t`` that IS a substring of the content has every one of its
+  grams present in the content, hence every probed bit set. Therefore
+  ``kw_ub >= kw_exact`` always (bloom false positives and unprobed grams only
+  push the bound UP).
+- Per query we build a dense weight vector ``w`` over bloom bits with
+  ``sum_{j in S_t} w[j] = 1/T`` for each term ``t`` (weight 1/(T*|S_t|) per
+  bit, summed over terms sharing a bit). Then
+  ``kw_ub(chunk) = sum_j w[j] * bit[chunk, j]`` — a single [bits] dot product
+  per chunk that rides the MXU as ``bits @ W`` for a whole query batch.
+
+Soundness: for every present term all bits in S_t are set, contributing the
+full 1/T; absent terms contribute >= 0. Hence kw_ub >= (#present)/T = kw.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def fnv1a(data: bytes, seed: int = 0) -> int:
+    h = (_FNV_OFFSET ^ (seed * 0x9E3779B97F4A7C15)) & _MASK64
+    for b in data:
+        h ^= b
+        h = (h * _FNV_PRIME) & _MASK64
+    return h
+
+
+def _gram_positions(gram: str, bloom_bits: int, n_hashes: int) -> list[int]:
+    data = gram.encode("utf-8", errors="surrogatepass")
+    h1 = fnv1a(data, seed=1)
+    h2 = fnv1a(data, seed=2) | 1
+    return [((h1 + i * h2) % bloom_bits) for i in range(n_hashes)]
+
+
+def term_grams(term: str, ngram: int) -> list[str]:
+    """Grams probed for a query term (lengths {1, 2, ngram} scheme).
+
+    len==1 -> the single char; len in [2, ngram) -> all 2-grams;
+    len >= ngram -> all ngram-grams (capped at 16, evenly sampled — probing a
+    SUBSET of a term's grams keeps the upper bound sound, just looser).
+    """
+    L = len(term)
+    if L == 0:
+        return []
+    if L == 1:
+        grams = [term]
+    elif L < ngram:
+        grams = [term[i : i + 2] for i in range(L - 1)]
+    else:
+        grams = [term[i : i + ngram] for i in range(L - ngram + 1)]
+    if len(grams) > 16:
+        idx = np.linspace(0, len(grams) - 1, 16).astype(int)
+        grams = [grams[i] for i in idx]
+    return list(dict.fromkeys(grams))
+
+
+def content_grams(content_lower: str, ngram: int) -> set[str]:
+    """All grams of lengths {1, 2, ngram} of the content, skipping
+    whitespace-containing grams (query terms never contain whitespace)."""
+    grams: set[str] = set()
+    L = len(content_lower)
+    for n in (1, 2, ngram):
+        if n == 2 and ngram == 2:
+            continue
+        for i in range(L - n + 1):
+            g = content_lower[i : i + n]
+            if not any(ch.isspace() for ch in g):
+                grams.add(g)
+    return grams
+
+
+def chunk_signature(
+    content_lower: str, bloom_bits: int, ngram: int, n_hashes: int
+) -> np.ndarray:
+    """Packed u16 bloom signature (shape [bloom_bits // 16]) for a chunk."""
+    assert bloom_bits % 16 == 0
+    words = np.zeros(bloom_bits // 16, dtype=np.uint16)
+    for gram in content_grams(content_lower, ngram):
+        for pos in _gram_positions(gram, bloom_bits, n_hashes):
+            words[pos >> 4] |= np.uint16(1 << (pos & 15))
+    return words
+
+
+def query_bit_weights(
+    terms: list[str], bloom_bits: int, ngram: int, n_hashes: int
+) -> tuple[np.ndarray, float]:
+    """Dense f32[bloom_bits] weight vector with sum_{j in S_t} w[j] >= 1/T per
+    term, plus a constant bias for terms that produce no probe positions
+    (counting such a term as always-matched keeps the bound sound)."""
+    weights = np.zeros(bloom_bits, dtype=np.float32)
+    bias = 0.0
+    if not terms:
+        return weights, bias
+    inv_t = 1.0 / len(terms)
+    for term in terms:
+        positions: set[int] = set()
+        for gram in term_grams(term, ngram):
+            positions.update(_gram_positions(gram, bloom_bits, n_hashes))
+        if not positions:
+            bias += inv_t
+            continue
+        w = inv_t / len(positions)
+        for pos in positions:
+            weights[pos] += w
+    return weights, bias
+
+
+def unpack_bits(words: np.ndarray, bloom_bits: int) -> np.ndarray:
+    """u16[..., W] -> f32[..., bloom_bits] bit expansion (host-side helper,
+    used by the oracle tests; the device paths decode in-kernel)."""
+    shifts = np.arange(16, dtype=np.uint16)
+    bits = (words[..., :, None] >> shifts) & 1
+    return bits.reshape(*words.shape[:-1], bloom_bits).astype(np.float32)

@@ -1,0 +1,113 @@
+"""Pure-XLA batched upper-bound scorer + top-M candidate selection.
+
+This is the jnp reference implementation of the device scoring pass; the
+fused Pallas kernel (ops/pallas_scorer.py) must match it bit-for-bit on the
+same inputs. It computes, for every valid chunk row inside the candidate
+window, a *sound upper bound* of the reference's hybrid score
+(RecallSearchService.cs:59-67):
+
+    ub = 0.7 * cos + 0.2 * min(1, bits @ w_kw + bias) + 0.1 * recency + eps
+
+- cos is exact (f32 HIGHEST-precision matmul of L2-normalized vectors),
+- the keyword term uses the bloom upper bound (ops/hashing.py),
+- recency = exp(min(0, created - now) / 30) — exactly the reference's
+  exp(-max(0, age_days)/30) (RecallSearchService.cs:115-119),
+- eps absorbs device-vs-host float divergence so ub >= host-exact score.
+
+Masked rows (invalid or outside the window) get -inf. Returns the top
+(m+1) per query: the first m are the candidate set, the last value is the
+certificate boundary (max upper bound over excluded rows).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from omni_recall_tpu.ops.oracle import (
+    COSINE_WEIGHT,
+    KEYWORD_WEIGHT,
+    RECENCY_HALF_LIFE_DAYS,
+    RECENCY_WEIGHT,
+)
+
+CERT_EPS = 1e-4  # certificate float-divergence margin (scores round to 4dp
+#                  at the DTO edge, RecallSearchService.cs:51)
+
+# top-k switches to a blocked two-stage reduction above this row count
+_TOPK_BLOCK = 16384
+
+
+def unpack_bloom_bits(bloom_u16: jax.Array) -> jax.Array:
+    """u16[N, W] -> f32[N, W*16] bit expansion, bit pos = w*16 + b."""
+    shifts = jnp.arange(16, dtype=jnp.int32)
+    bits = (bloom_u16[:, :, None].astype(jnp.int32) >> shifts) & 1
+    return bits.reshape(bloom_u16.shape[0], -1).astype(jnp.float32)
+
+
+def _topk_rows(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """top-k along the last axis of [B, N]; two-stage blocked reduction for
+    large N (avoids a full sort over millions of lanes)."""
+    b, n = scores.shape
+    k = min(k, n)
+    if n <= 2 * _TOPK_BLOCK or n % _TOPK_BLOCK != 0 or k > _TOPK_BLOCK:
+        return jax.lax.top_k(scores, k)
+    blocks = n // _TOPK_BLOCK
+    blocked = scores.reshape(b, blocks, _TOPK_BLOCK)
+    loc_v, loc_i = jax.lax.top_k(blocked, k)  # [B, blocks, k]
+    base = (jnp.arange(blocks, dtype=jnp.int32) * _TOPK_BLOCK)[None, :, None]
+    glob_i = loc_i + base
+    flat_v = loc_v.reshape(b, blocks * k)
+    flat_i = glob_i.reshape(b, blocks * k)
+    top_v, pos = jax.lax.top_k(flat_v, k)
+    top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    return top_v, top_i
+
+
+@partial(jax.jit, static_argnames=("m",))
+def score_topm(
+    emb: jax.Array,       # f32[N, d] L2-normalized (zero rows = no embedding)
+    bloom: jax.Array,     # u16[N, W]
+    created: jax.Array,   # f32[N] days since index epoch
+    valid: jax.Array,     # bool[N]
+    q: jax.Array,         # f32[B, d] normalized query embeddings (zero = none)
+    kw_weights: jax.Array,  # f32[B, bits]
+    kw_bias: jax.Array,     # f32[B]
+    now_days: jax.Array,    # f32 scalar
+    window_start: jax.Array,  # i32 scalar, first row inside candidate window
+    m: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (ub_values[B, m+1], row_indices[B, m+1])."""
+    n = emb.shape[0]
+
+    cos = jax.lax.dot_general(
+        q, emb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, N]
+
+    bits = unpack_bloom_bits(bloom)  # [N, bits]
+    kw = jax.lax.dot_general(
+        kw_weights, bits,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, N]
+    kw = jnp.minimum(kw + kw_bias[:, None], 1.0)
+
+    rec = jnp.exp(jnp.minimum(created - now_days, 0.0) / RECENCY_HALF_LIFE_DAYS)  # [N]
+
+    ub = (
+        COSINE_WEIGHT * cos
+        + KEYWORD_WEIGHT * kw
+        + RECENCY_WEIGHT * rec[None, :]
+        + CERT_EPS
+    )
+
+    rows = jnp.arange(n, dtype=jnp.int32)
+    mask = valid & (rows >= window_start)
+    ub = jnp.where(mask[None, :], ub, -jnp.inf)
+
+    return _topk_rows(ub, min(m + 1, n))

@@ -1,0 +1,198 @@
+"""Certified-exact hybrid search engine.
+
+The reference scores every candidate chunk on the host
+(RecallSearchService.cs:28-37). Here the device computes a *sound upper
+bound* per chunk (ops/xla_scorer.py / ops/pallas_scorer.py) and returns the
+top-M candidate rows; the host then exact-rescores only those M candidates
+with the float64 oracle (substring keyword semantics included) and verifies a
+certificate:
+
+    exact_score(k-th hit)  >  max upper bound over all excluded rows
+
+If the certificate fails (adversarially tight score distributions), M is
+escalated x4 until the candidate set covers the whole window, at which point
+the excluded set is empty and the result is trivially exact. The returned
+ranking is therefore identical to scoring every chunk exactly.
+
+Final ordering: score desc, then created_at desc (reference tie-break,
+RecallSearchService.cs:34-35), then insertion seq desc (determinism beyond
+the reference, whose final tie order is ConcurrentDictionary enumeration
+order — i.e. unspecified).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+import numpy as np
+
+from omni_recall_tpu.config import EngineOptions
+from omni_recall_tpu.index.device_index import DeviceIndex, to_days
+from omni_recall_tpu.index.records import ChunkRecord
+from omni_recall_tpu.index.store import InMemoryIngestionStore
+from omni_recall_tpu.ops import hashing, oracle, xla_scorer
+
+
+@dataclass(frozen=True)
+class SearchHit:
+    chunk: ChunkRecord
+    score: float  # exact, unrounded
+
+
+def _sort_key(hit: SearchHit):
+    ts = hit.chunk.created_at_utc or datetime.min.replace(tzinfo=timezone.utc)
+    return (-hit.score, -ts.timestamp(), -hit.chunk.seq)
+
+
+class RecallEngine:
+    def __init__(
+        self,
+        store: InMemoryIngestionStore,
+        device_index: DeviceIndex | None = None,
+        options: EngineOptions | None = None,
+    ) -> None:
+        self.store = store
+        self.options = options or EngineOptions()
+        if device_index is None and self.options.backend != "oracle":
+            device_index = DeviceIndex(
+                self.options.embedding_dim,
+                capacity_block=self.options.capacity_block,
+                bloom_bits=self.options.bloom_bits,
+                ngram=self.options.ngram,
+                bloom_hashes=self.options.bloom_hashes,
+            )
+        self.device_index = device_index
+        self.last_escalations = 0  # observability: cert escalations on the last search
+
+    # -- index lifecycle hooks (called by the ingestion service) --
+
+    def on_chunks_upserted(self, chunks: list[ChunkRecord], *, new: bool) -> None:
+        if self.device_index is None:
+            return
+        if new:
+            self.device_index.append(chunks)
+        else:
+            for chunk in chunks:
+                self.device_index.update_embedding(chunk.id, chunk.embedding)
+
+    def on_document_deleted(self, document_id: str) -> None:
+        if self.device_index is not None:
+            self.device_index.delete_document(document_id)
+
+    # -- search --
+
+    def search(
+        self,
+        query: str,
+        query_embedding: list[float] | None,
+        top_k: int,
+        now: datetime | None = None,
+    ) -> list[SearchHit]:
+        now = now or datetime.now(timezone.utc)
+        k = max(1, top_k)
+        window = self.options.recent_window
+        if self.options.backend == "oracle" or self.device_index is None:
+            return self._search_oracle(query, query_embedding, k, window, now)
+        return self._search_device(query, query_embedding, k, window, now)
+
+    def _exact_hits(
+        self,
+        chunks: list[ChunkRecord],
+        query: str,
+        query_embedding: list[float] | None,
+        now: datetime,
+    ) -> list[SearchHit]:
+        terms = oracle.query_terms(query)
+        hits = []
+        for chunk in chunks:
+            cos = oracle.cosine_similarity(query_embedding, chunk.embedding)
+            content = chunk.content
+            kw = (
+                oracle.keyword_score_terms(terms, content.lower())
+                if query.strip() and content.strip()
+                else 0.0
+            )
+            rec = oracle.recency_score(chunk.created_at_utc, now)
+            score = (
+                oracle.COSINE_WEIGHT * cos
+                + oracle.KEYWORD_WEIGHT * kw
+                + oracle.RECENCY_WEIGHT * rec
+            )
+            hits.append(SearchHit(chunk, score))
+        return hits
+
+    def _search_oracle(
+        self,
+        query: str,
+        query_embedding: list[float] | None,
+        k: int,
+        window: int,
+        now: datetime,
+    ) -> list[SearchHit]:
+        max_count = window if window > 0 else 2**31 - 1
+        candidates = self.store.get_recent_chunks(max_count)
+        hits = self._exact_hits(candidates, query, query_embedding, now)
+        hits.sort(key=_sort_key)
+        return hits[:k]
+
+    def _search_device(
+        self,
+        query: str,
+        query_embedding: list[float] | None,
+        k: int,
+        window: int,
+        now: datetime,
+    ) -> list[SearchHit]:
+        import jax.numpy as jnp
+
+        dix = self.device_index
+        assert dix is not None
+        n = dix.n_rows
+        if n == 0 or dix.n_valid == 0:
+            return []
+
+        qn = dix._normalize(query_embedding)
+        q = np.zeros((1, dix.dim), dtype=np.float32) if qn is None else qn[None, :]
+        terms = oracle.query_terms(query)
+        weights, bias = hashing.query_bit_weights(
+            terms, dix.bloom_bits, dix.ngram, dix.bloom_hashes
+        )
+        r0 = dix.window_start_row(window)
+        window_rows = dix.n_valid if window <= 0 else min(window, dix.n_valid)
+
+        dev = dix.device_arrays()
+        now_days = np.float32(to_days(now))
+
+        m = min(max(self.options.candidate_m, k), window_rows)
+        self.last_escalations = 0
+        while True:
+            vals, idxs = xla_scorer.score_topm(
+                dev.emb, dev.bloom, dev.created, dev.valid,
+                jnp.asarray(q),
+                jnp.asarray(weights[None, :]),
+                jnp.asarray(np.float32([bias])),
+                jnp.float32(now_days),
+                jnp.int32(r0),
+                m=m,
+            )
+            vals = np.asarray(vals[0])
+            idxs = np.asarray(idxs[0])
+            cand_vals, cand_idxs = vals[:m], idxs[:m]
+            boundary = vals[m] if vals.shape[0] > m else -np.inf
+
+            live = cand_vals > -np.inf
+            chunks = [dix.meta[int(row)] for row in cand_idxs[live]]
+            chunks = [c for c in chunks if c is not None]
+            hits = self._exact_hits(chunks, query, query_embedding, now)
+            hits.sort(key=_sort_key)
+
+            if boundary == -np.inf:
+                return hits[:k]  # candidate set covered the whole window
+            kth = hits[k - 1].score if len(hits) >= k else -np.inf
+            if kth > boundary:
+                return hits[:k]
+            if m >= window_rows:
+                return hits[:k]
+            m = min(m * 4, window_rows)
+            self.last_escalations += 1
