@@ -1,0 +1,244 @@
+"""Application composition root + HTTP routes.
+
+Mirrors the reference's Program.cs + Endpoints/: DI wiring by configuration
+(provider switches, Program.cs:40-69), the 9 REST routes
+(DocumentEndpoints.cs, RecallEndpoints.cs, ChatEndpoints.cs, /health at
+Program.cs:104-115), a swagger.json document, CORS, and the global
+exception -> ProblemDetails handler (server/http.py).
+
+``build_app`` accepts overrides for every dependency so tests can boot the
+whole app in-process with fakes — the reference's WebApplicationFactory
+pattern (tests/.../ChatEndpointTests.cs:27-126).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from omni_recall_tpu.chat.orchestration import ChatOrchestrationService
+from omni_recall_tpu.chat.providers import GeminiChatClient, GitHubModelsChatClient
+from omni_recall_tpu.chat.router import AiChatRouter, AiProviderUnavailableError
+from omni_recall_tpu.config import AppConfig, load_config
+from omni_recall_tpu.extract.pdf import NoOpOcrTextExtractor, PdfTextExtractor
+from omni_recall_tpu.index.store import (
+    InMemoryIngestionStore,
+    InMemoryRawDocumentStore,
+    LocalFileRawDocumentStore,
+)
+from omni_recall_tpu.ingest.embedding import (
+    GeminiEmbeddingClient,
+    HashEmbeddingClient,
+    NoOpEmbeddingClient,
+)
+from omni_recall_tpu.ingest.service import DocumentIngestionService, IngestionError
+from omni_recall_tpu.search.engine import RecallEngine
+from omni_recall_tpu.search.service import RecallSearchService
+from omni_recall_tpu.server.health import HealthProbeService
+from omni_recall_tpu.server.http import Request, Response, Router, WsgiApp
+from omni_recall_tpu.server.openapi import build_openapi_document
+
+ALLOWED_EXTENSIONS = {".pdf", ".txt", ".md", ".markdown"}  # DocumentEndpoints.cs:8-14
+
+
+class OmniRecallApp(WsgiApp):
+    """WSGI app exposing the full Omni Recall REST surface."""
+
+    def __init__(
+        self,
+        config: AppConfig,
+        *,
+        store=None,
+        raw_store=None,
+        embedding_client=None,
+        chat_router=None,
+        pdf_extractor=None,
+        engine=None,
+        health_service=None,
+    ) -> None:
+        self.config = config
+        self.store = store if store is not None else InMemoryIngestionStore()
+
+        if raw_store is not None:
+            self.raw_store = raw_store
+        elif (config.storage.provider or "").strip().lower() == "localdisk":
+            self.raw_store = LocalFileRawDocumentStore(Path(config.storage.root))
+        else:
+            self.raw_store = InMemoryRawDocumentStore()
+
+        if embedding_client is not None:
+            self.embedding_client = embedding_client
+        else:
+            provider = (config.embeddings.provider or "").strip().lower()
+            if provider == "gemini":
+                self.embedding_client = GeminiEmbeddingClient(config.gemini)
+            elif provider == "hash":
+                self.embedding_client = HashEmbeddingClient(config.embeddings.dim)
+            else:
+                self.embedding_client = NoOpEmbeddingClient()
+
+        self.engine = engine if engine is not None else RecallEngine(
+            self.store, options=config.engine
+        )
+        self.search_service = RecallSearchService(self.engine, self.embedding_client)
+        self.ingestion_service = DocumentIngestionService(
+            self.store, self.raw_store, self.embedding_client,
+            config.ingestion, engine=self.engine,
+        )
+        self.chat_router = chat_router if chat_router is not None else AiChatRouter(
+            GeminiChatClient(config.gemini),
+            GitHubModelsChatClient(config.github_models),
+            config.ai_routing,
+        )
+        self.chat_service = ChatOrchestrationService(
+            self.search_service, self.chat_router, config.chat_quality
+        )
+        self.pdf_extractor = pdf_extractor if pdf_extractor is not None else PdfTextExtractor(
+            NoOpOcrTextExtractor(), config.ocr.pdf_text_min_chars
+        )
+        self.health_service = health_service if health_service is not None else HealthProbeService(
+            config, self.store, self.raw_store, self.engine
+        )
+
+        router = Router()
+        router.add("POST", "/api/documents/upload", self._upload_document)
+        router.add("GET", "/api/documents", self._list_documents)
+        router.add("GET", "/api/documents/{document_id}", self._get_document)
+        router.add("GET", "/api/documents/{document_id}/chunks", self._get_document_chunks)
+        router.add("DELETE", "/api/documents/{document_id}", self._delete_document)
+        router.add("POST", "/api/documents/{document_id}/reindex", self._reindex_document)
+        router.add("POST", "/api/recall/search", self._search_recall)
+        router.add("POST", "/api/chat", self._complete_chat)
+        router.add("GET", "/health", self._health)
+        router.add("GET", "/swagger/v1/swagger.json", self._swagger)
+        origins = [
+            o.strip()
+            for o in (config.cors.allowed_origins_csv or "").split(",")
+            if o.strip()
+        ]
+        super().__init__(router, allowed_origins=origins)
+
+    # -- documents (DocumentEndpoints.cs) --
+
+    def _upload_document(self, request: Request) -> Response:
+        max_upload = max(1, self.config.ingestion.max_upload_bytes)
+        if request.content_length and request.content_length > max_upload:
+            return Response.problem(
+                "Payload too large", f"Max upload size is {max_upload} bytes.", 413
+            )
+        try:
+            fields, files = request.form()
+        except ValueError:
+            return Response.error("Expected multipart form data.")
+
+        file = next((f for f in files if f.name == "file"), files[0] if files else None)
+        if file is None or len(file.data) == 0:
+            return Response.error("File is required.")
+        if len(file.data) > max_upload:
+            return Response.problem(
+                "Payload too large", f"Max upload size is {max_upload} bytes.", 413
+            )
+
+        extension = os.path.splitext(file.filename)[1].lower()
+        if extension not in ALLOWED_EXTENSIONS:
+            return Response(415, b"", {})
+
+        if extension == ".pdf":
+            content = self.pdf_extractor.extract_text(file.data)
+        else:
+            content = file.data.decode("utf-8", errors="replace")
+        if not content or not content.strip():
+            return Response.error("Uploaded file produced no readable text content.")
+
+        source_type = fields.get("sourceType", "").strip() or "file"
+        try:
+            result = self.ingestion_service.ingest(file.filename, content, source_type)
+        except IngestionError as exc:
+            return Response.error(str(exc))
+        return Response.json(
+            result, 201, {"Location": f"/api/documents/{result.document_id}"}
+        )
+
+    def _get_document(self, request: Request) -> Response:
+        document = self.ingestion_service.get_document(request.path_params["document_id"])
+        if document is None:
+            return Response.error("Document not found.", 404)
+        return Response.json(document)
+
+    def _list_documents(self, request: Request) -> Response:
+        max_count = request.query_int("maxCount") or 0
+        docs = self.ingestion_service.list_documents(max_count if max_count > 0 else 100)
+        return Response.json(docs)
+
+    def _get_document_chunks(self, request: Request) -> Response:
+        document_id = request.path_params["document_id"]
+        if self.ingestion_service.get_document(document_id) is None:
+            return Response.error("Document not found.", 404)
+        max_count = request.query_int("maxCount") or 0
+        chunks = self.ingestion_service.get_document_chunks(
+            document_id, max_count if max_count > 0 else 200
+        )
+        return Response.json(chunks)
+
+    def _delete_document(self, request: Request) -> Response:
+        deleted = self.ingestion_service.delete_document(request.path_params["document_id"])
+        if not deleted:
+            return Response.error("Document not found.", 404)
+        return Response.no_content()
+
+    def _reindex_document(self, request: Request) -> Response:
+        result = self.ingestion_service.reindex_document(request.path_params["document_id"])
+        if result is None:
+            return Response.error("Document not found.", 404)
+        return Response.json(result)
+
+    # -- recall (RecallEndpoints.cs:20-30) --
+
+    def _search_recall(self, request: Request) -> Response:
+        try:
+            payload = request.json() or {}
+        except ValueError:
+            return Response.error("Invalid JSON body.")
+        query = payload.get("query") or ""
+        if not query.strip():
+            return Response.error("Query is required.")
+        top_k = payload.get("topK", 5)
+        result = self.search_service.search(query, int(top_k))
+        return Response.json(result)
+
+    # -- chat (ChatEndpoints.cs:21-41) --
+
+    def _complete_chat(self, request: Request) -> Response:
+        try:
+            payload = request.json() or {}
+        except ValueError:
+            return Response.error("Invalid JSON body.")
+        prompt = payload.get("prompt") or ""
+        if not prompt.strip():
+            return Response.error("Prompt is required.")
+        top_k = payload.get("topK", 5)
+        try:
+            result = self.chat_service.complete(prompt, int(top_k))
+        except AiProviderUnavailableError as exc:
+            return Response.problem("AI provider unavailable", str(exc), 503)
+        return Response.json(result)
+
+    # -- health (Program.cs:104-115) --
+
+    def _health(self, request: Request) -> Response:
+        report = self.health_service.probe()
+        status_code = 503 if report.status == "unhealthy" else 200
+        return Response.json(report, status_code)
+
+    def _swagger(self, request: Request) -> Response:
+        return Response.json(build_openapi_document())
+
+
+def build_app(
+    config: AppConfig | None = None,
+    overrides: dict | None = None,
+    **dependencies,
+) -> OmniRecallApp:
+    if config is None:
+        config = load_config(overrides=overrides)
+    return OmniRecallApp(config, **dependencies)
