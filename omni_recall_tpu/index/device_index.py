@@ -14,7 +14,7 @@ Per row the device holds:
 - ``emb``      f32[cap, d]   L2-normalized embedding (zeros when the chunk has
                              no usable embedding — dot against anything is 0,
                              matching the reference's cosine-of-missing = 0),
-- ``bloom``    u16[cap, W]   char-n-gram bloom signature (ops/hashing.py),
+- ``bloom``    u8[cap, W]   char-n-gram bloom signature (ops/hashing.py),
 - ``created``  f32[cap]      days since epoch (recency term),
 - ``valid``    bool[cap]     liveness mask.
 
@@ -70,8 +70,8 @@ class DeviceIndex:
         ngram: int = 4,
         bloom_hashes: int = 1,
     ) -> None:
-        if bloom_bits % 16 != 0:
-            raise ValueError("bloom_bits must be a multiple of 16")
+        if bloom_bits % 8 != 0:
+            raise ValueError("bloom_bits must be a multiple of 8")
         self.dim = dim
         self.capacity_block = max(128, capacity_block)
         self.bloom_bits = bloom_bits
@@ -82,7 +82,7 @@ class DeviceIndex:
         self._n = 0  # rows allocated (including tombstones)
         self._n_valid = 0
         self.emb = np.zeros((0, dim), dtype=np.float32)
-        self.bloom = np.zeros((0, bloom_bits // 16), dtype=np.uint16)
+        self.bloom = np.zeros((0, bloom_bits // 8), dtype=np.uint8)
         self.created = np.zeros((0,), dtype=np.float32)
         self.valid = np.zeros((0,), dtype=bool)
         self.meta: list[ChunkRecord | None] = []

@@ -87,12 +87,19 @@ def content_grams(content_lower: str, ngram: int) -> set[str]:
 def chunk_signature(
     content_lower: str, bloom_bits: int, ngram: int, n_hashes: int
 ) -> np.ndarray:
-    """Packed u16 bloom signature (shape [bloom_bits // 16]) for a chunk."""
-    assert bloom_bits % 16 == 0
-    words = np.zeros(bloom_bits // 16, dtype=np.uint16)
+    """Packed u8 bloom signature (shape [W = bloom_bits // 8]) for a chunk.
+
+    Kernel-friendly bit layout: bit position j lives in word (j mod W) at bit
+    (j div W). Decoding is then a lane-aligned concatenation of the 8
+    shift-AND planes ``[(words >> b) & 1 for b in range(8)]`` — no
+    minor-dimension reshapes on TPU (see ops/pallas_scorer.py).
+    """
+    assert bloom_bits % 8 == 0
+    w = bloom_bits // 8
+    words = np.zeros(w, dtype=np.uint8)
     for gram in content_grams(content_lower, ngram):
         for pos in _gram_positions(gram, bloom_bits, n_hashes):
-            words[pos >> 4] |= np.uint16(1 << (pos & 15))
+            words[pos % w] |= np.uint8(1 << (pos // w))
     return words
 
 
@@ -121,8 +128,7 @@ def query_bit_weights(
 
 
 def unpack_bits(words: np.ndarray, bloom_bits: int) -> np.ndarray:
-    """u16[..., W] -> f32[..., bloom_bits] bit expansion (host-side helper,
-    used by the oracle tests; the device paths decode in-kernel)."""
-    shifts = np.arange(16, dtype=np.uint16)
-    bits = (words[..., :, None] >> shifts) & 1
-    return bits.reshape(*words.shape[:-1], bloom_bits).astype(np.float32)
+    """u8[..., W] -> f32[..., bloom_bits] bit expansion; bit j = plane
+    (j div W) of word (j mod W), i.e. concat of 8 shift-AND planes."""
+    planes = [((words >> b) & 1) for b in range(8)]
+    return np.concatenate(planes, axis=-1).astype(np.float32)

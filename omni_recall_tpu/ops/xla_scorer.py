@@ -40,11 +40,13 @@ CERT_EPS = 1e-4  # certificate float-divergence margin (scores round to 4dp
 _TOPK_BLOCK = 16384
 
 
-def unpack_bloom_bits(bloom_u16: jax.Array) -> jax.Array:
-    """u16[N, W] -> f32[N, W*16] bit expansion, bit pos = w*16 + b."""
-    shifts = jnp.arange(16, dtype=jnp.int32)
-    bits = (bloom_u16[:, :, None].astype(jnp.int32) >> shifts) & 1
-    return bits.reshape(bloom_u16.shape[0], -1).astype(jnp.float32)
+def unpack_bloom_bits(bloom_u8: jax.Array) -> jax.Array:
+    """u8[N, W] -> f32[N, W*8] bit expansion; bit pos j = plane (j div W) of
+    word (j mod W), i.e. a lane-aligned concat of 8 shift-AND planes (same
+    layout as ops/hashing.chunk_signature)."""
+    words = bloom_u8.astype(jnp.int32)
+    planes = [((words >> b) & 1) for b in range(8)]
+    return jnp.concatenate(planes, axis=-1).astype(jnp.float32)
 
 
 def _topk_rows(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
@@ -69,7 +71,7 @@ def _topk_rows(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
 @partial(jax.jit, static_argnames=("m",))
 def score_topm(
     emb: jax.Array,       # f32[N, d] L2-normalized (zero rows = no embedding)
-    bloom: jax.Array,     # u16[N, W]
+    bloom: jax.Array,     # u8[N, W]
     created: jax.Array,   # f32[N] days since index epoch
     valid: jax.Array,     # bool[N]
     q: jax.Array,         # f32[B, d] normalized query embeddings (zero = none)
