@@ -69,11 +69,18 @@ class DeviceIndex:
         bloom_bits: int = 1024,
         ngram: int = 4,
         bloom_hashes: int = 1,
+        mesh=None,
     ) -> None:
         if bloom_bits % 8 != 0:
             raise ValueError("bloom_bits must be a multiple of 8")
         self.dim = dim
-        self.capacity_block = max(128, capacity_block)
+        self.mesh = mesh
+        capacity_block = max(128, capacity_block)
+        if mesh is not None:
+            # even row sharding: capacity must divide by the shard count
+            n_shards = int(mesh.devices.size)
+            capacity_block = ((capacity_block + n_shards - 1) // n_shards) * n_shards
+        self.capacity_block = capacity_block
         self.bloom_bits = bloom_bits
         self.ngram = ngram
         self.bloom_hashes = bloom_hashes
@@ -203,14 +210,22 @@ class DeviceIndex:
 
     # ---- device sync ----
 
+    def _put(self, host: np.ndarray) -> jax.Array:
+        if self.mesh is None:
+            return jnp.asarray(host)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("shards", *([None] * (host.ndim - 1)))
+        return jax.device_put(host, NamedSharding(self.mesh, spec))
+
     def device_arrays(self) -> DeviceArrays:
         """Upload pending host changes and return the device-resident SoA."""
         if self._device is None or self._device_cap != self._cap:
             self._device = DeviceArrays(
-                emb=jnp.asarray(self.emb),
-                bloom=jnp.asarray(self.bloom),
-                created=jnp.asarray(self.created),
-                valid=jnp.asarray(self.valid),
+                emb=self._put(self.emb),
+                bloom=self._put(self.bloom),
+                created=self._put(self.created),
+                valid=self._put(self.valid),
             )
             self._device_cap = self._cap
             self._dirty_lo = self._dirty_hi = 0

@@ -68,20 +68,19 @@ def _topk_rows(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return top_v, top_i
 
 
-@partial(jax.jit, static_argnames=("m",))
-def score_topm(
-    emb: jax.Array,       # f32[N, d] L2-normalized (zero rows = no embedding)
-    bloom: jax.Array,     # u8[N, W]
-    created: jax.Array,   # f32[N] days since index epoch
-    valid: jax.Array,     # bool[N]
+def ub_scores(
+    emb: jax.Array,       # f32[n, d] L2-normalized (zero rows = no embedding)
+    bloom: jax.Array,     # u8[n, W]
+    created: jax.Array,   # f32[n] days since index epoch
+    valid: jax.Array,     # bool[n]
     q: jax.Array,         # f32[B, d] normalized query embeddings (zero = none)
     kw_weights: jax.Array,  # f32[B, bits]
     kw_bias: jax.Array,     # f32[B]
     now_days: jax.Array,    # f32 scalar
-    window_start: jax.Array,  # i32 scalar, first row inside candidate window
-    m: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (ub_values[B, m+1], row_indices[B, m+1])."""
+    window_start: jax.Array,  # i32 scalar, first GLOBAL row inside the window
+    row_offset: jax.Array | int = 0,  # global row id of local row 0 (sharding)
+) -> jax.Array:
+    """Masked upper-bound scores [B, n] (-inf outside window/invalid)."""
     n = emb.shape[0]
 
     cos = jax.lax.dot_general(
@@ -89,17 +88,17 @@ def score_topm(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [B, N]
+    )  # [B, n]
 
-    bits = unpack_bloom_bits(bloom)  # [N, bits]
+    bits = unpack_bloom_bits(bloom)  # [n, bits]
     kw = jax.lax.dot_general(
         kw_weights, bits,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [B, N]
+    )  # [B, n]
     kw = jnp.minimum(kw + kw_bias[:, None], 1.0)
 
-    rec = jnp.exp(jnp.minimum(created - now_days, 0.0) / RECENCY_HALF_LIFE_DAYS)  # [N]
+    rec = jnp.exp(jnp.minimum(created - now_days, 0.0) / RECENCY_HALF_LIFE_DAYS)  # [n]
 
     ub = (
         COSINE_WEIGHT * cos
@@ -108,8 +107,27 @@ def score_topm(
         + CERT_EPS
     )
 
-    rows = jnp.arange(n, dtype=jnp.int32)
+    rows = jnp.arange(n, dtype=jnp.int32) + row_offset
     mask = valid & (rows >= window_start)
-    ub = jnp.where(mask[None, :], ub, -jnp.inf)
+    return jnp.where(mask[None, :], ub, -jnp.inf)
 
-    return _topk_rows(ub, min(m + 1, n))
+
+@partial(jax.jit, static_argnames=("m",))
+def score_topm(
+    emb: jax.Array,
+    bloom: jax.Array,
+    created: jax.Array,
+    valid: jax.Array,
+    q: jax.Array,
+    kw_weights: jax.Array,
+    kw_bias: jax.Array,
+    now_days: jax.Array,
+    window_start: jax.Array,
+    m: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (ub_values[B, m+1], row_indices[B, m+1]); entry m is the
+    certificate boundary (max upper bound over excluded rows)."""
+    ub = ub_scores(
+        emb, bloom, created, valid, q, kw_weights, kw_bias, now_days, window_start
+    )
+    return _topk_rows(ub, min(m + 1, emb.shape[0]))

@@ -51,6 +51,7 @@ class RecallEngine:
         store: InMemoryIngestionStore,
         device_index: DeviceIndex | None = None,
         options: EngineOptions | None = None,
+        mesh=None,
     ) -> None:
         self.store = store
         self.options = options or EngineOptions()
@@ -61,8 +62,17 @@ class RecallEngine:
                 bloom_bits=self.options.bloom_bits,
                 ngram=self.options.ngram,
                 bloom_hashes=self.options.bloom_hashes,
+                mesh=mesh,
             )
         self.device_index = device_index
+        self.mesh = mesh if mesh is not None else (
+            device_index.mesh if device_index is not None else None
+        )
+        self._sharded_scorer = None
+        if self.mesh is not None:
+            from omni_recall_tpu.parallel.sharded import ShardedScorer
+
+            self._sharded_scorer = ShardedScorer(self.mesh)
         self.last_escalations = 0  # observability: cert escalations on the last search
 
     # -- index lifecycle hooks (called by the ingestion service) --
@@ -167,7 +177,12 @@ class RecallEngine:
         m = min(max(self.options.candidate_m, k), window_rows)
         self.last_escalations = 0
         while True:
-            vals, idxs = xla_scorer.score_topm(
+            score_topm = (
+                self._sharded_scorer.score_topm
+                if self._sharded_scorer is not None
+                else xla_scorer.score_topm
+            )
+            vals, idxs = score_topm(
                 dev.emb, dev.bloom, dev.created, dev.valid,
                 jnp.asarray(q),
                 jnp.asarray(weights[None, :]),

@@ -1,0 +1,128 @@
+"""Multi-chip sharded search parity on an 8-device (virtual CPU) mesh.
+
+The sharded path (per-shard top-k + all-gather merge) must return exactly
+the same ranking as the single-device path and the host oracle — the
+determinism requirement from SURVEY.md §5 (fixed shard->chunk assignment,
+stable tie-breaks)."""
+
+import random
+import string
+from datetime import datetime, timedelta, timezone
+
+import jax
+import pytest
+
+from omni_recall_tpu.config import EngineOptions
+from omni_recall_tpu.index.records import ChunkRecord, DocumentRecord
+from omni_recall_tpu.index.store import InMemoryIngestionStore
+from omni_recall_tpu.models import hash_embedder
+from omni_recall_tpu.parallel.mesh import shards_mesh
+from omni_recall_tpu.search.engine import RecallEngine
+
+DIM = 32
+T0 = datetime(2026, 8, 1, tzinfo=timezone.utc)
+NOW = datetime(2026, 8, 16, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return shards_mesh(8)
+
+
+def _corpus(n, rng, store):
+    vocab = ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(2, 8))) for _ in range(60)]
+    store.upsert_document(DocumentRecord(id="d", file_name="d.txt", created_at_utc=T0))
+    chunks = []
+    for i in range(n):
+        content = " ".join(rng.choices(vocab, k=rng.randint(4, 25)))
+        emb = hash_embedder.embed_text(content, DIM) if rng.random() > 0.1 else None
+        chunks.append(
+            ChunkRecord(
+                id=f"d:{i:04d}", document_id="d", chunk_index=i, content=content,
+                embedding=emb, created_at_utc=T0 + timedelta(minutes=i),
+            )
+        )
+    store.upsert_chunks(chunks)
+    return vocab, chunks
+
+
+def _engines(mesh, window=300, candidate_m=8):
+    store = InMemoryIngestionStore()
+    sharded = RecallEngine(
+        store,
+        options=EngineOptions(
+            backend="xla", embedding_dim=DIM, capacity_block=128,
+            recent_window=window, candidate_m=candidate_m, bloom_bits=256,
+        ),
+        mesh=mesh,
+    )
+    oracle = RecallEngine(store, None, EngineOptions(backend="oracle", recent_window=window))
+    single = RecallEngine(
+        store,
+        options=EngineOptions(
+            backend="xla", embedding_dim=DIM, capacity_block=128,
+            recent_window=window, candidate_m=candidate_m, bloom_bits=256,
+        ),
+    )
+    return store, sharded, single, oracle
+
+
+def test_sharded_matches_single_and_oracle(mesh):
+    rng = random.Random(21)
+    store, sharded, single, oracle = _engines(mesh)
+    vocab, chunks = _corpus(200, rng, store)
+    sharded.on_chunks_upserted(chunks, new=True)
+    single.on_chunks_upserted(chunks, new=True)
+
+    assert sharded.device_index.capacity_block % 8 == 0
+
+    for trial in range(12):
+        query = " ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+        q_emb = hash_embedder.embed_text(query, DIM)
+        top_k = rng.choice([1, 5, 10])
+        hits_sh = sharded.search(query, q_emb, top_k, now=NOW)
+        hits_si = single.search(query, q_emb, top_k, now=NOW)
+        hits_or = oracle.search(query, q_emb, top_k, now=NOW)
+        ids_sh = [h.chunk.id for h in hits_sh]
+        assert ids_sh == [h.chunk.id for h in hits_si]
+        assert ids_sh == [h.chunk.id for h in hits_or]
+        for a, b in zip(hits_sh, hits_or):
+            assert a.score == b.score
+
+
+def test_sharded_escalation_still_exact(mesh):
+    rng = random.Random(33)
+    store, sharded, single, oracle = _engines(mesh, candidate_m=2)
+    vocab, chunks = _corpus(120, rng, store)
+    sharded.on_chunks_upserted(chunks, new=True)
+    query = " ".join(rng.choices(vocab, k=2))
+    q_emb = hash_embedder.embed_text(query, DIM)
+    hits = sharded.search(query, q_emb, 10, now=NOW)
+    expected = oracle.search(query, q_emb, 10, now=NOW)
+    assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
+
+
+def test_sharded_window_and_delete(mesh):
+    rng = random.Random(55)
+    store, sharded, single, oracle = _engines(mesh, window=100)
+    vocab, chunks = _corpus(150, rng, store)
+    sharded.on_chunks_upserted(chunks, new=True)
+    store.delete_document("d")  # delete everything, re-add fresh docs
+    sharded.on_document_deleted("d")
+    store.upsert_document(DocumentRecord(id="e", file_name="e.txt", created_at_utc=T0))
+    fresh = [
+        ChunkRecord(id=f"e:{i:04d}", document_id="e", chunk_index=i,
+                    content=" ".join(rng.choices(vocab, k=10)),
+                    embedding=hash_embedder.embed_text(f"fresh {i}", DIM),
+                    created_at_utc=T0 + timedelta(days=1, minutes=i))
+        for i in range(40)
+    ]
+    store.upsert_chunks(fresh)
+    sharded.on_chunks_upserted(fresh, new=True)
+    query = " ".join(rng.choices(vocab, k=2))
+    q_emb = hash_embedder.embed_text(query, DIM)
+    hits = sharded.search(query, q_emb, 5, now=NOW)
+    expected = oracle.search(query, q_emb, 5, now=NOW)
+    assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
+    assert all(h.chunk.document_id == "e" for h in hits)
