@@ -177,11 +177,21 @@ class RecallEngine:
         m = min(max(self.options.candidate_m, k), window_rows)
         self.last_escalations = 0
         while True:
-            score_topm = (
-                self._sharded_scorer.score_topm
-                if self._sharded_scorer is not None
-                else xla_scorer.score_topm
-            )
+            if self._sharded_scorer is not None:
+                score_topm = self._sharded_scorer.score_topm
+            elif self.options.backend == "pallas":
+                import functools
+
+                import jax as _jax
+
+                from omni_recall_tpu.ops import pallas_scorer
+
+                score_topm = functools.partial(
+                    pallas_scorer.score_topm,
+                    interpret=_jax.default_backend() != "tpu",
+                )
+            else:
+                score_topm = xla_scorer.score_topm
             vals, idxs = score_topm(
                 dev.emb, dev.bloom, dev.created, dev.valid,
                 jnp.asarray(q),
