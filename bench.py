@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Headline benchmark: hybrid-search throughput at 1M chunks on one chip.
+
+Measures the device scan path of /api/recall/search — the fused Pallas
+upper-bound kernel (cosine + bloom keyword + recency) plus the two-stage
+top-M candidate selection — over a 1M x 768 HBM-resident index with batched
+queries, the workload defined by BASELINE.json's north star (>=100k QPS,
+p50 < 10 ms at 1M chunks on one v5e chip).
+
+Timing protocol: the dev tunnel to the chip adds ~2 ms of RPC overhead per
+dispatched program and its block_until_ready is unreliable, so the bench
+chains G query batches inside ONE jitted lax.scan megastep (each batch's
+queries depend on the previous batch's results, forcing serialization on
+device), runs T chained megasteps, and forces completion with a single tiny
+readback. QPS = B*G*T / elapsed.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "qps", "vs_baseline": value/100000}
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    n = int(os.environ.get("OMNI_BENCH_N", 1 << 20))  # ~1M, block-aligned
+    d = int(os.environ.get("OMNI_BENCH_D", 768))
+    b = int(os.environ.get("OMNI_BENCH_B", 128))
+    bits = int(os.environ.get("OMNI_BENCH_BITS", 1024))
+    m = int(os.environ.get("OMNI_BENCH_M", 128))
+    g = int(os.environ.get("OMNI_BENCH_G", 8))       # batches per megastep
+    steps = int(os.environ.get("OMNI_BENCH_STEPS", 4))
+
+    from omni_recall_tpu.ops import pallas_scorer, xla_scorer
+
+    interpret = jax.default_backend() not in ("tpu",)
+    if interpret:  # CPU smoke mode: keep it small
+        n, b, g, steps = 4096, 8, 2, 2
+
+    key = jax.random.PRNGKey(0)
+    k_emb, k_bloom, k_q, k_w = jax.random.split(key, 4)
+
+    emb = jax.random.normal(k_emb, (n, d), dtype=jnp.float32)
+    emb = (emb / jnp.linalg.norm(emb, axis=1, keepdims=True)).astype(jnp.bfloat16)
+    # bloom fill ~25% per bit (realistic signature density)
+    bloom = (
+        jax.random.bits(k_bloom, (n, bits // 8), dtype=jnp.uint8)
+        & jax.random.bits(jax.random.fold_in(k_bloom, 1), (n, bits // 8), dtype=jnp.uint8)
+    )
+    created = jnp.linspace(0.0, 365.0, n, dtype=jnp.float32)
+    valid = jnp.ones((n,), dtype=bool)
+    add_row = pallas_scorer.make_add_row(created, valid, jnp.float32(365.0), jnp.int32(0))
+
+    q_all = jax.random.normal(k_q, (g, b, d), dtype=jnp.float32)
+    q_all = q_all / jnp.linalg.norm(q_all, axis=-1, keepdims=True)
+    mask = jax.random.uniform(k_w, (g, b, bits)) < (40.0 / bits)
+    kw_all = jnp.where(mask, 0.025, 0.0).astype(jnp.float32)
+    kw_bias = jnp.zeros((b, 1), dtype=jnp.float32)
+
+    t_block = 1
+    sub = 512
+
+    @functools.partial(jax.jit, static_argnames=("interp",))
+    def megastep(carry, emb, bloom, add_row, q_all, kw_all, interp):
+        def body(c, inp):
+            q, kw_w = inp
+            q = q + 1e-12 * c[:, None]  # serialize: depend on previous batch
+            bvals, bidxs = pallas_scorer.block_topt(
+                emb, bloom, q, kw_w, kw_bias, add_row, t=t_block, sub=sub,
+                interpret=interp,
+            )  # [B, n_slices, t+1]
+            bb, nb, t1 = bvals.shape
+            cand_v = bvals[:, :, : t1 - 1].reshape(bb, -1)
+            cand_i = bidxs[:, :, : t1 - 1].reshape(bb, -1)
+            top_v, pos = jax.lax.top_k(cand_v, min(m, cand_v.shape[1]))
+            top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+            new_c = top_v[:, 0] + top_i[:, 0].astype(jnp.float32) * 1e-9
+            return new_c, (top_v[:, :4], top_i[:, :4])
+        carry, outs = jax.lax.scan(body, carry, (q_all, kw_all))
+        return carry, outs
+
+    carry = jnp.zeros((b,), dtype=jnp.float32)
+    carry, outs = megastep(carry, emb, bloom, add_row, q_all, kw_all, interpret)
+    _ = np.asarray(carry[:2])  # compile + settle
+
+    start = time.perf_counter()
+    c = carry
+    for i in range(steps):
+        c, outs = megastep(c, emb, bloom, add_row, q_all, kw_all, interpret)
+    _ = np.asarray(c[:2])  # force completion
+    elapsed = time.perf_counter() - start
+
+    scans = g * steps
+    per_scan = elapsed / scans
+    qps = b * scans / elapsed
+
+    result = {
+        "metric": "hybrid_search_device_scan_qps_1m_chunks",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 100_000.0, 4),
+        "details": {
+            "n_chunks": n, "dim": d, "batch": b, "bloom_bits": bits,
+            "top_m": m, "scan_ms": round(per_scan * 1000.0, 3),
+            "p50_batch_latency_ms": round(per_scan * 1000.0, 3),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

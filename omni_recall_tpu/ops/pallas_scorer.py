@@ -1,29 +1,41 @@
 """Fused Pallas TPU kernel for the hybrid upper-bound scan.
 
-This is the TPU-native replacement for the reference's per-chunk C# scoring
-loop (src/OmniRecall.Api/Services/RecallSearchService.cs:28-37): one pass over
-the HBM-resident index computes, for a whole query batch,
+TPU-native replacement for the reference's per-chunk C# scoring loop
+(src/OmniRecall.Api/Services/RecallSearchService.cs:28-37). One HBM pass per
+query batch computes, per chunk block of C rows,
 
-    ub[b, c] = 0.7 * (q[b] . emb[c])                        (MXU, f32)
-             + 0.2 * min(1, bits(bloom[c]) . kw_w[b] + kw_b[b])   (MXU, f32)
-             + add_row[c]                                    (recency+mask)
-             + CERT_EPS
+    ub[b, c] = 0.7 * (q[b] . emb[c])                            (MXU)
+             + 0.2 * min(1, bits(bloom[c]) . kw_w[b] + kw_b[b]) (MXU)
+             + add_row[c]   (precomputed 0.1*recency + valid/window mask)
+             + PALLAS_CERT_EPS
 
-Kernel-level design notes:
-- the bloom signature is decoded IN-KERNEL from packed u8 words to 0/1
-  lanes via 8 shift-AND planes concatenated along the lane axis (the packed
-  layout in ops/hashing.py was chosen so this is a lane-aligned concat, no
-  minor-dim reshape) — the [N, bits] decode never touches HBM,
-- the recency term, valid mask and recency-window mask are folded on the
-  host side of the launch into one additive per-row term (``add_row``:
-  0.1*exp(min(0, created-now)/30) for live rows, -inf otherwise) — an O(N)
-  elementwise precompute that XLA fuses, keeping the kernel free of scalar
-  control flow,
-- queries, keyword weights and the row term use constant index maps, so
-  Pallas hoists their fetch out of the grid loop; the chunk-block inputs
-  (embeddings + bloom) stream HBM->VMEM with automatic double buffering.
+and then extracts the block's top-(T+1) entries per query IN-KERNEL (VPU
+max/mask extraction over the VMEM-resident block scores), emitting only
+[B, T+1] values+indices per block. The full [B, N] score matrix never
+touches HBM, and no giant sort is needed — the host-side merge does a tiny
+top-k over [B, nblocks*(T+1)].
 
-Numerics match ops/xla_scorer.ub_scores (f32 accumulate; parity-tested).
+Exactness contract (engine certificate, search/engine.py):
+- entries 0..T-1 per block are candidate rows; entry T is the block's
+  (T+1)-th best — a sound upper bound for every unemitted row of the block.
+- merged boundary = max((m+1)-th best candidate, max over block bounds);
+  every row outside the returned candidate set has ub <= boundary.
+- matmuls run in bf16 (inputs rounded; f32 accumulation); the certificate
+  margin PALLAS_CERT_EPS covers the divergence from the float64 host oracle:
+  for L2-normalized operands the bf16 input-rounding error is bounded by
+  ~2^-8 * sum|q_i c_i| <= 0.004 on the cosine term and < 0.005 * 0.2 on the
+  keyword term (weights sum ~<=1.2, bits exact 0/1). A larger eps only
+  loosens the upper bound — exactness is preserved via candidate escalation.
+
+Performance notes:
+- embeddings may be stored bf16 in HBM (EngineOptions.bf16_embeddings) to
+  halve scan bandwidth; the kernel casts operands to bf16 regardless so the
+  MXU runs at full rate,
+- bloom signatures decode in-kernel from packed u8 (bit j = plane (j div W)
+  of word (j mod W); the transposed-plane layout in ops/hashing.py makes the
+  decode a lane-aligned concat of 8 shift-AND planes),
+- chunk-block inputs stream HBM->VMEM with automatic double buffering;
+  query operands have constant index maps and are hoisted out of the loop.
 """
 
 from __future__ import annotations
@@ -41,25 +53,20 @@ from omni_recall_tpu.ops.oracle import (
     RECENCY_HALF_LIFE_DAYS,
     RECENCY_WEIGHT,
 )
-from omni_recall_tpu.ops.xla_scorer import _topk_rows
 
 _NEG_INF = -1e30  # finite mask value inside the kernel; mapped to -inf outside
 
-# Certificate margin for the fused kernel. The MXU computes f32 dot products
-# via bf16 passes: inputs are rounded to bf16 (half-ulp 2^-9), products are
-# exact, accumulation is f32. For L2-normalized operands the dot error is
-# bounded by ~2^-8 * sum|q_i c_i| <= 2^-8 (Cauchy-Schwarz), so the cosine
-# term diverges from the float64 host oracle by < 0.7 * 0.004; the keyword
-# term (weights sum ~<= 1.2, bits exact 0/1) adds < 0.2 * 0.005. 4e-3 covers
-# both with slack (observed max divergence ~2.6e-4 at N=8192). A larger eps
-# only loosens the upper bound — exactness is preserved, at worst costing a
-# candidate-set escalation on pathologically dense score distributions.
+# Certificate margin for the fused kernel (see module docstring derivation).
 PALLAS_CERT_EPS = 4e-3
 
 
-def _ub_kernel(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref, out_ref):
+def _ub_block(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref):
+    """Compute the [B, C] upper-bound scores for one chunk block."""
+    compute_dtype = jnp.bfloat16
+    emb = emb_ref[:].astype(compute_dtype)
+    q = q_ref[:].astype(compute_dtype)
     cos = jax.lax.dot_general(
-        q_ref[:], emb_ref[:],
+        q, emb,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [B, C]
@@ -67,21 +74,50 @@ def _ub_kernel(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref, out_r
     words = bloom_ref[:].astype(jnp.int32)  # [C, W]
     bits = jnp.concatenate(
         [((words >> b) & 1) for b in range(8)], axis=1
-    ).astype(jnp.float32)  # [C, W*8], bit j = plane (j div W), word (j mod W)
+    ).astype(compute_dtype)  # [C, W*8]
 
     kw = jax.lax.dot_general(
-        kw_w_ref[:], bits,
+        kw_w_ref[:].astype(compute_dtype), bits,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [B, C]
     kw = jnp.minimum(kw + kw_b_ref[:], 1.0)
 
-    out_ref[:] = (
+    return (
         COSINE_WEIGHT * cos
         + KEYWORD_WEIGHT * kw
         + add_row_ref[:]
         + PALLAS_CERT_EPS
     )
+
+
+def _make_topt_kernel(t1: int, c: int, sub: int):
+    """Kernel computing block scores and emitting, for every extraction
+    sub-slice of ``sub`` rows, its top-(t1-1) entries plus a bound (the
+    t1-th best of the sub-slice). Static lane slices keep the extraction at
+    (2*t1+1) VPU passes over the block scores, independent of block size."""
+
+    n_sub = c // sub
+
+    def kernel(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref,
+               vals_ref, idxs_ref):
+        scores = _ub_block(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref)
+        b = scores.shape[0]
+        block_base = pl.program_id(0) * c
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, sub), 1)
+        for j in range(n_sub):
+            s = scores[:, j * sub : (j + 1) * sub]
+            for t in range(t1):
+                v = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
+                # deterministic: lowest row index among ties
+                hit = jnp.where(s == v, lane, sub)
+                idx = jnp.min(hit, axis=1, keepdims=True)  # [B, 1]
+                col = j * t1 + t
+                vals_ref[0, :, col : col + 1] = v
+                idxs_ref[0, :, col : col + 1] = idx + (block_base + j * sub)
+                s = jnp.where(lane == idx, _NEG_INF, s)
+
+    return kernel
 
 
 def _pick_block(n: int) -> int:
@@ -91,26 +127,34 @@ def _pick_block(n: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_ub_scores(
-    emb: jax.Array,       # f32[N, d]
-    bloom: jax.Array,     # u8[N, W]
-    q: jax.Array,         # f32[B, d]
-    kw_weights: jax.Array,    # f32[B, bits]
-    kw_bias: jax.Array,       # f32[B, 1]
-    add_row: jax.Array,       # f32[1, N]: 0.1*recency + mask (-1e30 dead rows)
+@functools.partial(jax.jit, static_argnames=("t", "sub", "interpret"))
+def block_topt(
+    emb: jax.Array,        # f32|bf16 [N, d]
+    bloom: jax.Array,      # u8 [N, W]
+    q: jax.Array,          # f32 [B, d]
+    kw_weights: jax.Array,  # f32 [B, bits]
+    kw_bias: jax.Array,     # f32 [B, 1]
+    add_row: jax.Array,     # f32 [1, N]
+    t: int,                 # candidates per extraction sub-slice
+    sub: int = 512,         # extraction sub-slice rows
     interpret: bool = False,
-) -> jax.Array:
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (vals f32[B, n_slices, t+1], idxs i32[B, n_slices, t+1]) where
+    n_slices = N / sub; entry t of each slice is the slice bound."""
     n, d = emb.shape
     b = q.shape[0]
     w = bloom.shape[1]
     c = _pick_block(n)
     if c == 0:
         raise ValueError(f"row count {n} not divisible by a supported block")
+    sub = min(sub, c)
+    t1 = min(t + 1, sub)
+    n_sub = c // sub
+    nblocks = n // c
 
-    grid = (n // c,)
+    grid = (nblocks,)
     kernel = pl.pallas_call(
-        _ub_kernel,
+        _make_topt_kernel(t1, c, sub),
         grid=grid,
         in_specs=[
             pl.BlockSpec((c, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -120,16 +164,27 @@ def fused_ub_scores(
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, c), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        out_specs=(
+            # last-dim equals the full array dim -> allowed block shape
+            pl.BlockSpec((1, b, n_sub * t1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, n_sub * t1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.int32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * b * (d + w * 8),
-            bytes_accessed=n * d * 4 + n * w + n * b * 4,
+            bytes_accessed=n * d * emb.dtype.itemsize + n * w + b * nblocks * n_sub * t1 * 8,
             transcendentals=0,
         ),
         interpret=interpret,
     )
-    return kernel(emb, bloom, q, kw_weights, kw_bias, add_row)
+    vals, idxs = kernel(emb, bloom, q, kw_weights, kw_bias, add_row)
+    # [nb, B, n_sub*t1] -> [B, nb*n_sub, t1]
+    vals = jnp.transpose(vals, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
+    idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
+    return vals, idxs
 
 
 def make_add_row(
@@ -144,7 +199,7 @@ def make_add_row(
     return jnp.where(mask, RECENCY_WEIGHT * rec, _NEG_INF)[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m", "t", "sub", "interpret"))
 def score_topm(
     emb: jax.Array,
     bloom: jax.Array,
@@ -156,13 +211,42 @@ def score_topm(
     now_days: jax.Array,
     window_start: jax.Array,
     m: int,
+    t: int = 8,
+    sub: int = 512,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Drop-in replacement for ops/xla_scorer.score_topm using the fused
-    kernel. Returns (ub_values[B, m+1], row_indices[B, m+1])."""
+    """Interface-compatible with ops/xla_scorer.score_topm: returns
+    (ub_values[B, m+1], row_indices[B, m+1]) where entry m is the certificate
+    boundary (its index is -1: it bounds unemitted rows, it is not a
+    candidate). Requires m <= nblocks * t (the engine falls back to the exact
+    XLA scorer otherwise)."""
     add_row = make_add_row(created, valid, now_days, window_start)
-    ub = fused_ub_scores(
-        emb, bloom, q, kw_weights, kw_bias[:, None], add_row, interpret=interpret
+    vals, idxs = block_topt(
+        emb, bloom, q, kw_weights, kw_bias[:, None], add_row,
+        t=t, sub=sub, interpret=interpret,
+    )  # [B, nb, t1]
+    b, nb, t1 = vals.shape
+    t_eff = t1 - 1
+    if m > nb * t_eff:
+        raise ValueError(f"m={m} exceeds emitted candidates nblocks*t={nb * t_eff}")
+
+    cand_vals = vals[:, :, :t_eff].reshape(b, nb * t_eff)
+    cand_idxs = idxs[:, :, :t_eff].reshape(b, nb * t_eff)
+    block_bounds = vals[:, :, t_eff]  # [B, nb]
+
+    k = min(m + 1, nb * t_eff)
+    top_v, pos = jax.lax.top_k(cand_vals, k)
+    top_i = jnp.take_along_axis(cand_idxs, pos, axis=1)
+
+    top_v = jnp.where(top_v <= _NEG_INF / 2, -jnp.inf, top_v)
+    boundary_emitted = top_v[:, m] if k > m else jnp.full((b,), -jnp.inf)
+    block_bound_max = jnp.max(
+        jnp.where(block_bounds <= _NEG_INF / 2, -jnp.inf, block_bounds), axis=1
     )
-    ub = jnp.where(ub <= _NEG_INF / 2, -jnp.inf, ub)
-    return _topk_rows(ub, min(m + 1, emb.shape[0]))
+    boundary = jnp.maximum(boundary_emitted, block_bound_max)
+
+    out_v = jnp.concatenate([top_v[:, :m], boundary[:, None]], axis=1)
+    out_i = jnp.concatenate(
+        [top_i[:, :m], jnp.full((b, 1), -1, dtype=jnp.int32)], axis=1
+    )
+    return out_v, out_i

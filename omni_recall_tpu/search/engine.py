@@ -33,6 +33,9 @@ from omni_recall_tpu.index.records import ChunkRecord
 from omni_recall_tpu.index.store import InMemoryIngestionStore
 from omni_recall_tpu.ops import hashing, oracle, xla_scorer
 
+# candidates emitted per chunk block by the fused Pallas kernel
+PALLAS_BLOCK_T = 8
+
 
 @dataclass(frozen=True)
 class SearchHit:
@@ -106,6 +109,36 @@ class RecallEngine:
             return self._search_oracle(query, query_embedding, k, window, now)
         return self._search_device(query, query_embedding, k, window, now)
 
+    def _select_scorer(self, m: int, n_rows_padded: int):
+        """Pick the scoring pass for this escalation round. The fused Pallas
+        kernel emits at most nblocks*T candidates per query; larger m
+        (escalations) fall back to the exact XLA scorer."""
+        if self._sharded_scorer is not None:
+            return self._sharded_scorer.score_topm
+        if self.options.backend == "pallas":
+            import functools
+            import math
+
+            import jax as _jax
+
+            from omni_recall_tpu.ops import pallas_scorer
+
+            c = pallas_scorer._pick_block(n_rows_padded)
+            if c > 0:
+                sub = min(512, c)
+                slices = n_rows_padded // sub
+                # emit ~2x the needed candidates per slice for certificate
+                # slack, capped at PALLAS_BLOCK_T extraction rounds
+                t = min(PALLAS_BLOCK_T, sub - 1, max(1, math.ceil(2 * m / slices)))
+                if m <= slices * t:
+                    return functools.partial(
+                        pallas_scorer.score_topm,
+                        t=t,
+                        sub=sub,
+                        interpret=_jax.default_backend() != "tpu",
+                    )
+        return xla_scorer.score_topm
+
     def _exact_hits(
         self,
         chunks: list[ChunkRecord],
@@ -177,21 +210,7 @@ class RecallEngine:
         m = min(max(self.options.candidate_m, k), window_rows)
         self.last_escalations = 0
         while True:
-            if self._sharded_scorer is not None:
-                score_topm = self._sharded_scorer.score_topm
-            elif self.options.backend == "pallas":
-                import functools
-
-                import jax as _jax
-
-                from omni_recall_tpu.ops import pallas_scorer
-
-                score_topm = functools.partial(
-                    pallas_scorer.score_topm,
-                    interpret=_jax.default_backend() != "tpu",
-                )
-            else:
-                score_topm = xla_scorer.score_topm
+            score_topm = self._select_scorer(m, int(dev.emb.shape[0]))
             vals, idxs = score_topm(
                 dev.emb, dev.bloom, dev.created, dev.valid,
                 jnp.asarray(q),
