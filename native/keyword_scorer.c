@@ -1,0 +1,65 @@
+/* Exact substring keyword rescorer — the host-side hot path of certified
+ * search. For each candidate chunk, computes the fraction of query terms
+ * byte-substring-contained in the (pre-lowercased, UTF-8) content — the
+ * exact semantics of the reference's KeywordScore
+ * (src/OmniRecall.Api/Services/RecallSearchService.cs:90-113; byte-level
+ * match on valid UTF-8 equals character-level ordinal match because UTF-8
+ * is self-synchronizing).
+ *
+ * Built as a plain shared library (no Python.h) and loaded via ctypes, so
+ * the scan loop runs without the GIL from the caller's perspective.
+ *
+ * Build: cc -O3 -shared -fPIC -o libomni_keyword.so keyword_scorer.c
+ */
+
+#define _GNU_SOURCE
+#include <stddef.h>
+#include <string.h>
+
+/* Two-way/memmem is glibc; provide a fallback for other libcs. */
+static const char *find_sub(const char *hay, size_t hay_len,
+                            const char *needle, size_t needle_len) {
+#ifdef __GLIBC__
+    return (const char *)memmem(hay, hay_len, needle, needle_len);
+#else
+    if (needle_len == 0 || needle_len > hay_len) {
+        return needle_len == 0 ? hay : NULL;
+    }
+    const char first = needle[0];
+    const char *end = hay + hay_len - needle_len;
+    for (const char *p = hay; p <= end; p++) {
+        if (*p == first && memcmp(p, needle, needle_len) == 0) {
+            return p;
+        }
+    }
+    return NULL;
+#endif
+}
+
+/* contents: n_contents buffers (lowercased UTF-8), terms: n_terms buffers
+ * (lowercased UTF-8, distinct). out[i] = matches_i / n_terms.
+ * Returns 0 on success. */
+int keyword_scores(const char **contents, const long *content_lens,
+                   long n_contents, const char **terms, const long *term_lens,
+                   long n_terms, double *out) {
+    if (n_terms <= 0) {
+        for (long i = 0; i < n_contents; i++) out[i] = 0.0;
+        return 0;
+    }
+    for (long i = 0; i < n_contents; i++) {
+        const char *content = contents[i];
+        long content_len = content_lens[i];
+        long matches = 0;
+        if (content_len > 0) {
+            for (long t = 0; t < n_terms; t++) {
+                if (term_lens[t] > 0 &&
+                    find_sub(content, (size_t)content_len, terms[t],
+                             (size_t)term_lens[t]) != NULL) {
+                    matches++;
+                }
+            }
+        }
+        out[i] = (double)matches / (double)n_terms;
+    }
+    return 0;
+}

@@ -40,3 +40,10 @@ class ChunkRecord:
     # scores AND timestamps tie (the reference's ordering is only stable up to
     # ConcurrentDictionary enumeration order there).
     seq: int = field(default=-1, compare=False)
+    # lazy cache: lowercased UTF-8 content for the native keyword rescorer
+    _lower_utf8: bytes | None = field(default=None, repr=False, compare=False)
+
+    def content_lower_utf8(self) -> bytes:
+        if self._lower_utf8 is None:
+            self._lower_utf8 = self.content.lower().encode("utf-8")
+        return self._lower_utf8

@@ -146,16 +146,26 @@ class RecallEngine:
         query_embedding: list[float] | None,
         now: datetime,
     ) -> list[SearchHit]:
-        terms = oracle.query_terms(query)
-        hits = []
-        for chunk in chunks:
-            cos = oracle.cosine_similarity(query_embedding, chunk.embedding)
-            content = chunk.content
-            kw = (
-                oracle.keyword_score_terms(terms, content.lower())
-                if query.strip() and content.strip()
-                else 0.0
+        terms = oracle.query_terms(query) if query.strip() else []
+
+        kw_scores: list[float] | None = None
+        if terms and chunks:
+            from omni_recall_tpu.ops import native
+
+            kw_scores = native.keyword_scores(
+                [t.encode("utf-8") for t in terms],
+                [c.content_lower_utf8() for c in chunks],
             )
+
+        hits = []
+        for i, chunk in enumerate(chunks):
+            cos = oracle.cosine_similarity(query_embedding, chunk.embedding)
+            if kw_scores is not None:
+                kw = kw_scores[i]
+            elif terms and chunk.content.strip():
+                kw = oracle.keyword_score_terms(terms, chunk.content.lower())
+            else:
+                kw = 0.0
             rec = oracle.recency_score(chunk.created_at_utc, now)
             score = (
                 oracle.COSINE_WEIGHT * cos

@@ -1,0 +1,67 @@
+"""Native (C) keyword rescorer: builds, and matches the Python oracle
+exactly on randomized inputs including unicode and embedded edge cases."""
+
+import random
+import string
+
+import pytest
+
+from omni_recall_tpu.ops import native, oracle
+
+
+@pytest.fixture(scope="module")
+def lib_available():
+    ok = native.native_available()
+    if not ok:
+        pytest.skip("no C toolchain in this environment")
+    return ok
+
+
+def _native_kw(terms, content):
+    scores = native.keyword_scores(
+        [t.encode("utf-8") for t in terms], [content.lower().encode("utf-8")]
+    )
+    assert scores is not None
+    return scores[0]
+
+
+def test_native_builds_and_basic_scores(lib_available):
+    terms = oracle.query_terms("optim tpu missing")
+    content = "great optimization tips for tpu kernels"
+    assert _native_kw(terms, content) == pytest.approx(2 / 3)
+
+
+def test_native_matches_oracle_randomized(lib_available):
+    rng = random.Random(99)
+    vocab = ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 9))) for _ in range(100)]
+    vocab += ["naïve", "café", "日本語", "ünïcode"]
+    for trial in range(300):
+        content = " ".join(rng.choices(vocab, k=rng.randint(0, 40)))
+        query = " ".join(rng.choices(vocab, k=rng.randint(1, 5)))
+        terms = oracle.query_terms(query)
+        expected = oracle.keyword_score(query, content)
+        if not content.strip():
+            expected = 0.0
+        got = _native_kw(terms, content) if terms else 0.0
+        assert got == pytest.approx(expected, abs=1e-12), (query, content)
+
+
+def test_native_batch_multiple_contents(lib_available):
+    terms = ["cat", "dog"]
+    contents = [b"the cat sat", b"dogs and cats everywhere", b"", b"nothing here"]
+    scores = native.keyword_scores([t.encode() for t in terms], contents)
+    assert scores == pytest.approx([0.5, 1.0, 0.0, 0.0])
+
+
+def test_native_embedded_nul_and_long_content(lib_available):
+    content = ("word " * 500 + "\x00hidden needle").lower().encode("utf-8")
+    scores = native.keyword_scores([b"needle", b"absent!"], [content])
+    assert scores == pytest.approx([0.5])
+
+
+def test_engine_uses_cached_lower_utf8():
+    from omni_recall_tpu.index.records import ChunkRecord
+
+    c = ChunkRecord(id="x", document_id="d", chunk_index=0, content="HeLLo Wörld")
+    assert c.content_lower_utf8() == "hello wörld".encode("utf-8")
+    assert c.content_lower_utf8() is c.content_lower_utf8()  # cached
