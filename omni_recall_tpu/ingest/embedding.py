@@ -54,6 +54,11 @@ class HttpResponse(Protocol):
 class SimpleHttpResponse:
     status: int
     body: bytes
+    headers: dict[str, str] = None  # lower-cased keys
+
+    def __post_init__(self) -> None:
+        if self.headers is None:
+            self.headers = {}
 
 
 Transport = Callable[[str, str, dict[str, str], bytes | None, float], SimpleHttpResponse]
@@ -68,9 +73,14 @@ def urllib_transport(
     req = urllib.request.Request(url, data=body, headers=headers, method=method)
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
-            return SimpleHttpResponse(resp.status, resp.read())
+            return SimpleHttpResponse(
+                resp.status, resp.read(),
+                {k.lower(): v for k, v in resp.headers.items()},
+            )
     except urllib.error.HTTPError as exc:
-        return SimpleHttpResponse(exc.code, exc.read())
+        return SimpleHttpResponse(
+            exc.code, exc.read(), {k.lower(): v for k, v in (exc.headers or {}).items()}
+        )
 
 
 class NoOpEmbeddingClient:

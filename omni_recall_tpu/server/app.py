@@ -93,9 +93,17 @@ class OmniRecallApp(WsgiApp):
         self.chat_service = ChatOrchestrationService(
             self.search_service, self.chat_router, config.chat_quality
         )
-        self.pdf_extractor = pdf_extractor if pdf_extractor is not None else PdfTextExtractor(
-            NoOpOcrTextExtractor(), config.ocr.pdf_text_min_chars
-        )
+        if pdf_extractor is not None:
+            self.pdf_extractor = pdf_extractor
+        else:
+            ocr_provider = (config.ocr.provider or "").strip().lower()
+            if ocr_provider in ("documentintelligence", "azuredocumentintelligence"):
+                from omni_recall_tpu.extract.ocr import DocumentIntelligenceOcrTextExtractor
+
+                ocr = DocumentIntelligenceOcrTextExtractor(config.ocr)
+            else:
+                ocr = NoOpOcrTextExtractor()
+            self.pdf_extractor = PdfTextExtractor(ocr, config.ocr.pdf_text_min_chars)
         self.health_service = health_service if health_service is not None else HealthProbeService(
             config, self.store, self.raw_store, self.engine
         )
