@@ -150,9 +150,10 @@ class EngineOptions:
     bloom_bits: int = 2048
     ngram: int = 4
     bloom_hashes: int = 2
-    # store embeddings on device in bf16 (halves HBM traffic; host exact
-    # rescore still uses f32)
-    bf16_embeddings: bool = False
+    # device embedding storage for the scan: f32 | bf16 | int8. Quantized
+    # formats halve/quarter HBM traffic; exactness is preserved via the
+    # certificate (per-row error norms for int8, margin eps for bf16).
+    scan_dtype: str = "f32"
 
 
 @dataclass

@@ -54,10 +54,12 @@ def _set_slab(dev: jax.Array, slab: jax.Array, start: jax.Array) -> jax.Array:
 
 @dataclass
 class DeviceArrays:
-    emb: jax.Array
+    emb: jax.Array            # f32 | bf16 | int8 rows, per scan_dtype
     bloom: jax.Array
     created: jax.Array
     valid: jax.Array
+    scale: jax.Array | None = None  # int8: per-row dequant scale
+    err: jax.Array | None = None    # int8: per-row quantization error norm
 
 
 class DeviceIndex:
@@ -70,11 +72,15 @@ class DeviceIndex:
         ngram: int = 4,
         bloom_hashes: int = 1,
         mesh=None,
+        scan_dtype: str = "f32",  # f32 | bf16 | int8 device storage
     ) -> None:
         if bloom_bits % 8 != 0:
             raise ValueError("bloom_bits must be a multiple of 8")
+        if scan_dtype not in ("f32", "bf16", "int8"):
+            raise ValueError(f"unsupported scan_dtype: {scan_dtype}")
         self.dim = dim
         self.mesh = mesh
+        self.scan_dtype = scan_dtype
         capacity_block = max(128, capacity_block)
         if mesh is not None:
             # even row sharding: capacity must divide by the shard count
@@ -218,14 +224,30 @@ class DeviceIndex:
         spec = P("shards", *([None] * (host.ndim - 1)))
         return jax.device_put(host, NamedSharding(self.mesh, spec))
 
+    def _convert_emb(self, emb_slab: np.ndarray) -> dict[str, np.ndarray]:
+        """Host f32 rows -> device scan format (+ int8 scale/err sidecars)."""
+        if self.scan_dtype == "int8":
+            from omni_recall_tpu.ops.quantize import quantize_rows_int8
+
+            q, scale, err = quantize_rows_int8(emb_slab)
+            return {"emb": q, "scale": scale, "err": err}
+        if self.scan_dtype == "bf16":
+            import ml_dtypes
+
+            return {"emb": emb_slab.astype(ml_dtypes.bfloat16)}
+        return {"emb": emb_slab}
+
     def device_arrays(self) -> DeviceArrays:
         """Upload pending host changes and return the device-resident SoA."""
         if self._device is None or self._device_cap != self._cap:
+            converted = self._convert_emb(self.emb)
             self._device = DeviceArrays(
-                emb=self._put(self.emb),
+                emb=self._put(converted["emb"]),
                 bloom=self._put(self.bloom),
                 created=self._put(self.created),
                 valid=self._put(self.valid),
+                scale=self._put(converted["scale"]) if "scale" in converted else None,
+                err=self._put(converted["err"]) if "err" in converted else None,
             )
             self._device_cap = self._cap
             self._dirty_lo = self._dirty_hi = 0
@@ -239,11 +261,20 @@ class DeviceIndex:
             for b_lo in range(lo, hi, block):
                 b_hi = b_lo + block
                 start = jnp.int32(b_lo)
+                converted = self._convert_emb(self.emb[b_lo:b_hi])
                 dev = DeviceArrays(
-                    emb=_set_slab(dev.emb, jnp.asarray(self.emb[b_lo:b_hi]), start),
+                    emb=_set_slab(dev.emb, jnp.asarray(converted["emb"]), start),
                     bloom=_set_slab(dev.bloom, jnp.asarray(self.bloom[b_lo:b_hi]), start),
                     created=_set_slab(dev.created, jnp.asarray(self.created[b_lo:b_hi]), start),
                     valid=_set_slab(dev.valid, jnp.asarray(self.valid[b_lo:b_hi]), start),
+                    scale=(
+                        _set_slab(dev.scale, jnp.asarray(converted["scale"]), start)
+                        if dev.scale is not None else None
+                    ),
+                    err=(
+                        _set_slab(dev.err, jnp.asarray(converted["err"]), start)
+                        if dev.err is not None else None
+                    ),
                 )
             self._device = dev
             self._dirty_lo = self._dirty_hi = 0

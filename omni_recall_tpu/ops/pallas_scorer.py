@@ -91,33 +91,84 @@ def _ub_block(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref):
     )
 
 
-def _make_topt_kernel(t1: int, c: int, sub: int):
-    """Kernel computing block scores and emitting, for every extraction
-    sub-slice of ``sub`` rows, its top-(t1-1) entries plus a bound (the
-    t1-th best of the sub-slice). Static lane slices keep the extraction at
-    (2*t1+1) VPU passes over the block scores, independent of block size."""
-
+def _extract_topt(scores, c: int, sub: int, t1: int, vals_ref, idxs_ref):
+    """Emit, for every extraction sub-slice of ``sub`` rows, its top-(t1-1)
+    entries plus a bound (the t1-th best of the sub-slice). Static lane
+    slices keep the extraction at (2*t1+1) VPU passes over the block scores,
+    independent of block size."""
+    b = scores.shape[0]
     n_sub = c // sub
+    block_base = pl.program_id(0) * c
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, sub), 1)
+    for j in range(n_sub):
+        s = scores[:, j * sub : (j + 1) * sub]
+        for t in range(t1):
+            v = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
+            # deterministic: lowest row index among ties
+            hit = jnp.where(s == v, lane, sub)
+            idx = jnp.min(hit, axis=1, keepdims=True)  # [B, 1]
+            col = j * t1 + t
+            vals_ref[0, :, col : col + 1] = v
+            idxs_ref[0, :, col : col + 1] = idx + (block_base + j * sub)
+            s = jnp.where(lane == idx, _NEG_INF, s)
 
+
+def _make_topt_kernel(t1: int, c: int, sub: int):
     def kernel(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref,
                vals_ref, idxs_ref):
         scores = _ub_block(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref)
-        b = scores.shape[0]
-        block_base = pl.program_id(0) * c
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b, sub), 1)
-        for j in range(n_sub):
-            s = scores[:, j * sub : (j + 1) * sub]
-            for t in range(t1):
-                v = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
-                # deterministic: lowest row index among ties
-                hit = jnp.where(s == v, lane, sub)
-                idx = jnp.min(hit, axis=1, keepdims=True)  # [B, 1]
-                col = j * t1 + t
-                vals_ref[0, :, col : col + 1] = v
-                idxs_ref[0, :, col : col + 1] = idx + (block_base + j * sub)
-                s = jnp.where(lane == idx, _NEG_INF, s)
+        _extract_topt(scores, c, sub, t1, vals_ref, idxs_ref)
 
     return kernel
+
+
+def _make_topt_kernel_int8(t1: int, c: int, sub: int):
+    def kernel(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref,
+               scale_row_ref, q_scale_ref, q_bias_ref, vals_ref, idxs_ref):
+        scores = _ub_block_int8(
+            emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref,
+            scale_row_ref, q_scale_ref, q_bias_ref,
+        )
+        _extract_topt(scores, c, sub, t1, vals_ref, idxs_ref)
+
+    return kernel
+
+
+def _ub_block_int8(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref,
+                   scale_row_ref, q_scale_ref, q_bias_ref):
+    """int8 upper-bound scores for one chunk block.
+
+    cos_q = (q8 . c8) * s_q[b] * s_c[c] with int32 MXU accumulation (exact);
+    keyword weights are ceil-quantized on the host (w8/127 >= w, sound);
+    the per-row quantization error term 0.7*(1+eq_max)*ec_norm[c] is folded
+    into add_row and the per-query term 0.7*eq_norm[b] into q_bias.
+    """
+    cosd = jax.lax.dot_general(
+        q_ref[:], emb_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)  # [B, C]
+    cos = cosd * q_scale_ref[:] * scale_row_ref[:]
+
+    words = bloom_ref[:].astype(jnp.int32)  # [C, W]
+    bits = jnp.concatenate(
+        [((words >> b) & 1) for b in range(8)], axis=1
+    ).astype(jnp.int8)  # [C, W*8]
+
+    kwd = jax.lax.dot_general(
+        kw_w_ref[:], bits,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)  # [B, C]
+    kw = jnp.minimum(kwd * (1.0 / 127.0) + kw_b_ref[:], 1.0)
+
+    return (
+        COSINE_WEIGHT * cos
+        + KEYWORD_WEIGHT * kw
+        + add_row_ref[:]
+        + q_bias_ref[:]
+        + PALLAS_CERT_EPS
+    )
 
 
 def _pick_block(n: int) -> int:
@@ -188,15 +239,84 @@ def block_topt(
 
 
 def make_add_row(
-    created: jax.Array, valid: jax.Array, now_days, window_start, row_offset=0
+    created: jax.Array, valid: jax.Array, now_days, window_start, row_offset=0,
+    err_term: jax.Array | None = None,
 ) -> jax.Array:
-    """Per-row additive term: 0.1*recency for live in-window rows, -1e30
-    otherwise. Pure elementwise [N] precompute — XLA fuses it."""
+    """Per-row additive term: 0.1*recency (+ optional per-row quantization
+    error bound) for live in-window rows, -1e30 otherwise. Pure elementwise
+    [N] precompute — XLA fuses it."""
     n = created.shape[0]
     rec = jnp.exp(jnp.minimum(created - now_days, 0.0) / RECENCY_HALF_LIFE_DAYS)
+    live = RECENCY_WEIGHT * rec
+    if err_term is not None:
+        live = live + err_term
     rows = jnp.arange(n, dtype=jnp.int32) + row_offset
     mask = valid & (rows >= window_start)
-    return jnp.where(mask, RECENCY_WEIGHT * rec, _NEG_INF)[None, :]
+    return jnp.where(mask, live, _NEG_INF)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("t", "sub", "interpret"))
+def block_topt_int8(
+    emb8: jax.Array,        # i8 [N, d]
+    bloom: jax.Array,       # u8 [N, W]
+    q8: jax.Array,          # i8 [B, d]
+    kw_weights8: jax.Array,  # i8 [B, bits] (ceil-quantized)
+    kw_bias: jax.Array,      # f32 [B, 1]
+    add_row: jax.Array,      # f32 [1, N] (incl. 0.7*(1+eq_max)*ec_norm)
+    scale_row: jax.Array,    # f32 [1, N] per-row dequant scale
+    q_scale: jax.Array,      # f32 [B, 1] per-query dequant scale
+    q_bias: jax.Array,       # f32 [B, 1] 0.7*eq_norm per query
+    t: int,
+    sub: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """int8 variant of block_topt (int32 MXU accumulation, exact)."""
+    n, d = emb8.shape
+    b = q8.shape[0]
+    w = bloom.shape[1]
+    c = _pick_block(n)
+    if c == 0:
+        raise ValueError(f"row count {n} not divisible by a supported block")
+    sub = min(sub, c)
+    t1 = min(t + 1, sub)
+    n_sub = c // sub
+    nblocks = n // c
+
+    kernel = pl.pallas_call(
+        _make_topt_kernel_int8(t1, c, sub),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((c, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, w * 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, n_sub * t1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, n_sub * t1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * b * (d + w * 8),
+            bytes_accessed=n * d + n * w + b * nblocks * n_sub * t1 * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    vals, idxs = kernel(
+        emb8, bloom, q8, kw_weights8, kw_bias, add_row, scale_row, q_scale, q_bias
+    )
+    vals = jnp.transpose(vals, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
+    idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
+    return vals, idxs
 
 
 @functools.partial(jax.jit, static_argnames=("m", "t", "sub", "interpret"))
@@ -225,6 +345,10 @@ def score_topm(
         emb, bloom, q, kw_weights, kw_bias[:, None], add_row,
         t=t, sub=sub, interpret=interpret,
     )  # [B, nb, t1]
+    return _merge_topm(vals, idxs, m)
+
+
+def _merge_topm(vals: jax.Array, idxs: jax.Array, m: int) -> tuple[jax.Array, jax.Array]:
     b, nb, t1 = vals.shape
     t_eff = t1 - 1
     if m > nb * t_eff:
@@ -250,3 +374,49 @@ def score_topm(
         [top_i[:, :m], jnp.full((b, 1), -1, dtype=jnp.int32)], axis=1
     )
     return out_v, out_i
+
+
+@functools.partial(jax.jit, static_argnames=("m", "t", "sub", "interpret"))
+def score_topm_int8(
+    emb8: jax.Array,         # i8[N, d]
+    scale_row: jax.Array,    # f32[N] per-row dequant scale
+    err_row: jax.Array,      # f32[N] per-row quantization error norm
+    bloom: jax.Array,        # u8[N, W]
+    created: jax.Array,
+    valid: jax.Array,
+    q: jax.Array,            # f32[B, d] normalized query embeddings
+    kw_weights: jax.Array,   # f32[B, bits]
+    kw_bias: jax.Array,      # f32[B]
+    now_days: jax.Array,
+    window_start: jax.Array,
+    m: int,
+    t: int = 8,
+    sub: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """int8 scan variant of score_topm. Queries are quantized on the fly;
+    per-row/-query quantization error bounds keep the upper bound sound
+    (see ops/quantize.py)."""
+    b, d = q.shape
+    q_absmax = jnp.max(jnp.abs(q), axis=1, keepdims=True)  # [B, 1]
+    q_scale = q_absmax / 127.0
+    safe = jnp.where(q_scale > 0, q_scale, 1.0)
+    q8 = jnp.clip(jnp.round(q / safe), -127, 127).astype(jnp.int8)
+    # exact f32 math gives a value within 1 ulp of the true error norm;
+    # multiply by (1 + 1e-6) so the bound is never optimistic
+    eq = jnp.linalg.norm(q - q8.astype(jnp.float32) * q_scale, axis=1, keepdims=True)
+    eq = eq * (1.0 + 1e-6)  # [B, 1]
+    eq_max = jnp.max(eq)
+
+    err_term = COSINE_WEIGHT * (1.0 + eq_max) * err_row
+    add_row = make_add_row(created, valid, now_days, window_start, err_term=err_term)
+    q_bias = COSINE_WEIGHT * eq
+
+    kw_w8 = jnp.clip(jnp.ceil(kw_weights * 127.0), 0, 127).astype(jnp.int8)
+
+    vals, idxs = block_topt_int8(
+        emb8, bloom, q8, kw_w8, kw_bias[:, None], add_row,
+        scale_row[None, :], q_scale, q_bias,
+        t=t, sub=sub, interpret=interpret,
+    )
+    return _merge_topm(vals, idxs, m)

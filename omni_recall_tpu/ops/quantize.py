@@ -1,0 +1,42 @@
+"""int8 row quantization with exact error norms (certificate-sound).
+
+The int8 scan path stores per-row symmetric-quantized embeddings plus the
+EXACT quantization error norm, so the device upper bound can fold in a
+per-row correction that provably covers the dequantization error:
+
+    |q.c - (q8.c8)*s_q*s_c| <= ||q||*ec + eq*||c_hat||
+                            <= ec*(1+eq) + eq     (unit-norm rows)
+
+where eq/ec are the stored error norms. Keyword weights are CEIL-quantized
+(w8/127 >= w), so the quantized keyword term never undershoots.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def quantize_rows_int8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Symmetric per-row int8 quantization.
+
+    Returns (q int8[N, d], scale f32[N], err_norm f32[N]) with
+    x ~= q * scale[:, None] and err_norm = ||x - q*scale|| exactly (float64).
+    Zero rows quantize to zeros with scale 0 and err 0.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    absmax = np.abs(x).max(axis=1) if x.size else np.zeros(x.shape[0], np.float32)
+    scale = (absmax / 127.0).astype(np.float32)
+    safe = np.where(scale > 0, scale, 1.0).astype(np.float32)
+    q = np.clip(np.rint(x / safe[:, None]), -127, 127).astype(np.int8)
+    deq = q.astype(np.float64) * scale.astype(np.float64)[:, None]
+    err = np.sqrt(np.sum((x.astype(np.float64) - deq) ** 2, axis=1))
+    # round the error norm UP to f32 so the stored bound is never optimistic
+    err32 = np.nextafter(err.astype(np.float32), np.float32(np.inf)).astype(np.float32)
+    err32[err == 0.0] = 0.0
+    return q, scale, err32
+
+
+def ceil_quantize_weights_int8(w: np.ndarray) -> np.ndarray:
+    """Ceil-quantize keyword weights to int8 so w8/127 >= w (sound upper
+    bound). Weights are in [0, 1] by construction (ops/hashing.py)."""
+    return np.clip(np.ceil(np.asarray(w, dtype=np.float64) * 127.0), 0, 127).astype(np.int8)

@@ -66,6 +66,7 @@ class RecallEngine:
                 ngram=self.options.ngram,
                 bloom_hashes=self.options.bloom_hashes,
                 mesh=mesh,
+                scan_dtype=self.options.scan_dtype if self.options.backend == "pallas" else "f32",
             )
         self.device_index = device_index
         self.mesh = mesh if mesh is not None else (
@@ -110,13 +111,27 @@ class RecallEngine:
         return self._search_device(query, query_embedding, k, window, now)
 
     def _select_scorer(self, m: int, n_rows_padded: int):
-        """Pick the scoring pass for this escalation round. The fused Pallas
-        kernel emits at most nblocks*T candidates per query; larger m
-        (escalations) fall back to the exact XLA scorer."""
+        """Pick the scoring pass for this escalation round.
+
+        Returns (call(dev, q, w, bias, now, r0, m) -> (vals, idxs),
+        full_coverage) where full_coverage=True means that once
+        m >= window rows, EVERY live window row is among the candidates
+        (the certificate then passes trivially). The fused Pallas kernel
+        only emits per-slice top-t, so it never guarantees full coverage;
+        when it runs out of budget the engine falls back to the exact XLA
+        scorer (f32 storage) or the host oracle (quantized storage)."""
+        import jax.numpy as jnp
+
         if self._sharded_scorer is not None:
-            return self._sharded_scorer.score_topm
+            def sharded(dev, q, w, bias, now_days, r0, m):
+                return self._sharded_scorer.score_topm(
+                    dev.emb, dev.bloom, dev.created, dev.valid,
+                    q, w, bias, now_days, r0, m=m,
+                )
+            return sharded, True
+
+        scan_dtype = self.device_index.scan_dtype if self.device_index else "f32"
         if self.options.backend == "pallas":
-            import functools
             import math
 
             import jax as _jax
@@ -130,14 +145,36 @@ class RecallEngine:
                 # emit ~2x the needed candidates per slice for certificate
                 # slack, capped at PALLAS_BLOCK_T extraction rounds
                 t = min(PALLAS_BLOCK_T, sub - 1, max(1, math.ceil(2 * m / slices)))
+                interpret = _jax.default_backend() != "tpu"
                 if m <= slices * t:
-                    return functools.partial(
-                        pallas_scorer.score_topm,
-                        t=t,
-                        sub=sub,
-                        interpret=_jax.default_backend() != "tpu",
-                    )
-        return xla_scorer.score_topm
+                    if scan_dtype == "int8":
+                        def pallas_int8(dev, q, w, bias, now_days, r0, m):
+                            return pallas_scorer.score_topm_int8(
+                                dev.emb, dev.scale, dev.err, dev.bloom,
+                                dev.created, dev.valid, q, w, bias,
+                                now_days, r0, m=m, t=t, sub=sub,
+                                interpret=interpret,
+                            )
+                        return pallas_int8, False
+
+                    def pallas_fp(dev, q, w, bias, now_days, r0, m):
+                        return pallas_scorer.score_topm(
+                            dev.emb, dev.bloom, dev.created, dev.valid,
+                            q, w, bias, now_days, r0, m=m, t=t, sub=sub,
+                            interpret=interpret,
+                        )
+                    return pallas_fp, False
+
+        if scan_dtype != "f32":
+            # quantized device storage cannot feed the exact XLA pass
+            return None, True
+
+        def xla(dev, q, w, bias, now_days, r0, m):
+            return xla_scorer.score_topm(
+                dev.emb, dev.bloom, dev.created, dev.valid,
+                q, w, bias, now_days, r0, m=m,
+            )
+        return xla, True
 
     def _exact_hits(
         self,
@@ -217,19 +254,20 @@ class RecallEngine:
         dev = dix.device_arrays()
         now_days = np.float32(to_days(now))
 
+        q_dev = jnp.asarray(q)
+        w_dev = jnp.asarray(weights[None, :])
+        bias_dev = jnp.asarray(np.float32([bias]))
+        now_dev = jnp.float32(now_days)
+        r0_dev = jnp.int32(r0)
+
         m = min(max(self.options.candidate_m, k), window_rows)
         self.last_escalations = 0
         while True:
-            score_topm = self._select_scorer(m, int(dev.emb.shape[0]))
-            vals, idxs = score_topm(
-                dev.emb, dev.bloom, dev.created, dev.valid,
-                jnp.asarray(q),
-                jnp.asarray(weights[None, :]),
-                jnp.asarray(np.float32([bias])),
-                jnp.float32(now_days),
-                jnp.int32(r0),
-                m=m,
-            )
+            scorer, full_coverage = self._select_scorer(m, int(dev.emb.shape[0]))
+            if scorer is None:
+                # quantized storage with no fast path left: exact host scan
+                return self._search_oracle(query, query_embedding, k, window, now)
+            vals, idxs = scorer(dev, q_dev, w_dev, bias_dev, now_dev, r0_dev, m)
             vals = np.asarray(vals[0])
             idxs = np.asarray(idxs[0])
             cand_vals, cand_idxs = vals[:m], idxs[:m]
@@ -247,6 +285,9 @@ class RecallEngine:
             if kth > boundary:
                 return hits[:k]
             if m >= window_rows:
-                return hits[:k]
+                if full_coverage:
+                    return hits[:k]
+                # partial-coverage scorer exhausted: exact host scan
+                return self._search_oracle(query, query_embedding, k, window, now)
             m = min(m * 4, window_rows)
             self.last_escalations += 1
