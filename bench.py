@@ -38,6 +38,7 @@ def main() -> None:
     m = int(os.environ.get("OMNI_BENCH_M", 128))
     g = int(os.environ.get("OMNI_BENCH_G", 8))       # batches per megastep
     steps = int(os.environ.get("OMNI_BENCH_STEPS", 4))
+    dtype = os.environ.get("OMNI_BENCH_DTYPE", "int8")  # int8 | bf16
 
     from omni_recall_tpu.ops import pallas_scorer, xla_scorer
 
@@ -48,8 +49,19 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     k_emb, k_bloom, k_q, k_w = jax.random.split(key, 4)
 
-    emb = jax.random.normal(k_emb, (n, d), dtype=jnp.float32)
-    emb = (emb / jnp.linalg.norm(emb, axis=1, keepdims=True)).astype(jnp.bfloat16)
+    emb_f = jax.random.normal(k_emb, (n, d), dtype=jnp.float32)
+    emb_f = emb_f / jnp.linalg.norm(emb_f, axis=1, keepdims=True)
+    if dtype == "int8":
+        absmax = jnp.max(jnp.abs(emb_f), axis=1, keepdims=True)
+        row_scale = (absmax / 127.0)[:, 0]
+        emb = jnp.clip(jnp.round(emb_f / (absmax / 127.0)), -127, 127).astype(jnp.int8)
+        row_err = jnp.linalg.norm(
+            emb_f - emb.astype(jnp.float32) * row_scale[:, None], axis=1
+        ) * 1.000001
+    else:
+        emb = emb_f.astype(jnp.bfloat16)
+        row_scale = row_err = None
+    del emb_f
     # bloom fill ~25% per bit (realistic signature density)
     bloom = (
         jax.random.bits(k_bloom, (n, bits // 8), dtype=jnp.uint8)
@@ -68,15 +80,32 @@ def main() -> None:
     t_block = 1
     sub = 512
 
+    def scan_one(q, kw_w, emb, bloom, add_row, interp):
+        if dtype == "int8":
+            q_absmax = jnp.max(jnp.abs(q), axis=1, keepdims=True)
+            q_scale = q_absmax / 127.0
+            q8 = jnp.clip(jnp.round(q / jnp.where(q_scale > 0, q_scale, 1.0)),
+                          -127, 127).astype(jnp.int8)
+            eq = jnp.linalg.norm(
+                q - q8.astype(jnp.float32) * q_scale, axis=1, keepdims=True
+            ) * 1.000001
+            kw_w8 = jnp.clip(jnp.ceil(kw_w * 127.0), 0, 127).astype(jnp.int8)
+            return pallas_scorer.block_topt_int8(
+                emb, bloom, q8, kw_w8, kw_bias, add_row,
+                row_scale[None, :], q_scale, 0.7 * eq,
+                t=t_block, sub=sub, interpret=interp,
+            )
+        return pallas_scorer.block_topt(
+            emb, bloom, q, kw_w, kw_bias, add_row, t=t_block, sub=sub,
+            interpret=interp,
+        )
+
     @functools.partial(jax.jit, static_argnames=("interp",))
     def megastep(carry, emb, bloom, add_row, q_all, kw_all, interp):
         def body(c, inp):
             q, kw_w = inp
             q = q + 1e-12 * c[:, None]  # serialize: depend on previous batch
-            bvals, bidxs = pallas_scorer.block_topt(
-                emb, bloom, q, kw_w, kw_bias, add_row, t=t_block, sub=sub,
-                interpret=interp,
-            )  # [B, n_slices, t+1]
+            bvals, bidxs = scan_one(q, kw_w, emb, bloom, add_row, interp)
             bb, nb, t1 = bvals.shape
             cand_v = bvals[:, :, : t1 - 1].reshape(bb, -1)
             cand_i = bidxs[:, :, : t1 - 1].reshape(bb, -1)
@@ -109,7 +138,7 @@ def main() -> None:
         "vs_baseline": round(qps / 100_000.0, 4),
         "details": {
             "n_chunks": n, "dim": d, "batch": b, "bloom_bits": bits,
-            "top_m": m, "scan_ms": round(per_scan * 1000.0, 3),
+            "top_m": m, "dtype": dtype, "scan_ms": round(per_scan * 1000.0, 3),
             "p50_batch_latency_ms": round(per_scan * 1000.0, 3),
             "backend": jax.default_backend(),
         },

@@ -183,34 +183,80 @@ class RecallEngine:
         query_embedding: list[float] | None,
         now: datetime,
     ) -> list[SearchHit]:
+        """Exact hybrid scores for a candidate set — float64 math identical
+        to ops/oracle.py, batched with numpy + the native keyword rescorer
+        (substring semantics) so the rescore stays off the per-query
+        critical path even for the full-window fallback."""
+        if not chunks:
+            return []
+        n = len(chunks)
         terms = oracle.query_terms(query) if query.strip() else []
 
-        kw_scores: list[float] | None = None
-        if terms and chunks:
+        # keyword: native batch, Python fallback
+        if terms:
             from omni_recall_tpu.ops import native
 
-            kw_scores = native.keyword_scores(
+            kw = native.keyword_scores(
                 [t.encode("utf-8") for t in terms],
                 [c.content_lower_utf8() for c in chunks],
             )
+            if kw is None:
+                kw = [
+                    oracle.keyword_score_terms(terms, c.content.lower())
+                    if c.content.strip() else 0.0
+                    for c in chunks
+                ]
+            kw = np.asarray(kw, dtype=np.float64)
+        else:
+            kw = np.zeros(n, dtype=np.float64)
 
-        hits = []
-        for i, chunk in enumerate(chunks):
-            cos = oracle.cosine_similarity(query_embedding, chunk.embedding)
-            if kw_scores is not None:
-                kw = kw_scores[i]
-            elif terms and chunk.content.strip():
-                kw = oracle.keyword_score_terms(terms, chunk.content.lower())
-            else:
-                kw = 0.0
-            rec = oracle.recency_score(chunk.created_at_utc, now)
-            score = (
-                oracle.COSINE_WEIGHT * cos
-                + oracle.KEYWORD_WEIGHT * kw
-                + oracle.RECENCY_WEIGHT * rec
-            )
-            hits.append(SearchHit(chunk, score))
-        return hits
+        # cosine: batch rows whose embedding matches the query dimension;
+        # everything else is 0 by reference semantics (mismatch/missing/zero)
+        cos = np.zeros(n, dtype=np.float64)
+        if query_embedding is not None and len(query_embedding) > 0:
+            qv = np.asarray(query_embedding, dtype=np.float32)
+            dq = qv.size
+            rows = [
+                i for i, c in enumerate(chunks)
+                if c.embedding is not None and len(c.embedding) == dq
+            ]
+            if rows:
+                a = np.asarray(
+                    [chunks[i].embedding for i in rows], dtype=np.float32
+                )
+                dot = (a * qv[None, :]).astype(np.float64).sum(axis=1)
+                norm_q = float(np.sum((qv * qv).astype(np.float64)))
+                norm_a = (a * a).astype(np.float64).sum(axis=1)
+                if norm_q > 0.0:
+                    ok = norm_a > 0.0
+                    vals = np.zeros(len(rows), dtype=np.float64)
+                    denom = np.sqrt(norm_q) * np.sqrt(norm_a[ok])
+                    vals[ok] = dot[ok] / denom
+                    cos[rows] = vals
+
+        # recency: exact per-chunk age (timedelta arithmetic), batched exp
+        min_dt = datetime.min.replace(tzinfo=timezone.utc)
+
+        def _aware(dt):
+            if dt is None:
+                return min_dt
+            return dt if dt.tzinfo is not None else dt.replace(tzinfo=timezone.utc)
+
+        ages = np.asarray(
+            [
+                max(0.0, (now - _aware(c.created_at_utc)).total_seconds() / 86400.0)
+                for c in chunks
+            ],
+            dtype=np.float64,
+        )
+        rec = np.exp(-ages / oracle.RECENCY_HALF_LIFE_DAYS)
+
+        scores = (
+            oracle.COSINE_WEIGHT * cos
+            + oracle.KEYWORD_WEIGHT * kw
+            + oracle.RECENCY_WEIGHT * rec
+        )
+        return [SearchHit(chunk, float(s)) for chunk, s in zip(chunks, scores)]
 
     def _search_oracle(
         self,
