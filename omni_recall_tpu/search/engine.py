@@ -103,12 +103,26 @@ class RecallEngine:
         top_k: int,
         now: datetime | None = None,
     ) -> list[SearchHit]:
+        return self.search_batch([(query, query_embedding, top_k)], now=now)[0]
+
+    def search_batch(
+        self,
+        requests: list[tuple[str, list[float] | None, int]],
+        now: datetime | None = None,
+    ) -> list[list[SearchHit]]:
+        """Score a batch of queries in one device pass (the QPS path: the
+        scan cost is shared across the batch; certificates and rescores stay
+        per-query). Each request is (query, query_embedding, top_k)."""
         now = now or datetime.now(timezone.utc)
-        k = max(1, top_k)
         window = self.options.recent_window
+        if not requests:
+            return []
         if self.options.backend == "oracle" or self.device_index is None:
-            return self._search_oracle(query, query_embedding, k, window, now)
-        return self._search_device(query, query_embedding, k, window, now)
+            return [
+                self._search_oracle(q, emb, max(1, k), window, now)
+                for q, emb, k in requests
+            ]
+        return self._search_device_batch(requests, window, now)
 
     def _select_scorer(self, m: int, n_rows_padded: int):
         """Pick the scoring pass for this escalation round.
@@ -272,68 +286,95 @@ class RecallEngine:
         hits.sort(key=_sort_key)
         return hits[:k]
 
-    def _search_device(
+    def _search_device_batch(
         self,
-        query: str,
-        query_embedding: list[float] | None,
-        k: int,
+        requests: list[tuple[str, list[float] | None, int]],
         window: int,
         now: datetime,
-    ) -> list[SearchHit]:
+    ) -> list[list[SearchHit]]:
         import jax.numpy as jnp
 
         dix = self.device_index
         assert dix is not None
         n = dix.n_rows
+        b = len(requests)
         if n == 0 or dix.n_valid == 0:
-            return []
+            return [[] for _ in requests]
 
-        qn = dix._normalize(query_embedding)
-        q = np.zeros((1, dix.dim), dtype=np.float32) if qn is None else qn[None, :]
-        terms = oracle.query_terms(query)
-        weights, bias = hashing.query_bit_weights(
-            terms, dix.bloom_bits, dix.ngram, dix.bloom_hashes
-        )
+        ks = [max(1, k) for _, _, k in requests]
+        q = np.zeros((b, dix.dim), dtype=np.float32)
+        weights = np.zeros((b, dix.bloom_bits), dtype=np.float32)
+        biases = np.zeros(b, dtype=np.float32)
+        for i, (query, query_embedding, _) in enumerate(requests):
+            qn = dix._normalize(query_embedding)
+            if qn is not None:
+                q[i] = qn
+            terms = oracle.query_terms(query)
+            weights[i], biases[i] = hashing.query_bit_weights(
+                terms, dix.bloom_bits, dix.ngram, dix.bloom_hashes
+            )
+
         r0 = dix.window_start_row(window)
         window_rows = dix.n_valid if window <= 0 else min(window, dix.n_valid)
 
         dev = dix.device_arrays()
-        now_days = np.float32(to_days(now))
-
         q_dev = jnp.asarray(q)
-        w_dev = jnp.asarray(weights[None, :])
-        bias_dev = jnp.asarray(np.float32([bias]))
-        now_dev = jnp.float32(now_days)
+        w_dev = jnp.asarray(weights)
+        bias_dev = jnp.asarray(biases)
+        now_dev = jnp.float32(to_days(now))
         r0_dev = jnp.int32(r0)
 
-        m = min(max(self.options.candidate_m, k), window_rows)
+        results: list[list[SearchHit] | None] = [None] * b
+        m = min(max(self.options.candidate_m, max(ks)), window_rows)
         self.last_escalations = 0
-        while True:
+
+        def oracle_fill(indices):
+            for i in indices:
+                query, emb, _ = requests[i]
+                results[i] = self._search_oracle(query, emb, ks[i], window, now)
+
+        while any(r is None for r in results):
+            pending = [i for i, r in enumerate(results) if r is None]
             scorer, full_coverage = self._select_scorer(m, int(dev.emb.shape[0]))
             if scorer is None:
                 # quantized storage with no fast path left: exact host scan
-                return self._search_oracle(query, query_embedding, k, window, now)
-            vals, idxs = scorer(dev, q_dev, w_dev, bias_dev, now_dev, r0_dev, m)
-            vals = np.asarray(vals[0])
-            idxs = np.asarray(idxs[0])
-            cand_vals, cand_idxs = vals[:m], idxs[:m]
-            boundary = vals[m] if vals.shape[0] > m else -np.inf
+                oracle_fill(pending)
+                break
+            all_vals, all_idxs = scorer(dev, q_dev, w_dev, bias_dev, now_dev, r0_dev, m)
+            all_vals = np.asarray(all_vals)
+            all_idxs = np.asarray(all_idxs)
 
-            live = cand_vals > -np.inf
-            chunks = [dix.meta[int(row)] for row in cand_idxs[live]]
-            chunks = [c for c in chunks if c is not None]
-            hits = self._exact_hits(chunks, query, query_embedding, now)
-            hits.sort(key=_sort_key)
+            for i in pending:
+                query, query_embedding, _ = requests[i]
+                k = ks[i]
+                vals, idxs = all_vals[i], all_idxs[i]
+                cand_vals, cand_idxs = vals[:m], idxs[:m]
+                boundary = vals[m] if vals.shape[0] > m else -np.inf
 
-            if boundary == -np.inf:
-                return hits[:k]  # candidate set covered the whole window
-            kth = hits[k - 1].score if len(hits) >= k else -np.inf
-            if kth > boundary:
-                return hits[:k]
-            if m >= window_rows:
-                if full_coverage:
-                    return hits[:k]
-                # partial-coverage scorer exhausted: exact host scan
-                return self._search_oracle(query, query_embedding, k, window, now)
-            m = min(m * 4, window_rows)
-            self.last_escalations += 1
+                live = cand_vals > -np.inf
+                chunks = [dix.meta[int(row)] for row in cand_idxs[live]]
+                chunks = [c for c in chunks if c is not None]
+                hits = self._exact_hits(chunks, query, query_embedding, now)
+                hits.sort(key=_sort_key)
+
+                if boundary == -np.inf:
+                    results[i] = hits[:k]  # candidates covered the whole window
+                    continue
+                kth = hits[k - 1].score if len(hits) >= k else -np.inf
+                if kth > boundary:
+                    results[i] = hits[:k]
+                elif m >= window_rows:
+                    if full_coverage:
+                        results[i] = hits[:k]
+                    else:
+                        # partial-coverage scorer exhausted: exact host scan
+                        oracle_fill([i])
+
+            if any(r is None for r in results):
+                if m >= window_rows:
+                    oracle_fill([i for i, r in enumerate(results) if r is None])
+                    break
+                m = min(m * 4, window_rows)
+                self.last_escalations += 1
+
+        return results  # type: ignore[return-value]

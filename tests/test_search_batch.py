@@ -1,0 +1,84 @@
+"""Batched search: one device pass for many queries, per-query exactness."""
+
+import random
+import string
+from datetime import datetime, timedelta, timezone
+
+from omni_recall_tpu.config import EngineOptions
+from omni_recall_tpu.index.records import ChunkRecord, DocumentRecord
+from omni_recall_tpu.index.store import InMemoryIngestionStore
+from omni_recall_tpu.models import hash_embedder
+from omni_recall_tpu.search.engine import RecallEngine
+
+DIM = 32
+T0 = datetime(2026, 8, 1, tzinfo=timezone.utc)
+NOW = datetime(2026, 8, 16, tzinfo=timezone.utc)
+
+
+def _setup(rng, backend="xla", n=150, **opts):
+    store = InMemoryIngestionStore()
+    engine = RecallEngine(
+        store,
+        options=EngineOptions(
+            backend=backend, embedding_dim=DIM, capacity_block=128,
+            candidate_m=8, bloom_bits=256, recent_window=0, **opts,
+        ),
+    )
+    oracle_engine = RecallEngine(store, None, EngineOptions(backend="oracle", recent_window=0))
+    vocab = ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(2, 8))) for _ in range(40)]
+    store.upsert_document(DocumentRecord(id="d", file_name="d.txt", created_at_utc=T0))
+    chunks = [
+        ChunkRecord(
+            id=f"d:{i:04d}", document_id="d", chunk_index=i,
+            content=" ".join(rng.choices(vocab, k=rng.randint(4, 15))),
+            embedding=hash_embedder.embed_text(f"c{i}", DIM),
+            created_at_utc=T0 + timedelta(minutes=i),
+        )
+        for i in range(n)
+    ]
+    store.upsert_chunks(chunks)
+    engine.on_chunks_upserted(chunks, new=True)
+    return engine, oracle_engine, vocab
+
+
+def test_batch_matches_sequential_and_oracle():
+    rng = random.Random(61)
+    engine, oracle_engine, vocab = _setup(rng)
+    requests = []
+    for _ in range(9):
+        query = " ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+        emb = hash_embedder.embed_text(query, DIM) if rng.random() < 0.7 else []
+        requests.append((query, emb, rng.choice([1, 3, 10])))
+
+    batch = engine.search_batch(requests, now=NOW)
+    assert len(batch) == len(requests)
+    for (query, emb, k), hits in zip(requests, batch):
+        expected = oracle_engine.search(query, emb, k, now=NOW)
+        assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
+        assert [h.score for h in hits] == [h.score for h in expected]
+        single = engine.search(query, emb, k, now=NOW)
+        assert [h.chunk.id for h in hits] == [h.chunk.id for h in single]
+
+
+def test_batch_mixed_topk_and_escalation_int8():
+    rng = random.Random(67)
+    engine, oracle_engine, vocab = _setup(rng, backend="pallas", n=300, scan_dtype="int8")
+    requests = [
+        (" ".join(rng.choices(vocab, k=2)), hash_embedder.embed_text(f"q{i}", DIM), 5)
+        for i in range(6)
+    ]
+    batch = engine.search_batch(requests, now=NOW)
+    for (query, emb, k), hits in zip(requests, batch):
+        expected = oracle_engine.search(query, emb, k, now=NOW)
+        assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
+
+
+def test_empty_batch_and_empty_index():
+    rng = random.Random(71)
+    engine, _, _ = _setup(rng, n=1)
+    assert engine.search_batch([]) == []
+    empty_engine = RecallEngine(
+        InMemoryIngestionStore(),
+        options=EngineOptions(backend="xla", embedding_dim=DIM, capacity_block=128),
+    )
+    assert empty_engine.search_batch([("q", [], 5)], now=NOW) == [[]]
