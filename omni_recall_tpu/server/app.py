@@ -119,6 +119,7 @@ class OmniRecallApp(WsgiApp):
         router.add("POST", "/api/chat", self._complete_chat)
         router.add("GET", "/health", self._health)
         router.add("GET", "/swagger/v1/swagger.json", self._swagger)
+        router.add("GET", "/", self._index)
         origins = [
             o.strip()
             for o in (config.cors.allowed_origins_csv or "").split(",")
@@ -240,6 +241,14 @@ class OmniRecallApp(WsgiApp):
 
     def _swagger(self, request: Request) -> Response:
         return Response.json(build_openapi_document())
+
+    def _index(self, request: Request) -> Response:
+        from omni_recall_tpu.server.ui import INDEX_HTML
+
+        return Response(
+            200, INDEX_HTML.encode("utf-8"),
+            {"Content-Type": "text/html; charset=utf-8"},
+        )
 
 
 def build_app(

@@ -1,0 +1,216 @@
+"""Thin built-in web UI.
+
+Replaces the reference's Angular SPA (src/OmniRecall.App, 5 routed pages:
+chat, documents, recall, eval, upload — app.routes.ts:8-15) with a single
+static page served at ``/``, talking to the same REST API. Deliberately
+dependency-free; the scriptable eval CLI (omni_recall_tpu/eval) is the
+primary evaluation surface, this page is the interactive one.
+"""
+
+INDEX_HTML = """<!doctype html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>Omni Recall TPU</title>
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<style>
+:root { --fg:#1a1a1a; --muted:#667; --line:#d8dce3; --accent:#0b57d0; --bg:#f7f8fa; }
+* { box-sizing: border-box; }
+body { font: 15px/1.5 system-ui, sans-serif; color: var(--fg); background: var(--bg); margin: 0; }
+header { background: #fff; border-bottom: 1px solid var(--line); padding: 10px 20px; display: flex; gap: 18px; align-items: baseline; }
+header h1 { font-size: 17px; margin: 0 12px 0 0; }
+nav a { color: var(--muted); text-decoration: none; cursor: pointer; }
+nav a.active { color: var(--accent); font-weight: 600; }
+main { max-width: 880px; margin: 24px auto; padding: 0 16px; }
+section { display: none; } section.active { display: block; }
+.card { background: #fff; border: 1px solid var(--line); border-radius: 8px; padding: 16px; margin-bottom: 14px; }
+input[type=text], textarea { width: 100%; padding: 8px; border: 1px solid var(--line); border-radius: 6px; font: inherit; }
+input[type=number] { width: 70px; padding: 8px; border: 1px solid var(--line); border-radius: 6px; }
+button { background: var(--accent); color: #fff; border: 0; border-radius: 6px; padding: 8px 14px; font: inherit; cursor: pointer; }
+button.ghost { background: #fff; color: var(--accent); border: 1px solid var(--line); }
+.row { display: flex; gap: 10px; align-items: center; margin: 8px 0; }
+.cite { border-left: 3px solid var(--accent); padding: 6px 10px; margin: 8px 0; background: var(--bg); border-radius: 4px; }
+.cite .meta { color: var(--muted); font-size: 13px; }
+.answer { white-space: pre-wrap; }
+.ref { color: var(--accent); font-weight: 600; }
+table { width: 100%; border-collapse: collapse; }
+td, th { text-align: left; padding: 6px 8px; border-bottom: 1px solid var(--line); font-size: 14px; }
+.muted { color: var(--muted); } .err { color: #b3261e; }
+.pill { font-size: 12px; padding: 2px 8px; border-radius: 99px; background: var(--bg); border: 1px solid var(--line); }
+.pass { color: #146c2e; } .fail { color: #b3261e; } .partial { color: #7a5c00; }
+</style>
+</head>
+<body>
+<header>
+  <h1>Omni Recall <span class="muted">TPU</span></h1>
+  <nav>
+    <a data-page="chat" class="active">Chat</a>
+    <a data-page="recall">Recall</a>
+    <a data-page="documents">Documents</a>
+    <a data-page="upload">Upload</a>
+    <a data-page="eval">Eval</a>
+  </nav>
+</header>
+<main>
+
+<section id="page-chat" class="active">
+  <div class="card">
+    <div class="row"><input type="text" id="chat-prompt" placeholder="Ask about your documents...">
+      <input type="number" id="chat-topk" value="5" min="1" max="10"><button onclick="runChat()">Send</button></div>
+    <div id="chat-status" class="muted"></div>
+  </div>
+  <div id="chat-out"></div>
+</section>
+
+<section id="page-recall">
+  <div class="card">
+    <div class="row"><input type="text" id="recall-query" placeholder="Search your memory...">
+      <input type="number" id="recall-topk" value="5" min="1" max="50"><button onclick="runRecall()">Search</button></div>
+    <div id="recall-status" class="muted"></div>
+  </div>
+  <div id="recall-out"></div>
+</section>
+
+<section id="page-documents">
+  <div class="card"><button class="ghost" onclick="loadDocs()">Refresh</button></div>
+  <div class="card"><table id="doc-table"><thead><tr>
+    <th>File</th><th>Chunks</th><th>Created</th><th></th></tr></thead><tbody></tbody></table></div>
+  <div id="doc-detail"></div>
+</section>
+
+<section id="page-upload">
+  <div class="card">
+    <div class="row"><input type="file" id="up-file" accept=".txt,.md,.markdown,.pdf">
+      <input type="text" id="up-source" placeholder="sourceType (default: file)" style="max-width:220px">
+      <button onclick="runUpload()">Upload</button></div>
+    <div id="up-status" class="muted"></div>
+  </div>
+</section>
+
+<section id="page-eval">
+  <div class="card">
+    <div class="row"><button class="ghost" onclick="genCases()">Generate cases from documents</button>
+      <button onclick="runEval()">Run all</button><span id="eval-status" class="muted"></span></div>
+  </div>
+  <div class="card"><table id="eval-table"><thead><tr>
+    <th>Status</th><th>Question</th><th>Expected</th><th>Recall</th><th>Chat</th></tr></thead><tbody></tbody></table></div>
+</section>
+
+</main>
+<script>
+const $ = (s) => document.querySelector(s);
+const api = {
+  post: (p, body) => fetch(p, {method:'POST', headers:{'Content-Type':'application/json'}, body: JSON.stringify(body)}).then(r => r.ok ? r.json() : r.json().then(e => Promise.reject(e))),
+  get: (p) => fetch(p).then(r => r.ok ? r.json() : Promise.reject(r.status)),
+  del: (p) => fetch(p, {method:'DELETE'}),
+};
+document.querySelectorAll('nav a').forEach(a => a.onclick = () => {
+  document.querySelectorAll('nav a').forEach(x => x.classList.remove('active'));
+  document.querySelectorAll('section').forEach(x => x.classList.remove('active'));
+  a.classList.add('active');
+  $('#page-' + a.dataset.page).classList.add('active');
+  if (a.dataset.page === 'documents') loadDocs();
+});
+function esc(s) { const d = document.createElement('div'); d.textContent = s ?? ''; return d.innerHTML; }
+function cites(list) {
+  return (list || []).map((c, i) => `<div class="cite"><div class="meta">[${i+1}] ${esc(c.fileName)} · chunk ${c.chunkIndex} · score ${c.score.toFixed(4)}</div>${esc(c.snippet)}</div>`).join('');
+}
+function markers(text) { return esc(text).replace(/\\[(\\d+)\\]/g, '<span class="ref">[$1]</span>'); }
+
+async function runChat() {
+  $('#chat-status').textContent = 'thinking...';
+  try {
+    const r = await api.post('/api/chat', {prompt: $('#chat-prompt').value, topK: +$('#chat-topk').value});
+    $('#chat-status').innerHTML = `<span class="pill">${esc(r.provider)} / ${esc(r.model)}</span>`;
+    $('#chat-out').innerHTML = `<div class="card answer">${markers(r.answer)}</div>` + cites(r.citations);
+  } catch (e) { $('#chat-status').innerHTML = `<span class="err">${esc(e.error || e.detail || 'error')}</span>`; }
+}
+async function runRecall() {
+  $('#recall-status').textContent = 'searching...';
+  try {
+    const r = await api.post('/api/recall/search', {query: $('#recall-query').value, topK: +$('#recall-topk').value});
+    $('#recall-status').textContent = `${r.citations.length} citations`;
+    $('#recall-out').innerHTML = cites(r.citations);
+  } catch (e) { $('#recall-status').innerHTML = `<span class="err">${esc(e.error || 'error')}</span>`; }
+}
+async function loadDocs() {
+  const docs = await api.get('/api/documents');
+  $('#doc-table tbody').innerHTML = docs.map(d =>
+    `<tr><td>${esc(d.fileName)}</td><td>${d.chunkCount}</td><td class="muted">${esc(d.createdAtUtc)}</td>
+     <td><button class="ghost" onclick="showChunks('${d.documentId}')">chunks</button>
+         <button class="ghost" onclick="reindex('${d.documentId}')">reindex</button>
+         <button class="ghost" onclick="delDoc('${d.documentId}')">delete</button></td></tr>`).join('');
+}
+async function showChunks(id) {
+  const chunks = await api.get(`/api/documents/${id}/chunks`);
+  $('#doc-detail').innerHTML = '<div class="card">' + chunks.map(c =>
+    `<div class="cite"><div class="meta">chunk ${c.chunkIndex} · ${c.hasEmbedding ? 'embedded' : 'no embedding'}</div>${esc(c.snippet)}</div>`).join('') + '</div>';
+}
+async function reindex(id) {
+  const r = await api.post(`/api/documents/${id}/reindex`, {});
+  $('#doc-detail').innerHTML = `<div class="card">reindexed: ${r.embeddedCount} embedded, ${r.rateLimitedCount} rate-limited, ${r.emptyCount} empty, ${r.failedCount} failed</div>`;
+}
+async function delDoc(id) { await api.del(`/api/documents/${id}`); loadDocs(); }
+async function runUpload() {
+  const f = $('#up-file').files[0];
+  if (!f) { $('#up-status').textContent = 'pick a file first'; return; }
+  const fd = new FormData();
+  fd.append('file', f);
+  const st = $('#up-source').value.trim(); if (st) fd.append('sourceType', st);
+  $('#up-status').textContent = 'uploading...';
+  const r = await fetch('/api/documents/upload', {method: 'POST', body: fd});
+  const body = await r.json().catch(() => ({}));
+  $('#up-status').innerHTML = r.ok
+    ? `ingested <b>${esc(body.fileName)}</b> — ${body.chunkCount} chunks`
+    : `<span class="err">${esc(body.error || body.detail || ('HTTP ' + r.status))}</span>`;
+}
+let evalCases = [];
+async function genCases() {
+  const docs = await api.get('/api/documents');
+  evalCases = [];
+  for (const d of docs.slice(0, 10)) {
+    const chunks = await api.get(`/api/documents/${d.documentId}/chunks`);
+    const cands = chunks.filter(c => (c.snippet || '').trim().length > 20).slice(0, 4);
+    const tmpl = [
+      t => `Summarize the section about "${t}" in ${d.fileName}.`,
+      t => `What concrete outcomes are described in the "${t}" section of ${d.fileName}?`,
+      t => `Rewrite the "${t}" section from ${d.fileName} with stronger, specific wording.`,
+    ];
+    cands.forEach((c, i) => {
+      const topic = c.snippet.split(/[.!?]/, 1)[0].trim().split(/\\s+/).slice(0, 8).join(' ');
+      evalCases.push({question: tmpl[i % 3](topic), expectedFile: d.fileName, topK: 5});
+    });
+  }
+  renderEval(evalCases.map(c => ({...c, status: 'pending'})));
+  $('#eval-status').textContent = `${evalCases.length} cases`;
+}
+function renderEval(rows) {
+  $('#eval-table tbody').innerHTML = rows.map(r =>
+    `<tr><td class="${esc(r.status)}">${esc(r.status)}</td><td>${esc(r.question)}</td>
+     <td>${esc(r.expectedFile)}</td><td>${r.recallHit === undefined ? '' : (r.recallHit ? 'hit' : 'miss')}</td>
+     <td>${r.chatHit === undefined ? '' : (r.chatHit ? 'hit' : 'miss')}</td></tr>`).join('');
+}
+async function runEval() {
+  const rows = [];
+  const norm = (s) => (s || '').trim().toLowerCase();
+  for (const c of evalCases) {
+    let recallHit = false, chatHit = false, status = 'fail';
+    try {
+      const r = await api.post('/api/recall/search', {query: c.question, topK: c.topK});
+      recallHit = r.citations.some(x => norm(x.fileName) === norm(c.expectedFile));
+      try {
+        const chat = await api.post('/api/chat', {prompt: c.question, topK: c.topK});
+        chatHit = chat.provider !== 'guard' && chat.citations.some(x => norm(x.fileName) === norm(c.expectedFile));
+        status = recallHit && chatHit ? 'pass' : 'fail';
+      } catch (e) { status = recallHit ? 'partial' : 'fail'; }
+    } catch (e) { status = 'error'; }
+    rows.push({...c, status, recallHit, chatHit});
+    renderEval(rows.concat(evalCases.slice(rows.length).map(c2 => ({...c2, status: 'pending'}))));
+  }
+  const passed = rows.filter(r => r.status === 'pass').length;
+  $('#eval-status').textContent = `${passed}/${rows.length} pass · recall ${rows.filter(r=>r.recallHit).length}/${rows.length}`;
+}
+</script>
+</body>
+</html>
+"""
