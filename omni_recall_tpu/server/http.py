@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import logging
 import re
+import time
 import traceback
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -196,6 +197,7 @@ class WsgiApp:
     def handle(self, request: Request) -> Response:
         if request.method == "OPTIONS":
             return Response(204, b"", self._cors_headers(request))
+        start = time.monotonic()
         handler, params, path_exists = self.router.match(request.method, request.path)
         if handler is None:
             response = Response.json(
@@ -216,7 +218,13 @@ class WsgiApp:
                     "An unexpected error occurred while processing the request.",
                     500,
                 )
+        duration_ms = (time.monotonic() - start) * 1000.0
         response.headers.update(self._cors_headers(request))
+        response.headers.setdefault("X-Response-Time-Ms", f"{duration_ms:.2f}")
+        logger.info(
+            "%s %s -> %d (%.2f ms)",
+            request.method, request.path, response.status, duration_ms,
+        )
         return response
 
     # -- WSGI protocol --
