@@ -30,6 +30,73 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
+    """End-to-end engine throughput: device scan + certificate + host
+    float64 rescore + ranking, via engine.search_batch over a bulk-loaded
+    synthetic index. Includes the dev tunnel's per-dispatch RPC overhead
+    (absent in production serving)."""
+    from datetime import timedelta
+
+    from omni_recall_tpu.config import EngineOptions
+    from omni_recall_tpu.index.device_index import EPOCH, DeviceIndex
+    from omni_recall_tpu.index.records import ChunkRecord
+    from omni_recall_tpu.index.store import InMemoryIngestionStore
+    from omni_recall_tpu.search.engine import RecallEngine
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((n, d), dtype=np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    bloom = rng.integers(0, 256, size=(n, bits // 8), dtype=np.uint8)
+    created_days = np.linspace(0.0, 365.0, n).astype(np.float32)
+    vocab = [f"tok{i}" for i in range(2000)]
+    day_cache = {}
+    meta = []
+    for i in range(n):
+        day = round(float(created_days[i]), 3)
+        when = day_cache.get(day)
+        if when is None:
+            when = day_cache[day] = EPOCH + timedelta(days=day)
+        meta.append(
+            ChunkRecord(
+                id=f"s:{i}", document_id="synthetic", chunk_index=i,
+                content=f"{vocab[i % 2000]} {vocab[(i * 7) % 2000]} synthetic chunk",
+                embedding=emb[i], created_at_utc=when, seq=i,
+            )
+        )
+    opts = EngineOptions(
+        backend="pallas", embedding_dim=d, recent_window=0,
+        candidate_m=128, bloom_bits=bits, scan_dtype="int8",
+        capacity_block=max(8192, n // 64),
+    )
+    engine = RecallEngine(InMemoryIngestionStore(), options=opts)
+    engine.device_index.bulk_load(emb, bloom, created_days, meta)
+    engine.device_index.device_arrays()  # quantize + upload once
+
+    def make_requests(seed):
+        r = np.random.default_rng(seed)
+        reqs = []
+        for i in range(b):
+            q = r.standard_normal(d).astype(np.float32)
+            q /= np.linalg.norm(q)
+            reqs.append((f"{vocab[int(r.integers(2000))]} synthetic", q, 10))
+        return reqs
+
+    now = EPOCH + timedelta(days=365.0)
+    engine.search_batch(make_requests(99), now=now)  # warmup/compile
+    start = time.perf_counter()
+    total_hits = 0
+    for i in range(batches):
+        results = engine.search_batch(make_requests(i), now=now)
+        total_hits += sum(len(h) for h in results)
+    elapsed = time.perf_counter() - start
+    assert total_hits == batches * b * 10
+    return {
+        "e2e_qps": round(b * batches / elapsed, 1),
+        "e2e_batch_ms": round(elapsed / batches * 1000.0, 2),
+        "e2e_escalations_last": engine.last_escalations,
+    }
+
+
 def main() -> None:
     n = int(os.environ.get("OMNI_BENCH_N", 1 << 20))  # ~1M, block-aligned
     d = int(os.environ.get("OMNI_BENCH_D", 768))
@@ -131,17 +198,22 @@ def main() -> None:
     per_scan = elapsed / scans
     qps = b * scans / elapsed
 
+    details = {
+        "n_chunks": n, "dim": d, "batch": b, "bloom_bits": bits,
+        "top_m": m, "dtype": dtype, "scan_ms": round(per_scan * 1000.0, 3),
+        "p50_batch_latency_ms": round(per_scan * 1000.0, 3),
+        "backend": jax.default_backend(),
+    }
+    if os.environ.get("OMNI_BENCH_E2E", "1") == "1" and not interpret:
+        del emb, bloom, add_row  # free HBM before the e2e engine builds
+        details.update(bench_e2e(n, d, b, bits))
+
     result = {
         "metric": "hybrid_search_device_scan_qps_1m_chunks",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / 100_000.0, 4),
-        "details": {
-            "n_chunks": n, "dim": d, "batch": b, "bloom_bits": bits,
-            "top_m": m, "dtype": dtype, "scan_ms": round(per_scan * 1000.0, 3),
-            "p50_batch_latency_ms": round(per_scan * 1000.0, 3),
-            "backend": jax.default_backend(),
-        },
+        "details": details,
     }
     print(json.dumps(result))
 

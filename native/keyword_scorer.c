@@ -63,3 +63,40 @@ int keyword_scores(const char **contents, const long *content_lens,
     }
     return 0;
 }
+
+/* Multi-query batch: content i is scored against the term slice of query
+ * content_query[i]; query q's terms are terms[term_offsets[q] ..
+ * term_offsets[q+1]). One call rescore for a whole search batch. */
+int keyword_scores_multi(const char **contents, const long *content_lens,
+                         const long *content_query, long n_contents,
+                         const char **terms, const long *term_lens,
+                         const long *term_offsets, long n_queries,
+                         double *out) {
+    for (long i = 0; i < n_contents; i++) {
+        long q = content_query[i];
+        if (q < 0 || q >= n_queries) {
+            return 1;
+        }
+        long t_lo = term_offsets[q];
+        long t_hi = term_offsets[q + 1];
+        long n_terms = t_hi - t_lo;
+        if (n_terms <= 0) {
+            out[i] = 0.0;
+            continue;
+        }
+        const char *content = contents[i];
+        long content_len = content_lens[i];
+        long matches = 0;
+        if (content_len > 0) {
+            for (long t = t_lo; t < t_hi; t++) {
+                if (term_lens[t] > 0 &&
+                    find_sub(content, (size_t)content_len, terms[t],
+                             (size_t)term_lens[t]) != NULL) {
+                    matches++;
+                }
+            }
+        }
+        out[i] = (double)matches / (double)n_terms;
+    }
+    return 0;
+}

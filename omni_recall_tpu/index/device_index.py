@@ -172,6 +172,32 @@ class DeviceIndex:
         self._n_valid += len(chunks)
         self._mark_dirty(start, self._n)
 
+    def bulk_load(
+        self,
+        emb_normalized: np.ndarray,       # f32 [n, d], rows already L2-normalized (or zero)
+        bloom: np.ndarray,                # u8 [n, W]
+        created_days: np.ndarray,         # f32 [n], nondecreasing
+        meta: list[ChunkRecord],
+    ) -> None:
+        """Bulk array injection for large-scale restore/benchmarks: bypasses
+        per-chunk python hashing/normalization. Rows must already be in
+        (created, seq) order; the index must be empty."""
+        if self._n != 0:
+            raise ValueError("bulk_load requires an empty index")
+        n = emb_normalized.shape[0]
+        if not (len(meta) == n == bloom.shape[0] == created_days.shape[0]):
+            raise ValueError("bulk_load arrays must have matching row counts")
+        self._ensure_capacity(n)
+        self.emb[:n] = emb_normalized
+        self.bloom[:n] = bloom
+        self.created[:n] = created_days
+        self.valid[:n] = True
+        self.meta.extend(meta)
+        self._row_by_chunk_id.update({c.id: row for row, c in enumerate(meta)})
+        self._n = n
+        self._n_valid = n
+        self._mark_dirty(0, n)
+
     def update_embedding(self, chunk_id: str, embedding: list[float] | None) -> bool:
         row = self._row_by_chunk_id.get(chunk_id)
         if row is None or not self.valid[row]:

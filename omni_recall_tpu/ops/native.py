@@ -61,6 +61,14 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_long,
                 ctypes.POINTER(ctypes.c_double),
             ]
+            lib.keyword_scores_multi.restype = ctypes.c_int
+            lib.keyword_scores_multi.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_double),
+            ]
             _lib = lib
         except OSError as exc:
             logger.info("native keyword scorer load failed (%s); Python fallback", exc)
@@ -90,6 +98,38 @@ def keyword_scores(terms_utf8: list[bytes], contents_utf8: list[bytes]) -> list[
     term_lens = (ctypes.c_long * max(1, n_t))(*([len(t) for t in terms_utf8] or [0]))
     rc = lib.keyword_scores(
         contents_arr, content_lens, n_c, terms_arr, term_lens, n_t, out
+    )
+    if rc != 0:
+        return None
+    return list(out)
+
+
+def keyword_scores_multi(
+    contents_utf8: list[bytes],
+    content_query: list[int],
+    terms_utf8: list[bytes],
+    term_offsets: list[int],
+) -> list[float] | None:
+    """Batched multi-query exact keyword scores: content i is scored against
+    the terms slice [term_offsets[q], term_offsets[q+1]) of its query
+    q = content_query[i]. None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_c = len(contents_utf8)
+    n_q = len(term_offsets) - 1
+    if n_c == 0:
+        return []
+    out = (ctypes.c_double * n_c)()
+    contents_arr = (ctypes.c_char_p * n_c)(*contents_utf8)
+    content_lens = (ctypes.c_long * n_c)(*[len(c) for c in contents_utf8])
+    cq = (ctypes.c_long * n_c)(*content_query)
+    n_t = len(terms_utf8)
+    terms_arr = (ctypes.c_char_p * max(1, n_t))(*(terms_utf8 or [b""]))
+    term_lens = (ctypes.c_long * max(1, n_t))(*([len(t) for t in terms_utf8] or [0]))
+    offs = (ctypes.c_long * (n_q + 1))(*term_offsets)
+    rc = lib.keyword_scores_multi(
+        contents_arr, content_lens, cq, n_c, terms_arr, term_lens, offs, n_q, out
     )
     if rc != 0:
         return None

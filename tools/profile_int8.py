@@ -25,16 +25,16 @@ def run(b, bits, t_block, sub, iters=6, label=""):
     q_bias = jnp.zeros((b, 1), jnp.float32)
 
     @jax.jit
-    def step(c, q8):
+    def step(c, q8, emb8a, blooma, add_rowa, row_scalea):
         q8x = (q8.astype(jnp.int32) + (c[:, None] * 0).astype(jnp.int32)).astype(jnp.int8)
         vals, idxs = pallas_scorer.block_topt_int8(
-            emb8, bloom, q8x, kw_w8, kw_b, add_row,
-            row_scale[None, :], q_scale, q_bias, t=t_block, sub=sub)
+            emb8a, blooma, q8x, kw_w8, kw_b, add_rowa,
+            row_scalea[None, :], q_scale, q_bias, t=t_block, sub=sub)
         return vals[:, 0, 0] + c * 1e-9
-    c = step(jnp.zeros(b), q8); _ = np.asarray(c[:1])
+    c = step(jnp.zeros(b), q8, emb8, bloom, add_row, row_scale); _ = np.asarray(c[:1])
     t0 = time.perf_counter()
     for i in range(iters):
-        c = step(c, q8)
+        c = step(c, q8, emb8, bloom, add_row, row_scale)
     _ = np.asarray(c[:1])
     dt = (time.perf_counter() - t0) / iters
     print(f"{label} B={b} bits={bits} t={t_block} sub={sub}: {dt*1000:.2f} ms -> {b/dt:.0f} qps", flush=True)

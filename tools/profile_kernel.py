@@ -1,5 +1,6 @@
 """Kernel variant profiler (run on TPU): isolates cos matmul / kw matmul /
-top-T extraction costs at 1M rows."""
+top-T extraction costs at 1M rows. NOTE: keep large arrays as jit ARGS, not
+closures — captured arrays become XLA constants and explode compile time."""
 import time, functools, sys, jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
