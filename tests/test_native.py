@@ -65,3 +65,40 @@ def test_engine_uses_cached_lower_utf8():
     c = ChunkRecord(id="x", document_id="d", chunk_index=0, content="HeLLo Wörld")
     assert c.content_lower_utf8() == "hello wörld".encode("utf-8")
     assert c.content_lower_utf8() is c.content_lower_utf8()  # cached
+
+
+def test_native_multi_query_batch(lib_available):
+    from omni_recall_tpu.ops import native
+
+    # query 0: terms [cat, dog]; query 1: terms [fish]
+    terms = [b"cat", b"dog", b"fish"]
+    offsets = [0, 2, 3]
+    contents = [b"the cat sat", b"fish are wet", b"cat dog fish", b""]
+    content_query = [0, 1, 0, 1]
+    scores = native.keyword_scores_multi(contents, content_query, terms, offsets)
+    assert scores is not None
+    import pytest as _pytest
+    assert scores == _pytest.approx([0.5, 1.0, 1.0, 0.0])
+
+
+def test_native_multi_matches_single(lib_available):
+    import random, string
+    from omni_recall_tpu.ops import native, oracle
+
+    rng = random.Random(7)
+    vocab = ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(2, 7))) for _ in range(40)]
+    queries = [" ".join(rng.choices(vocab, k=rng.randint(1, 4))) for _ in range(5)]
+    term_lists = [oracle.query_terms(q) for q in queries]
+    contents, cq = [], []
+    for qi in range(5):
+        for _ in range(8):
+            contents.append(" ".join(rng.choices(vocab, k=10)).encode())
+            cq.append(qi)
+    flat_terms, offsets = [], [0]
+    for ts in term_lists:
+        flat_terms.extend(t.encode() for t in ts)
+        offsets.append(len(flat_terms))
+    multi = native.keyword_scores_multi(contents, cq, flat_terms, offsets)
+    for i, (content, qi) in enumerate(zip(contents, cq)):
+        single = native.keyword_scores([t.encode() for t in term_lists[qi]], [content])
+        assert multi[i] == single[0]

@@ -69,3 +69,37 @@ def test_delete_document_removes_chunks(store):
     assert store.get_document("doc_1") is None
     assert store.get_chunks_by_document_id("doc_1") == []
     assert store.get_recent_chunks(10) == []
+
+
+def test_bulk_load_matches_incremental_append():
+    import numpy as np
+    from datetime import datetime, timedelta, timezone
+
+    from omni_recall_tpu.index.device_index import DeviceIndex, to_days
+    from omni_recall_tpu.index.records import ChunkRecord
+    from omni_recall_tpu.models import hash_embedder
+    from omni_recall_tpu.ops import hashing
+
+    t0 = datetime(2026, 8, 1, tzinfo=timezone.utc)
+    chunks = [
+        ChunkRecord(id=f"c:{i}", document_id="d", chunk_index=i,
+                    content=f"bulk chunk {i} words", seq=i,
+                    embedding=hash_embedder.embed_text(f"chunk {i}", 16),
+                    created_at_utc=t0 + timedelta(minutes=i))
+        for i in range(20)
+    ]
+    incremental = DeviceIndex(16, capacity_block=128, bloom_bits=128)
+    incremental.append(chunks)
+
+    emb = np.stack([incremental.emb[i] for i in range(20)])
+    bloom = np.stack([
+        hashing.chunk_signature(c.content.lower(), 128, 4, 1) for c in chunks
+    ])
+    created = np.asarray([to_days(c.created_at_utc) for c in chunks], np.float32)
+    bulk = DeviceIndex(16, capacity_block=128, bloom_bits=128)
+    bulk.bulk_load(emb, bloom, created, chunks)
+
+    assert bulk.n_valid == incremental.n_valid == 20
+    np.testing.assert_array_equal(bulk.emb[:20], incremental.emb[:20])
+    np.testing.assert_array_equal(bulk.bloom[:20], incremental.bloom[:20])
+    np.testing.assert_array_equal(bulk.created[:20], incremental.created[:20])
