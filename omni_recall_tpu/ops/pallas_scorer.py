@@ -94,15 +94,16 @@ def _ub_block(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref):
 def _extract_topt(scores, c: int, sub: int, t1: int, vals_ref, idxs_ref):
     """Emit, for every extraction sub-slice of ``sub`` rows, its top-(t1-1)
     entries plus a bound (the t1-th best of the sub-slice). Static lane
-    slices keep the extraction at (2*t1+1) VPU passes over the block scores,
-    independent of block size."""
+    slices keep the extraction cost independent of the matmul block size;
+    the final bound iteration extracts the value only (its index is never
+    read by the merge)."""
     b = scores.shape[0]
     n_sub = c // sub
     block_base = pl.program_id(0) * c
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, sub), 1)
     for j in range(n_sub):
         s = scores[:, j * sub : (j + 1) * sub]
-        for t in range(t1):
+        for t in range(t1 - 1):
             v = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
             # deterministic: lowest row index among ties
             hit = jnp.where(s == v, lane, sub)
@@ -111,6 +112,10 @@ def _extract_topt(scores, c: int, sub: int, t1: int, vals_ref, idxs_ref):
             vals_ref[0, :, col : col + 1] = v
             idxs_ref[0, :, col : col + 1] = idx + (block_base + j * sub)
             s = jnp.where(lane == idx, _NEG_INF, s)
+        # bound entry: value only
+        col = j * t1 + t1 - 1
+        vals_ref[0, :, col : col + 1] = jnp.max(s, axis=1, keepdims=True)
+        idxs_ref[0, :, col : col + 1] = jnp.full((b, 1), -2, dtype=jnp.int32)
 
 
 def _make_topt_kernel(t1: int, c: int, sub: int):
@@ -171,8 +176,11 @@ def _ub_block_int8(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref,
     )
 
 
-def _pick_block(n: int) -> int:
-    for c in (1024, 512, 256, 128):
+def _pick_block(n: int, itemsize: int = 4) -> int:
+    """Largest chunk block that divides n and fits the VMEM budget
+    (~2 double-buffered emb blocks + the decoded bloom bits)."""
+    candidates = (2048, 1024, 512, 256, 128) if itemsize <= 2 else (1024, 512, 256, 128)
+    for c in candidates:
         if n % c == 0:
             return c
     return 0
@@ -195,7 +203,7 @@ def block_topt(
     n, d = emb.shape
     b = q.shape[0]
     w = bloom.shape[1]
-    c = _pick_block(n)
+    c = _pick_block(n, emb.dtype.itemsize)
     if c == 0:
         raise ValueError(f"row count {n} not divisible by a supported block")
     sub = min(sub, c)
@@ -274,7 +282,7 @@ def block_topt_int8(
     n, d = emb8.shape
     b = q8.shape[0]
     w = bloom.shape[1]
-    c = _pick_block(n)
+    c = _pick_block(n, 1)
     if c == 0:
         raise ValueError(f"row count {n} not divisible by a supported block")
     sub = min(sub, c)

@@ -152,7 +152,8 @@ class RecallEngine:
 
             from omni_recall_tpu.ops import pallas_scorer
 
-            c = pallas_scorer._pick_block(n_rows_padded)
+            itemsize = 1 if scan_dtype == 'int8' else (2 if scan_dtype == 'bf16' else 4)
+            c = pallas_scorer._pick_block(n_rows_padded, itemsize)
             if c > 0:
                 sub = min(512, c)
                 slices = n_rows_padded // sub
