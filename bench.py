@@ -100,11 +100,11 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
 def main() -> None:
     n = int(os.environ.get("OMNI_BENCH_N", 1 << 20))  # ~1M, block-aligned
     d = int(os.environ.get("OMNI_BENCH_D", 768))
-    b = int(os.environ.get("OMNI_BENCH_B", 128))
+    b = int(os.environ.get("OMNI_BENCH_B", 512))
     bits = int(os.environ.get("OMNI_BENCH_BITS", 1024))
     m = int(os.environ.get("OMNI_BENCH_M", 128))
-    g = int(os.environ.get("OMNI_BENCH_G", 8))       # batches per megastep
-    steps = int(os.environ.get("OMNI_BENCH_STEPS", 4))
+    g = int(os.environ.get("OMNI_BENCH_G", 6))       # batches per megastep
+    steps = int(os.environ.get("OMNI_BENCH_STEPS", 3))
     dtype = os.environ.get("OMNI_BENCH_DTYPE", "int8")  # int8 | bf16
 
     from omni_recall_tpu.ops import pallas_scorer, xla_scorer
@@ -206,7 +206,7 @@ def main() -> None:
     }
     if os.environ.get("OMNI_BENCH_E2E", "1") == "1" and not interpret:
         del emb, bloom, add_row  # free HBM before the e2e engine builds
-        details.update(bench_e2e(n, d, b, bits))
+        details.update(bench_e2e(n, d, min(b, 128), bits, batches=3))
 
     result = {
         "metric": "hybrid_search_device_scan_qps_1m_chunks",

@@ -100,6 +100,7 @@ class OcrOptions:
 
     provider: str = "None"
     pdf_text_min_chars: int = 120
+    api_version: str = "2024-11-30"
     poll_ms: int = 800
     max_poll_attempts: int = 20
     endpoint: str = ""

@@ -28,7 +28,6 @@ class DocumentIntelligenceOcrTextExtractor:
         options: OcrOptions,
         transport: Transport | None = None,
         sleep=None,
-        api_version: str = "2024-11-30",
         timeout: float = 30.0,
     ) -> None:
         import time
@@ -36,7 +35,7 @@ class DocumentIntelligenceOcrTextExtractor:
         self.options = options
         self.transport = transport or urllib_transport
         self.sleep = sleep if sleep is not None else time.sleep
-        self.api_version = api_version
+        self.api_version = options.api_version or "2024-11-30"
         self.timeout = timeout
 
     def extract_text(self, data: bytes) -> str:
