@@ -44,7 +44,16 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     from omni_recall_tpu.search.engine import RecallEngine
 
     rng = np.random.default_rng(0)
-    emb = rng.standard_normal((n, d), dtype=np.float32)
+    # cluster-structured embeddings (real corpora have topic structure;
+    # isotropic noise would make every score a near-tie and — correctly —
+    # drive the exactness certificate to full scans)
+    n_clusters = 4096
+    centers = rng.standard_normal((n_clusters, d), dtype=np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=n)
+    noise = rng.standard_normal((n, d), dtype=np.float32)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    emb = centers[assign] + 0.35 * noise
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
     bloom = rng.integers(0, 256, size=(n, bits // 8), dtype=np.uint8)
     created_days = np.linspace(0.0, 365.0, n).astype(np.float32)
@@ -73,12 +82,18 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     engine.device_index.device_arrays()  # quantize + upload once
 
     def make_requests(seed):
+        # queries target a cluster center (clear relevance structure); the
+        # query TEXT avoids content terms so the host keyword score is 0,
+        # keeping the device bound sound against the synthetic bloom bits
         r = np.random.default_rng(seed)
         reqs = []
         for i in range(b):
-            q = r.standard_normal(d).astype(np.float32)
+            cluster = int(r.integers(n_clusters))
+            qn = r.standard_normal(d).astype(np.float32)
+            qn /= np.linalg.norm(qn)
+            q = centers[cluster] + 0.2 * qn
             q /= np.linalg.norm(q)
-            reqs.append((f"{vocab[int(r.integers(2000))]} synthetic", q, 10))
+            reqs.append((f"zzqq{cluster}", q, 10))
         return reqs
 
     now = EPOCH + timedelta(days=365.0)

@@ -287,6 +287,27 @@ class RecallEngine:
         hits.sort(key=_sort_key)
         return hits[:k]
 
+    def _search_full_host(
+        self,
+        query: str,
+        query_embedding: list[float] | None,
+        k: int,
+        window: int,
+        now: datetime,
+    ) -> list[SearchHit]:
+        """Exact host scan over the device index's own row list (the
+        certificate-exhausted fallback). Uses index metadata rather than the
+        store so bulk-loaded indexes behave identically; rows are already in
+        (created, seq) order, so the window is the row tail."""
+        dix = self.device_index
+        if dix is None:
+            return self._search_oracle(query, query_embedding, k, window, now)
+        r0 = dix.window_start_row(window)
+        chunks = [c for c in dix.meta[r0:] if c is not None]
+        hits = self._exact_hits(chunks, query, query_embedding, now)
+        hits.sort(key=_sort_key)
+        return hits[:k]
+
     def _search_device_batch(
         self,
         requests: list[tuple[str, list[float] | None, int]],
@@ -332,7 +353,7 @@ class RecallEngine:
         def oracle_fill(indices):
             for i in indices:
                 query, emb, _ = requests[i]
-                results[i] = self._search_oracle(query, emb, ks[i], window, now)
+                results[i] = self._search_full_host(query, emb, ks[i], window, now)
 
         while any(r is None for r in results):
             pending = [i for i, r in enumerate(results) if r is None]
