@@ -155,6 +155,9 @@ class EngineOptions:
     # formats halve/quarter HBM traffic; exactness is preserved via the
     # certificate (per-row error norms for int8, margin eps for bf16).
     scan_dtype: str = "f32"
+    # >0 enables the request-coalescing executor: concurrent searches within
+    # this window share one device pass (search/coalesce.py)
+    coalesce_window_ms: float = 0.0
 
 
 @dataclass

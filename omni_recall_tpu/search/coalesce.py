@@ -1,0 +1,94 @@
+"""Request-coalescing search executor.
+
+The device scan cost is per-batch, not per-query (one kernel launch scans
+the whole index for every query in the batch), so a serving process should
+batch concurrent searches. This executor collects requests arriving within
+a small window (or until the batch fills) on a dispatcher thread and runs
+them through ``engine.search_batch`` in one device pass; callers block on a
+future. Single-request latency cost is bounded by the window (default 2 ms);
+under load, throughput approaches the batched-scan ceiling (bench.py).
+
+The reference has no equivalent (single-process, per-request scoring); this
+is the "async request-coalescing server loop" called for by SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from datetime import datetime
+
+
+class CoalescingSearchExecutor:
+    def __init__(
+        self,
+        engine,
+        max_batch: int = 128,
+        window_ms: float = 2.0,
+    ) -> None:
+        self.engine = engine
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self._queue: queue.Queue = queue.Queue()
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True, name="search-coalescer")
+        self._thread.start()
+
+    def search(
+        self,
+        query: str,
+        query_embedding: list[float] | None,
+        top_k: int,
+        now: datetime | None = None,
+    ):
+        """Blocking search; batched transparently with concurrent callers."""
+        if self._closed:
+            raise RuntimeError("executor is closed")
+        future: Future = Future()
+        self._queue.put(((query, query_embedding, top_k), now, future))
+        return future.result()
+
+    def close(self) -> None:
+        self._closed = True
+        self._queue.put(None)
+        self._thread.join(timeout=5)
+
+    # -- dispatcher --
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = None
+            while len(batch) < self.max_batch:
+                if deadline is None:
+                    import time
+
+                    deadline = time.monotonic() + self.window_s
+                try:
+                    import time
+
+                    timeout = deadline - time.monotonic()
+                    nxt = self._queue.get(timeout=max(0.0, timeout))
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(batch)
+                    return
+                batch.append(nxt)
+            self._flush(batch)
+
+    def _flush(self, batch) -> None:
+        requests = [req for req, _, _ in batch]
+        now = next((n for _, n, _ in batch if n is not None), None)
+        try:
+            results = self.engine.search_batch(requests, now=now)
+        except Exception as exc:
+            for _, _, future in batch:
+                future.set_exception(exc)
+            return
+        for (_, _, future), hits in zip(batch, results):
+            future.set_result(hits)

@@ -18,16 +18,21 @@ from omni_recall_tpu.snippets import SEARCH_SNIPPET_LEN, build_snippet
 
 
 class RecallSearchService:
-    def __init__(self, engine: RecallEngine, embedding_client) -> None:
+    def __init__(self, engine: RecallEngine, embedding_client, executor=None) -> None:
         self.engine = engine
         self.embedding_client = embedding_client
+        # optional CoalescingSearchExecutor: concurrent requests share scans
+        self.executor = executor
 
     def search(self, query: str, top_k: int, now: datetime | None = None) -> RecallSearchResponse:
         if not query or not query.strip():
             raise ValueError("Query is required.")
 
         embedding = self.embedding_client.embed(query)
-        hits = self.engine.search(query, embedding.vector, top_k, now=now)
+        if self.executor is not None:
+            hits = self.executor.search(query, embedding.vector, top_k, now=now)
+        else:
+            hits = self.engine.search(query, embedding.vector, top_k, now=now)
 
         doc_ids = list(dict.fromkeys(h.chunk.document_id for h in hits))
         documents = self.engine.store.get_documents_by_ids(doc_ids)

@@ -80,7 +80,16 @@ class OmniRecallApp(WsgiApp):
         self.engine = engine if engine is not None else RecallEngine(
             self.store, options=config.engine
         )
-        self.search_service = RecallSearchService(self.engine, self.embedding_client)
+        self.search_executor = None
+        if config.engine.coalesce_window_ms > 0 and config.engine.backend != "oracle":
+            from omni_recall_tpu.search.coalesce import CoalescingSearchExecutor
+
+            self.search_executor = CoalescingSearchExecutor(
+                self.engine, window_ms=config.engine.coalesce_window_ms
+            )
+        self.search_service = RecallSearchService(
+            self.engine, self.embedding_client, executor=self.search_executor
+        )
         self.ingestion_service = DocumentIngestionService(
             self.store, self.raw_store, self.embedding_client,
             config.ingestion, engine=self.engine,

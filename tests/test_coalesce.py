@@ -1,0 +1,100 @@
+"""Coalescing search executor: concurrent callers share device passes and
+get exactly their own results."""
+
+import threading
+from datetime import datetime, timedelta, timezone
+
+from omni_recall_tpu.config import EngineOptions
+from omni_recall_tpu.index.records import ChunkRecord, DocumentRecord
+from omni_recall_tpu.index.store import InMemoryIngestionStore
+from omni_recall_tpu.models import hash_embedder
+from omni_recall_tpu.search.coalesce import CoalescingSearchExecutor
+from omni_recall_tpu.search.engine import RecallEngine
+
+DIM = 16
+T0 = datetime(2026, 8, 1, tzinfo=timezone.utc)
+NOW = datetime(2026, 8, 16, tzinfo=timezone.utc)
+
+
+def _engine():
+    store = InMemoryIngestionStore()
+    engine = RecallEngine(
+        store,
+        options=EngineOptions(backend="xla", embedding_dim=DIM, capacity_block=128,
+                              candidate_m=8, bloom_bits=128, recent_window=0),
+    )
+    store.upsert_document(DocumentRecord(id="d", file_name="d.txt", created_at_utc=T0))
+    chunks = [
+        ChunkRecord(id=f"d:{i:04d}", document_id="d", chunk_index=i,
+                    content=f"topic{i % 7} content {i}",
+                    embedding=hash_embedder.embed_text(f"topic{i % 7}", DIM),
+                    created_at_utc=T0 + timedelta(minutes=i))
+        for i in range(60)
+    ]
+    store.upsert_chunks(chunks)
+    engine.on_chunks_upserted(chunks, new=True)
+    return engine
+
+
+def test_concurrent_searches_return_correct_per_query_results():
+    engine = _engine()
+    executor = CoalescingSearchExecutor(engine, max_batch=16, window_ms=20.0)
+    results = {}
+    errors = []
+
+    def worker(i):
+        try:
+            q = f"topic{i % 7}"
+            hits = executor.search(q, hash_embedder.embed_text(q, DIM), 5, now=NOW)
+            results[i] = hits
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    executor.close()
+
+    assert not errors
+    assert len(results) == 12
+    for i, hits in results.items():
+        expected = engine.search(
+            f"topic{i % 7}", hash_embedder.embed_text(f"topic{i % 7}", DIM), 5, now=NOW
+        )
+        assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
+
+
+def test_executor_propagates_engine_errors():
+    engine = _engine()
+
+    class Boom(Exception):
+        pass
+
+    def broken_batch(requests, now=None):
+        raise Boom("scan failed")
+
+    engine.search_batch = broken_batch
+    executor = CoalescingSearchExecutor(engine, window_ms=1.0)
+    try:
+        try:
+            executor.search("q", [], 3)
+            raised = False
+        except Boom:
+            raised = True
+        assert raised
+    finally:
+        executor.close()
+
+
+def test_closed_executor_rejects():
+    engine = _engine()
+    executor = CoalescingSearchExecutor(engine)
+    executor.close()
+    try:
+        executor.search("q", [], 1)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
