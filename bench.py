@@ -43,21 +43,31 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     from omni_recall_tpu.index.store import InMemoryIngestionStore
     from omni_recall_tpu.search.engine import RecallEngine
 
+    from omni_recall_tpu.ops import hashing
+
     rng = np.random.default_rng(0)
-    # cluster-structured embeddings (real corpora have topic structure;
+    # cluster-structured corpus (real corpora have topic structure;
     # isotropic noise would make every score a near-tie and — correctly —
-    # drive the exactness certificate to full scans)
+    # drive the exactness certificate to full scans). Chunk contents carry
+    # their cluster token and blooms are the REAL signatures of those
+    # contents (vectorized via one signature per cluster), so the device
+    # keyword bound is sound and tight against the host rescore.
     n_clusters = 4096
     centers = rng.standard_normal((n_clusters, d), dtype=np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assign = rng.integers(0, n_clusters, size=n)
     noise = rng.standard_normal((n, d), dtype=np.float32)
     noise /= np.linalg.norm(noise, axis=1, keepdims=True)
-    emb = centers[assign] + 0.35 * noise
+    spread = rng.uniform(0.2, 0.8, size=(n, 1)).astype(np.float32)
+    emb = centers[assign] + spread * noise
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    bloom = rng.integers(0, 256, size=(n, bits // 8), dtype=np.uint8)
+
+    contents = [f"topic c{cid}x synthetic chunk" for cid in range(n_clusters)]
+    cluster_sigs = np.stack([
+        hashing.chunk_signature(content.lower(), bits, 4, 1) for content in contents
+    ])
+    bloom = cluster_sigs[assign]
     created_days = np.linspace(0.0, 365.0, n).astype(np.float32)
-    vocab = [f"tok{i}" for i in range(2000)]
     day_cache = {}
     meta = []
     for i in range(n):
@@ -68,7 +78,7 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
         meta.append(
             ChunkRecord(
                 id=f"s:{i}", document_id="synthetic", chunk_index=i,
-                content=f"{vocab[i % 2000]} {vocab[(i * 7) % 2000]} synthetic chunk",
+                content=contents[assign[i]],
                 embedding=emb[i], created_at_utc=when, seq=i,
             )
         )
@@ -83,8 +93,8 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
 
     def make_requests(seed):
         # queries target a cluster center (clear relevance structure); the
-        # query TEXT avoids content terms so the host keyword score is 0,
-        # keeping the device bound sound against the synthetic bloom bits
+        # query text is the cluster token, so keyword scores discriminate
+        # exactly like real retrieval (blooms are real content signatures)
         r = np.random.default_rng(seed)
         reqs = []
         for i in range(b):
@@ -93,7 +103,7 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
             qn /= np.linalg.norm(qn)
             q = centers[cluster] + 0.2 * qn
             q /= np.linalg.norm(q)
-            reqs.append((f"zzqq{cluster}", q, 10))
+            reqs.append((f"c{cluster}x", q, 10))
         return reqs
 
     now = EPOCH + timedelta(days=365.0)
@@ -105,10 +115,24 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
         total_hits += sum(len(h) for h in results)
     elapsed = time.perf_counter() - start
     assert total_hits == batches * b * 10
+
+    # Host-rescore throughput in isolation (no device round trip): the dev
+    # tunnel adds ~1s of readback latency per dispatch that does not exist
+    # in production, so also report a projected e2e from the two stages.
+    reqs = make_requests(7)
+    cand_rows = np.random.default_rng(3).integers(0, n, size=(b, 128))
+    t0 = time.perf_counter()
+    for qi, (query, q_emb, k) in enumerate(reqs):
+        chunks = [engine.device_index.meta[int(r)] for r in cand_rows[qi]]
+        hits = engine._exact_hits(chunks, query, q_emb, now)
+        hits.sort(key=lambda h: -h.score)
+    rescore_s = time.perf_counter() - t0
+    rescore_qps = b / rescore_s
     return {
-        "e2e_qps": round(b * batches / elapsed, 1),
-        "e2e_batch_ms": round(elapsed / batches * 1000.0, 2),
+        "e2e_qps_tunnel": round(b * batches / elapsed, 1),
+        "e2e_batch_ms_tunnel": round(elapsed / batches * 1000.0, 2),
         "e2e_escalations_last": engine.last_escalations,
+        "host_rescore_qps": round(rescore_qps, 1),
     }
 
 
@@ -222,6 +246,10 @@ def main() -> None:
     if os.environ.get("OMNI_BENCH_E2E", "1") == "1" and not interpret:
         del emb, bloom, add_row  # free HBM before the e2e engine builds
         details.update(bench_e2e(n, d, min(b, 128), bits, batches=3))
+        # projected production e2e: device scan + host rescore pipelined
+        if "host_rescore_qps" in details:
+            r = details["host_rescore_qps"]
+            details["e2e_qps_projected"] = round(1.0 / (1.0 / qps + 1.0 / r), 1)
 
     result = {
         "metric": "hybrid_search_device_scan_qps_1m_chunks",
