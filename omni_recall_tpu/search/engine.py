@@ -198,56 +198,92 @@ class RecallEngine:
         query_embedding: list[float] | None,
         now: datetime,
     ) -> list[SearchHit]:
-        """Exact hybrid scores for a candidate set — float64 math identical
-        to ops/oracle.py, batched with numpy + the native keyword rescorer
-        (substring semantics) so the rescore stays off the per-query
-        critical path even for the full-window fallback."""
-        if not chunks:
-            return []
-        n = len(chunks)
-        terms = oracle.query_terms(query) if query.strip() else []
+        return self._exact_hits_multi([(query, query_embedding)], [chunks], now)[0]
 
-        # keyword: native batch, Python fallback
-        if terms:
+    def _exact_hits_multi(
+        self,
+        queries: list[tuple[str, list[float] | None]],
+        chunk_lists: list[list[ChunkRecord]],
+        now: datetime,
+    ) -> list[list[SearchHit]]:
+        """Exact hybrid scores for all queries' candidate sets in one pass —
+        float64 math identical to ops/oracle.py, with ONE multi-query native
+        keyword call and one flattened numpy block for cosine/recency, so the
+        rescore amortizes python overhead across the whole batch."""
+        nq = len(queries)
+        flat_chunks: list[ChunkRecord] = []
+        owner: list[int] = []
+        for qi, chunks in enumerate(chunk_lists):
+            flat_chunks.extend(chunks)
+            owner.extend([qi] * len(chunks))
+        total = len(flat_chunks)
+        if total == 0:
+            return [[] for _ in range(nq)]
+
+        # keyword: one native multi-query call, Python fallback
+        term_lists = [
+            oracle.query_terms(q) if q.strip() else [] for q, _ in queries
+        ]
+        kw = np.zeros(total, dtype=np.float64)
+        if any(term_lists):
             from omni_recall_tpu.ops import native
 
-            kw = native.keyword_scores(
-                [t.encode("utf-8") for t in terms],
-                [c.content_lower_utf8() for c in chunks],
+            flat_terms: list[bytes] = []
+            offsets = [0]
+            for terms in term_lists:
+                flat_terms.extend(t.encode("utf-8") for t in terms)
+                offsets.append(len(flat_terms))
+            scores = native.keyword_scores_multi(
+                [c.content_lower_utf8() for c in flat_chunks],
+                owner, flat_terms, offsets,
             )
-            if kw is None:
-                kw = [
-                    oracle.keyword_score_terms(terms, c.content.lower())
-                    if c.content.strip() else 0.0
-                    for c in chunks
-                ]
-            kw = np.asarray(kw, dtype=np.float64)
-        else:
-            kw = np.zeros(n, dtype=np.float64)
+            if scores is not None:
+                kw = np.asarray(scores, dtype=np.float64)
+            else:
+                for i, c in enumerate(flat_chunks):
+                    terms = term_lists[owner[i]]
+                    if terms and c.content.strip():
+                        kw[i] = oracle.keyword_score_terms(terms, c.content.lower())
 
-        # cosine: batch rows whose embedding matches the query dimension;
-        # everything else is 0 by reference semantics (mismatch/missing/zero)
-        cos = np.zeros(n, dtype=np.float64)
-        if query_embedding is not None and len(query_embedding) > 0:
-            qv = np.asarray(query_embedding, dtype=np.float32)
-            dq = qv.size
-            rows = [
-                i for i, c in enumerate(chunks)
-                if c.embedding is not None and len(c.embedding) == dq
-            ]
-            if rows:
-                a = np.asarray(
-                    [chunks[i].embedding for i in rows], dtype=np.float32
-                )
-                dot = (a * qv[None, :]).astype(np.float64).sum(axis=1)
-                norm_q = float(np.sum((qv * qv).astype(np.float64)))
+        # cosine: one flattened block for rows whose embedding matches their
+        # query's dimension; everything else is 0 by reference semantics
+        # (mismatch/missing/zero norms). Row-wise float64 sums are identical
+        # to the per-pair oracle math regardless of batching.
+        cos = np.zeros(total, dtype=np.float64)
+        qvs: list[np.ndarray | None] = []
+        q_norms = np.zeros(nq, dtype=np.float64)
+        for q, emb in queries:
+            if emb is not None and len(emb) > 0:
+                qv = np.asarray(emb, dtype=np.float32)
+                qvs.append(qv)
+                q_norms[len(qvs) - 1] = float(np.sum((qv * qv).astype(np.float64)))
+            else:
+                qvs.append(None)
+        dims = [qv.size if qv is not None else -1 for qv in qvs]
+        rows = [
+            i for i, c in enumerate(flat_chunks)
+            if dims[owner[i]] > 0
+            and c.embedding is not None and len(c.embedding) == dims[owner[i]]
+            and q_norms[owner[i]] > 0.0
+        ]
+        if rows:
+            same_dim = len({dims[owner[i]] for i in rows}) == 1
+            if same_dim:
+                a = np.asarray([flat_chunks[i].embedding for i in rows], dtype=np.float32)
+                qm = np.asarray([qvs[owner[i]] for i in rows], dtype=np.float32)
+                dot = (a * qm).astype(np.float64).sum(axis=1)
                 norm_a = (a * a).astype(np.float64).sum(axis=1)
-                if norm_q > 0.0:
-                    ok = norm_a > 0.0
-                    vals = np.zeros(len(rows), dtype=np.float64)
-                    denom = np.sqrt(norm_q) * np.sqrt(norm_a[ok])
-                    vals[ok] = dot[ok] / denom
-                    cos[rows] = vals
+                ok = norm_a > 0.0
+                vals = np.zeros(len(rows), dtype=np.float64)
+                nq_rows = np.asarray([q_norms[owner[i]] for i in rows])
+                denom = np.sqrt(nq_rows[ok]) * np.sqrt(norm_a[ok])
+                vals[ok] = dot[ok] / denom
+                cos[rows] = vals
+            else:  # mixed dimensions: per-row (rare)
+                for i in rows:
+                    cos[i] = oracle.cosine_similarity(
+                        qvs[owner[i]], flat_chunks[i].embedding
+                    )
 
         # recency: exact per-chunk age (timedelta arithmetic), batched exp
         min_dt = datetime.min.replace(tzinfo=timezone.utc)
@@ -260,7 +296,7 @@ class RecallEngine:
         ages = np.asarray(
             [
                 max(0.0, (now - _aware(c.created_at_utc)).total_seconds() / 86400.0)
-                for c in chunks
+                for c in flat_chunks
             ],
             dtype=np.float64,
         )
@@ -271,7 +307,10 @@ class RecallEngine:
             + oracle.KEYWORD_WEIGHT * kw
             + oracle.RECENCY_WEIGHT * rec
         )
-        return [SearchHit(chunk, float(s)) for chunk, s in zip(chunks, scores)]
+        out: list[list[SearchHit]] = [[] for _ in range(nq)]
+        for i, (chunk, s) in enumerate(zip(flat_chunks, scores)):
+            out[owner[i]].append(SearchHit(chunk, float(s)))
+        return out
 
     def _search_oracle(
         self,
@@ -366,17 +405,23 @@ class RecallEngine:
             all_vals = np.asarray(all_vals)
             all_idxs = np.asarray(all_idxs)
 
+            # one batched exact rescore for every pending query's candidates
+            chunk_lists = []
             for i in pending:
-                query, query_embedding, _ = requests[i]
-                k = ks[i]
                 vals, idxs = all_vals[i], all_idxs[i]
-                cand_vals, cand_idxs = vals[:m], idxs[:m]
-                boundary = vals[m] if vals.shape[0] > m else -np.inf
+                live = vals[:m] > -np.inf
+                chunks = [dix.meta[int(row)] for row in idxs[:m][live]]
+                chunk_lists.append([c for c in chunks if c is not None])
+            hits_lists = self._exact_hits_multi(
+                [(requests[i][0], requests[i][1]) for i in pending],
+                chunk_lists, now,
+            )
 
-                live = cand_vals > -np.inf
-                chunks = [dix.meta[int(row)] for row in cand_idxs[live]]
-                chunks = [c for c in chunks if c is not None]
-                hits = self._exact_hits(chunks, query, query_embedding, now)
+            for pi, i in enumerate(pending):
+                k = ks[i]
+                vals = all_vals[i]
+                boundary = vals[m] if vals.shape[0] > m else -np.inf
+                hits = hits_lists[pi]
                 hits.sort(key=_sort_key)
 
                 if boundary == -np.inf:
