@@ -158,6 +158,13 @@ class EngineOptions:
     # >0 enables the request-coalescing executor: concurrent searches within
     # this window share one device pass (search/coalesce.py)
     coalesce_window_ms: float = 0.0
+    # exact=True (default): certified-exact ranking (device candidates +
+    # float64 host rescore + certificate). exact=False: approximate profile —
+    # rank directly by the device upper bound, skipping the host rescore;
+    # end-to-end throughput then matches the raw scan rate. Scores are upper
+    # bounds (slightly inflated); ranking differs from exact only within the
+    # bound slack (bloom false positives + quantization error).
+    exact: bool = True
 
 
 @dataclass

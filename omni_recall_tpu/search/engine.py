@@ -270,12 +270,20 @@ class RecallEngine:
             same_dim = len({dims[owner[i]] for i in rows}) == 1
             if same_dim:
                 a = np.asarray([flat_chunks[i].embedding for i in rows], dtype=np.float32)
-                qm = np.asarray([qvs[owner[i]] for i in rows], dtype=np.float32)
-                dot = (a * qm).astype(np.float64).sum(axis=1)
-                norm_a = (a * a).astype(np.float64).sum(axis=1)
+                dq = a.shape[1]
+                q_matrix = np.zeros((nq, dq), dtype=np.float32)
+                for qi, qv in enumerate(qvs):
+                    if qv is not None and qv.size == dq:
+                        q_matrix[qi] = qv
+                owner_rows = np.asarray(owner, dtype=np.int64)[rows]
+                qm = q_matrix[owner_rows]
+                # f64-accumulated sums over f32 products: identical pairwise
+                # summation to .astype(f64).sum() without the f64 copies
+                dot = np.sum(a * qm, axis=1, dtype=np.float64)
+                norm_a = np.sum(a * a, axis=1, dtype=np.float64)
                 ok = norm_a > 0.0
                 vals = np.zeros(len(rows), dtype=np.float64)
-                nq_rows = np.asarray([q_norms[owner[i]] for i in rows])
+                nq_rows = q_norms[owner_rows]
                 denom = np.sqrt(nq_rows[ok]) * np.sqrt(norm_a[ok])
                 vals[ok] = dot[ok] / denom
                 cos[rows] = vals
@@ -404,6 +412,19 @@ class RecallEngine:
             all_vals, all_idxs = scorer(dev, q_dev, w_dev, bias_dev, now_dev, r0_dev, m)
             all_vals = np.asarray(all_vals)
             all_idxs = np.asarray(all_idxs)
+
+            if not self.options.exact:
+                # approximate profile: rank by the device upper bound
+                for i in pending:
+                    vals, idxs = all_vals[i], all_idxs[i]
+                    live = vals[:m] > -np.inf
+                    hits = []
+                    for row, ub in zip(idxs[:m][live], vals[:m][live]):
+                        chunk = dix.meta[int(row)]
+                        if chunk is not None:
+                            hits.append(SearchHit(chunk, float(ub)))
+                    results[i] = hits[: ks[i]]
+                break
 
             # one batched exact rescore for every pending query's candidates
             chunk_lists = []

@@ -82,3 +82,20 @@ def test_empty_batch_and_empty_index():
         options=EngineOptions(backend="xla", embedding_dim=DIM, capacity_block=128),
     )
     assert empty_engine.search_batch([("q", [], 5)], now=NOW) == [[]]
+
+
+def test_approximate_profile_ranks_by_upper_bound():
+    rng = random.Random(81)
+    engine, oracle_engine, vocab = _setup(rng, backend="xla", n=200, exact=False)
+    query = " ".join(rng.choices(vocab, k=2))
+    emb = hash_embedder.embed_text(query, DIM)
+    hits = engine.search(query, emb, 10, now=NOW)
+    assert len(hits) == 10
+    # approximate top-k should strongly overlap the exact top-k
+    exact = oracle_engine.search(query, emb, 10, now=NOW)
+    overlap = len({h.chunk.id for h in hits} & {h.chunk.id for h in exact})
+    assert overlap >= 7
+    # scores are sound upper bounds of the exact scores
+    exact_by_id = {h.chunk.id: h.score for h in oracle_engine.search(query, emb, 200, now=NOW)}
+    for h in hits:
+        assert h.score + 1e-9 >= exact_by_id[h.chunk.id]
