@@ -250,7 +250,9 @@ def main() -> None:
     }
     if os.environ.get("OMNI_BENCH_E2E", "1") == "1" and not interpret:
         del emb, bloom, add_row  # free HBM before the e2e engine builds
-        details.update(bench_e2e(n, d, min(b, 128), bits, batches=3))
+        # smaller corpus for the e2e stage: it validates the full engine
+        # path (scan + certificate + host rescore), not the scan rate
+        details.update(bench_e2e(min(n, 1 << 18), d, min(b, 128), bits, batches=3))
         # projected production e2e: device scan + host rescore pipelined
         if "host_rescore_qps" in details:
             r = details["host_rescore_qps"]

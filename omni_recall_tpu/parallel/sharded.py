@@ -1,42 +1,65 @@
 """Multi-chip sharded scoring: per-shard top-k + all-gather merge.
 
 The chunk index rows shard over a 1-D ``'shards'`` mesh. Each shard scores
-its local rows (same upper-bound math as ops/xla_scorer.py, with global row
-ids for the recency-window mask), takes a LOCAL top-(m+1), and the small
-[S, B, m+1] candidate tensors are all-gathered over ICI and merged into the
-global top-(m+1) — exact because scoring is pointwise per row, so the global
-top-k is contained in the union of per-shard top-k's, and the merged boundary
-(max excluded upper bound) is exactly entry m of the merged list. Determinism:
-ties inside a shard resolve to the lowest local row (lax.top_k), and the merge
-re-sorts on (value, then gather order), so the candidate SET is deterministic;
-final ranking order is decided by the host's exact rescore, which is
-shard-count independent (tested in tests/test_sharded.py).
+its local rows — with either the pure-XLA upper-bound pass or the fused
+Pallas kernel (f32/bf16 or int8 storage) — takes a LOCAL top-(m+1), and the
+small [S, B, m+1] candidate tensors are all-gathered over ICI and merged
+into the global top-m + boundary. Exact because scoring is pointwise per
+row: the global top-k is contained in the union of per-shard top-k's, and
+the merged boundary (max of the (m+1)-th merged candidate and every shard's
+own boundary) bounds every excluded row. Determinism: ties inside a shard
+resolve to the lowest local row, the merge re-sorts on (value, gather
+order), and the final ranking comes from the host's exact rescore, which is
+shard-count independent (tests/test_sharded.py).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from omni_recall_tpu.ops import xla_scorer
+from omni_recall_tpu.ops import pallas_scorer, xla_scorer
+
+
+def _globalize_and_merge(out_v, out_i, row_offset, m):
+    """All-gather per-shard [B, m+1] (candidates + boundary at entry m) and
+    merge into the global [B, m+1]."""
+    gi = jnp.where(out_i >= 0, out_i + row_offset, out_i)
+    all_v = jax.lax.all_gather(out_v, "shards")  # [S, B, m+1]
+    all_i = jax.lax.all_gather(gi, "shards")
+    s, b, _ = all_v.shape
+    cand_v = jnp.transpose(all_v[:, :, :m], (1, 0, 2)).reshape(b, s * m)
+    cand_i = jnp.transpose(all_i[:, :, :m], (1, 0, 2)).reshape(b, s * m)
+    shard_bounds = jnp.max(all_v[:, :, m], axis=0)  # [B]
+
+    k = min(m + 1, s * m)
+    top_v, pos = jax.lax.top_k(cand_v, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    boundary_emitted = top_v[:, m] if k > m else jnp.full((b,), -jnp.inf)
+    boundary = jnp.maximum(boundary_emitted, shard_bounds)
+    out_v = jnp.concatenate([top_v[:, :m], boundary[:, None]], axis=1)
+    out_i = jnp.concatenate(
+        [top_i[:, :m], jnp.full((b, 1), -1, dtype=jnp.int32)], axis=1
+    )
+    return out_v, out_i
 
 
 class ShardedScorer:
-    """Caches jitted shard_map scorers per (mesh, m)."""
+    """Caches jitted shard_map scorers per (mode, m, t, sub)."""
 
-    def __init__(self, mesh: Mesh) -> None:
+    def __init__(self, mesh: Mesh, interpret: bool = False) -> None:
         self.mesh = mesh
-        self.n_shards = mesh.devices.size
-        self._fns: dict[int, object] = {}
+        self.n_shards = int(mesh.devices.size)
+        self.interpret = interpret
+        self._fns: dict[tuple, object] = {}
 
     def row_sharding(self, ndim: int) -> NamedSharding:
         return NamedSharding(self.mesh, P("shards", *([None] * (ndim - 1))))
 
-    def _build(self, m: int):
-        mesh = self.mesh
+    # -- local shard bodies --
+
+    def _local_xla(self, m):
         k_local = m + 1
 
         def local_fn(emb, bloom, created, valid, q, kw_w, kw_b, now_days, window_start):
@@ -49,37 +72,105 @@ class ShardedScorer:
             )
             k = min(k_local, n_local)
             vals, idxs = xla_scorer._topk_rows(ub, k)
-            if k < k_local:  # pad so the gather shape is uniform
+            if k < k_local:
                 pad = k_local - k
                 vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-                idxs = jnp.pad(idxs, ((0, 0), (0, pad)))
-            gidxs = idxs + row_offset
-            # [S, B, m+1] on every shard
-            all_vals = jax.lax.all_gather(vals, "shards")
-            all_idxs = jax.lax.all_gather(gidxs, "shards")
-            b = all_vals.shape[1]
-            flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, -1)
-            flat_idxs = jnp.transpose(all_idxs, (1, 0, 2)).reshape(b, -1)
-            top_v, pos = jax.lax.top_k(flat_vals, k_local)
-            top_i = jnp.take_along_axis(flat_idxs, pos, axis=1)
-            return top_v, top_i
+                idxs = jnp.pad(idxs, ((0, 0), (0, pad)), constant_values=-1 - int(1e9))
+            # entry m doubles as the shard boundary: the (m+1)-th local value
+            # bounds every unemitted local row; mark it bound-only
+            vals_b = vals
+            idxs_b = idxs.at[:, k_local - 1].set(-2) if k == k_local else idxs
+            gi = jnp.where(idxs_b >= 0, idxs_b, -2)
+            out_v = vals_b
+            out_i = jnp.where(gi >= 0, gi, -2)
+            return _globalize_and_merge(out_v, out_i, row_offset, m)
 
-        row = P("shards", None)
-        vec = P("shards")
-        rep = P()
-        fn = jax.jit(
-            jax.shard_map(
-                local_fn,
-                mesh=mesh,
-                in_specs=(row, row, vec, vec, rep, rep, rep, rep, rep),
-                out_specs=(rep, rep),
-                check_vma=False,
-            )
-        )
-        return fn
+        return local_fn
 
-    def score_topm(self, emb, bloom, created, valid, q, kw_w, kw_b, now_days, window_start, m: int):
-        fn = self._fns.get(m)
+    def _local_pallas(self, m, t, sub, int8: bool):
+        interpret = self.interpret
+
+        def local_fn(*args):
+            if int8:
+                emb, scale, err, bloom, created, valid, q, kw_w, kw_b, now_days, window_start = args
+            else:
+                emb, bloom, created, valid, q, kw_w, kw_b, now_days, window_start = args
+            n_local = emb.shape[0]
+            shard = jax.lax.axis_index("shards")
+            row_offset = (shard * n_local).astype(jnp.int32)
+            if int8:
+                q_absmax = jnp.max(jnp.abs(q), axis=1, keepdims=True)
+                q_scale = q_absmax / 127.0
+                safe = jnp.where(q_scale > 0, q_scale, 1.0)
+                q8 = jnp.clip(jnp.round(q / safe), -127, 127).astype(jnp.int8)
+                eq = jnp.linalg.norm(
+                    q - q8.astype(jnp.float32) * q_scale, axis=1, keepdims=True
+                ) * (1.0 + 1e-6)
+                err_term = 0.7 * (1.0 + jnp.max(eq)) * err
+                add_row = pallas_scorer.make_add_row(
+                    created, valid, now_days, window_start,
+                    row_offset=row_offset, err_term=err_term,
+                )
+                kw_w8 = jnp.clip(jnp.ceil(kw_w * 127.0), 0, 127).astype(jnp.int8)
+                vals, idxs = pallas_scorer.block_topt_int8(
+                    emb, bloom, q8, kw_w8, kw_b[:, None], add_row,
+                    scale[None, :], q_scale, 0.7 * eq,
+                    t=t, sub=sub, interpret=interpret,
+                )
+            else:
+                add_row = pallas_scorer.make_add_row(
+                    created, valid, now_days, window_start, row_offset=row_offset
+                )
+                vals, idxs = pallas_scorer.block_topt(
+                    emb, bloom, q, kw_w, kw_b[:, None], add_row,
+                    t=t, sub=sub, interpret=interpret,
+                )
+            out_v, out_i = pallas_scorer._merge_topm(vals, idxs, m)
+            return _globalize_and_merge(out_v, out_i, row_offset, m)
+
+        return local_fn
+
+    # -- public --
+
+    def local_rows(self, n_rows_padded: int) -> int:
+        return n_rows_padded // self.n_shards
+
+    def pallas_budget(self, n_rows_padded: int, sub: int = 512) -> int:
+        """Max m supported per shard by the fused kernel at extraction depth
+        t; 0 when the local row count doesn't block-align."""
+        n_local = self.local_rows(n_rows_padded)
+        c = pallas_scorer._pick_block(n_local, 1)
+        if c == 0:
+            return 0
+        return n_local // min(sub, c)
+
+    def score_topm(
+        self, emb, bloom, created, valid, q, kw_w, kw_b, now_days, window_start,
+        m: int, mode: str = "xla", t: int = 8, sub: int = 512,
+        scale=None, err=None,
+    ):
+        key = (mode, m, t, sub)
+        fn = self._fns.get(key)
         if fn is None:
-            fn = self._fns[m] = self._build(m)
+            row = P("shards", None)
+            vec = P("shards")
+            rep = P()
+            if mode == "pallas_int8":
+                local = self._local_pallas(m, t, sub, int8=True)
+                in_specs = (row, vec, vec, row, vec, vec, rep, rep, rep, rep, rep)
+            elif mode == "pallas":
+                local = self._local_pallas(m, t, sub, int8=False)
+                in_specs = (row, row, vec, vec, rep, rep, rep, rep, rep)
+            else:
+                local = self._local_xla(m)
+                in_specs = (row, row, vec, vec, rep, rep, rep, rep, rep)
+            fn = self._fns[key] = jax.jit(
+                jax.shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=in_specs, out_specs=(rep, rep), check_vma=False,
+                )
+            )
+        if mode == "pallas_int8":
+            return fn(emb, scale, err, bloom, created, valid, q, kw_w, kw_b,
+                      now_days, window_start)
         return fn(emb, bloom, created, valid, q, kw_w, kw_b, now_days, window_start)

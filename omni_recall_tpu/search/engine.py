@@ -74,9 +74,13 @@ class RecallEngine:
         )
         self._sharded_scorer = None
         if self.mesh is not None:
+            import jax as _jax
+
             from omni_recall_tpu.parallel.sharded import ShardedScorer
 
-            self._sharded_scorer = ShardedScorer(self.mesh)
+            self._sharded_scorer = ShardedScorer(
+                self.mesh, interpret=_jax.default_backend() != "tpu"
+            )
         self.last_escalations = 0  # observability: cert escalations on the last search
 
     # -- index lifecycle hooks (called by the ingestion service) --
@@ -137,12 +141,32 @@ class RecallEngine:
         import jax.numpy as jnp
 
         if self._sharded_scorer is not None:
+            import math
+
+            ss = self._sharded_scorer
+            scan_dtype = self.device_index.scan_dtype if self.device_index else "f32"
+            mode, t, sub = "xla", 8, 512
+            if self.options.backend == "pallas":
+                slices = ss.pallas_budget(n_rows_padded)
+                if slices > 0:
+                    t_try = min(
+                        PALLAS_BLOCK_T, sub - 1, max(1, math.ceil(2 * m / slices))
+                    )
+                    if m <= slices * t_try:
+                        mode = "pallas_int8" if scan_dtype == "int8" else "pallas"
+                        t = t_try
+            if mode == "xla" and scan_dtype != "f32":
+                return None, True  # quantized storage can't feed the XLA pass
+
             def sharded(dev, q, w, bias, now_days, r0, m):
-                return self._sharded_scorer.score_topm(
+                return ss.score_topm(
                     dev.emb, dev.bloom, dev.created, dev.valid,
                     q, w, bias, now_days, r0, m=m,
+                    mode=mode, t=t, sub=sub, scale=dev.scale, err=dev.err,
                 )
-            return sharded, True
+            # xla covers all local rows once m >= window rows; the pallas
+            # modes emit per-slice top-t only
+            return sharded, mode == "xla"
 
         scan_dtype = self.device_index.scan_dtype if self.device_index else "f32"
         if self.options.backend == "pallas":

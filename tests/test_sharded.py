@@ -126,3 +126,35 @@ def test_sharded_window_and_delete(mesh):
     expected = oracle.search(query, q_emb, 5, now=NOW)
     assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
     assert all(h.chunk.document_id == "e" for h in hits)
+
+
+@pytest.mark.parametrize("scan_dtype", ["f32", "int8"])
+def test_sharded_pallas_kernel_matches_oracle(mesh, scan_dtype):
+    rng = random.Random(77)
+    store = InMemoryIngestionStore()
+    sharded = RecallEngine(
+        store,
+        options=EngineOptions(
+            backend="pallas", embedding_dim=DIM, capacity_block=1024,
+            recent_window=0, candidate_m=8, bloom_bits=256,
+            scan_dtype=scan_dtype,
+        ),
+        mesh=mesh,
+    )
+    oracle = RecallEngine(store, None, EngineOptions(backend="oracle", recent_window=0))
+    vocab, chunks = _corpus(300, rng, store)
+    sharded.on_chunks_upserted(chunks, new=True)
+    assert sharded.device_index.scan_dtype == scan_dtype
+
+    for trial in range(6):
+        query = " ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+        q_emb = hash_embedder.embed_text(query, DIM)
+        hits = sharded.search(query, q_emb, 5, now=NOW)
+        expected = oracle.search(query, q_emb, 5, now=NOW)
+        assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
+        for a, b in zip(hits, expected):
+            assert a.score == b.score
+
+    # the fused kernel (not a fallback) must actually have run in shard_map
+    expected_mode = "pallas_int8" if scan_dtype == "int8" else "pallas"
+    assert any(key[0] == expected_mode for key in sharded._sharded_scorer._fns)
