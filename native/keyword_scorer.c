@@ -64,6 +64,72 @@ int keyword_scores(const char **contents, const long *content_lens,
     return 0;
 }
 
+/* ---- bloom signature construction (ingest hot path) ----
+ *
+ * Mirrors ops/hashing.py exactly: FNV-1a 64-bit over UTF-8 gram bytes with
+ * seeds 1/2 (h ^= seed*GOLDEN at init), double hashing for n_hashes probe
+ * positions, gram lengths {1, 2, ngram} skipping whitespace-containing
+ * grams, packed layout word = pos % W, bit = pos / W. Byte-level gram
+ * extraction over UTF-8 is identical to the Python character-level
+ * extraction for ASCII content; multi-byte graphemes hash differently, so
+ * the Python path remains the reference for non-ASCII content (the loader
+ * routes non-ASCII contents to Python).
+ */
+
+#include <stdint.h>
+
+static uint64_t fnv1a_seeded(const unsigned char *data, long len, uint64_t seed) {
+    uint64_t h = 0xCBF29CE484222325ULL ^ (seed * 0x9E3779B97F4A7C15ULL);
+    for (long i = 0; i < len; i++) {
+        h ^= data[i];
+        h *= 0x100000001B3ULL;
+    }
+    return h;
+}
+
+static int is_space(unsigned char c) {
+    /* ASCII whitespace (str.isspace for ASCII) */
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v'
+        || c == 0x1c || c == 0x1d || c == 0x1e || c == 0x1f || c == 0x0b;
+}
+
+static void set_gram(const unsigned char *gram, long glen, long bloom_bits,
+                     long n_hashes, long w_bytes, unsigned char *out) {
+    uint64_t h1 = fnv1a_seeded(gram, glen, 1);
+    uint64_t h2 = fnv1a_seeded(gram, glen, 2) | 1ULL;
+    for (long i = 0; i < n_hashes; i++) {
+        uint64_t pos = (h1 + (uint64_t)i * h2) % (uint64_t)bloom_bits;
+        out[pos % (uint64_t)w_bytes] |= (unsigned char)(1u << (pos / (uint64_t)w_bytes));
+    }
+}
+
+/* Build packed bloom signatures for n_contents lowercased ASCII contents.
+ * out is n_contents * (bloom_bits/8) bytes, zeroed by the caller. */
+int chunk_signatures(const char **contents, const long *content_lens,
+                     long n_contents, long bloom_bits, long ngram,
+                     long n_hashes, unsigned char *out) {
+    long w_bytes = bloom_bits / 8;
+    long lens[3] = {1, 2, ngram};
+    for (long i = 0; i < n_contents; i++) {
+        const unsigned char *s = (const unsigned char *)contents[i];
+        long slen = content_lens[i];
+        unsigned char *row = out + i * w_bytes;
+        for (int li = 0; li < 3; li++) {
+            long gl = lens[li];
+            if (li == 1 && ngram == 2) continue;  /* dedupe lengths */
+            if (li == 2 && (ngram == 1 || ngram == 2)) continue;
+            for (long p = 0; p + gl <= slen; p++) {
+                int ws = 0;
+                for (long j = 0; j < gl; j++) {
+                    if (is_space(s[p + j])) { ws = 1; break; }
+                }
+                if (!ws) set_gram(s + p, gl, bloom_bits, n_hashes, w_bytes, row);
+            }
+        }
+    }
+    return 0;
+}
+
 /* Multi-query batch: content i is scored against the term slice of query
  * content_query[i]; query q's terms are terms[term_offsets[q] ..
  * term_offsets[q+1]). One call rescore for a whole search batch. */

@@ -157,13 +157,14 @@ class DeviceIndex:
             return
         start = self._n
         self._ensure_capacity(start + len(chunks))
+        self.bloom[start : start + len(chunks)] = hashing.chunk_signatures_batch(
+            [c.content.lower() for c in chunks],
+            self.bloom_bits, self.ngram, self.bloom_hashes,
+        )
         for offset, chunk in enumerate(chunks):
             row = start + offset
             vec = self._normalize(chunk.embedding)
             self.emb[row] = 0.0 if vec is None else vec
-            self.bloom[row] = hashing.chunk_signature(
-                chunk.content.lower(), self.bloom_bits, self.ngram, self.bloom_hashes
-            )
             self.created[row] = to_days(chunk.created_at_utc)
             self.valid[row] = True
             self.meta.append(chunk)

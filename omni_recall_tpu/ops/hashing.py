@@ -127,6 +127,35 @@ def query_bit_weights(
     return weights, bias
 
 
+def chunk_signatures_batch(
+    contents_lower: list[str], bloom_bits: int, ngram: int, n_hashes: int
+) -> np.ndarray:
+    """Batched signature construction: ASCII contents go through the native
+    C builder (byte-level == character-level grams for ASCII); anything else
+    falls back to the Python builder. Results are identical either way."""
+    n = len(contents_lower)
+    out = np.zeros((n, bloom_bits // 8), dtype=np.uint8)
+    if n == 0:
+        return out
+    is_ascii = [c.isascii() for c in contents_lower]
+    ascii_idx = [i for i, ok in enumerate(is_ascii) if ok]
+    python_idx = [i for i, ok in enumerate(is_ascii) if not ok]
+    if ascii_idx:
+        from omni_recall_tpu.ops import native
+
+        sigs = native.chunk_signatures(
+            [contents_lower[i].encode("ascii") for i in ascii_idx],
+            bloom_bits, ngram, n_hashes,
+        )
+        if sigs is not None:
+            out[ascii_idx] = sigs
+        else:
+            python_idx = list(range(n))
+    for i in python_idx:
+        out[i] = chunk_signature(contents_lower[i], bloom_bits, ngram, n_hashes)
+    return out
+
+
 def unpack_bits(words: np.ndarray, bloom_bits: int) -> np.ndarray:
     """u8[..., W] -> f32[..., bloom_bits] bit expansion; bit j = plane
     (j div W) of word (j mod W), i.e. concat of 8 shift-AND planes."""

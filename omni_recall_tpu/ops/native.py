@@ -69,6 +69,12 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_long), ctypes.c_long,
                 ctypes.POINTER(ctypes.c_double),
             ]
+            lib.chunk_signatures.restype = ctypes.c_int
+            lib.chunk_signatures.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+                ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_ubyte),
+            ]
             _lib = lib
         except OSError as exc:
             logger.info("native keyword scorer load failed (%s); Python fallback", exc)
@@ -102,6 +108,34 @@ def keyword_scores(terms_utf8: list[bytes], contents_utf8: list[bytes]) -> list[
     if rc != 0:
         return None
     return list(out)
+
+
+def chunk_signatures(
+    contents_ascii_utf8: list[bytes], bloom_bits: int, ngram: int, n_hashes: int
+):
+    """Packed bloom signatures for ASCII contents (byte-level grams equal
+    the Python character-level grams only for ASCII — the caller must route
+    non-ASCII content to the Python builder). Returns u8[n, bloom_bits//8]
+    or None if the native lib is unavailable."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(contents_ascii_utf8)
+    w = bloom_bits // 8
+    out = np.zeros((n, w), dtype=np.uint8)
+    if n == 0:
+        return out
+    contents_arr = (ctypes.c_char_p * n)(*contents_ascii_utf8)
+    content_lens = (ctypes.c_long * n)(*[len(c) for c in contents_ascii_utf8])
+    rc = lib.chunk_signatures(
+        contents_arr, content_lens, n, bloom_bits, ngram, n_hashes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def keyword_scores_multi(

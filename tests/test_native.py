@@ -102,3 +102,36 @@ def test_native_multi_matches_single(lib_available):
     for i, (content, qi) in enumerate(zip(contents, cq)):
         single = native.keyword_scores([t.encode() for t in term_lists[qi]], [content])
         assert multi[i] == single[0]
+
+
+def test_native_chunk_signatures_match_python(lib_available):
+    import random, string
+    import numpy as np
+    from omni_recall_tpu.ops import hashing, native
+
+    rng = random.Random(13)
+    contents = []
+    for _ in range(60):
+        words = ["".join(rng.choices(string.ascii_lowercase + "0123456789", k=rng.randint(1, 12)))
+                 for _ in range(rng.randint(0, 30))]
+        contents.append(" ".join(words))
+    contents += ["", "   ", "a", "x\ty\nz"]
+    for bits, ngram, hashes in ((1024, 4, 1), (512, 4, 2), (256, 2, 1)):
+        native_sigs = native.chunk_signatures(
+            [c.encode("ascii") for c in contents], bits, ngram, hashes
+        )
+        for i, c in enumerate(contents):
+            expected = hashing.chunk_signature(c, bits, ngram, hashes)
+            np.testing.assert_array_equal(native_sigs[i], expected, err_msg=repr(c))
+
+
+def test_signatures_batch_routes_non_ascii_to_python():
+    import numpy as np
+    from omni_recall_tpu.ops import hashing
+
+    contents = ["plain ascii text", "unicodé contênt", "日本語テキスト"]
+    batch = hashing.chunk_signatures_batch(contents, 256, 4, 1)
+    for i, c in enumerate(contents):
+        np.testing.assert_array_equal(
+            batch[i], hashing.chunk_signature(c, 256, 4, 1), err_msg=c
+        )
