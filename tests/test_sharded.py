@@ -158,3 +158,10 @@ def test_sharded_pallas_kernel_matches_oracle(mesh, scan_dtype):
     # the fused kernel (not a fallback) must actually have run in shard_map
     expected_mode = "pallas_int8" if scan_dtype == "int8" else "pallas"
     assert any(key[0] == expected_mode for key in sharded._sharded_scorer._fns)
+
+
+def test_multihost_initialize_noop_when_unconfigured(monkeypatch):
+    from omni_recall_tpu.parallel.distributed import initialize_multihost
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    initialize_multihost()  # must be a harmless no-op on a single host
