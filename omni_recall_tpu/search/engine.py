@@ -98,6 +98,32 @@ class RecallEngine:
         if self.device_index is not None:
             self.device_index.delete_document(document_id)
 
+    def rebuild_index(self) -> None:
+        """Shadow rebuild + atomic swap (BASELINE.json config 3): construct a
+        fresh device index from the store's current chunks (compacting
+        tombstones and re-deriving signatures/quantization), then swap it in
+        atomically. Searches in flight keep using the old index's arrays —
+        device buffers are immutable — so there is no torn state."""
+        if self.device_index is None:
+            return
+        old = self.device_index
+        shadow = DeviceIndex(
+            old.dim,
+            capacity_block=self.options.capacity_block,
+            bloom_bits=old.bloom_bits,
+            ngram=old.ngram,
+            bloom_hashes=old.bloom_hashes,
+            mesh=old.mesh,
+            scan_dtype=old.scan_dtype,
+        )
+        chunks: list[ChunkRecord] = []
+        for doc in self.store.list_documents(2**31 - 1):
+            chunks.extend(self.store.get_chunks_by_document_id(doc.id))
+        chunks.sort(key=lambda c: c.seq)
+        shadow.append(chunks)
+        shadow.device_arrays()  # upload before the swap so search never waits
+        self.device_index = shadow
+
     # -- search --
 
     def search(

@@ -99,3 +99,35 @@ def test_approximate_profile_ranks_by_upper_bound():
     exact_by_id = {h.chunk.id: h.score for h in oracle_engine.search(query, emb, 200, now=NOW)}
     for h in hits:
         assert h.score + 1e-9 >= exact_by_id[h.chunk.id]
+
+
+def test_rebuild_index_atomic_swap_compacts_tombstones():
+    from omni_recall_tpu.index.records import DocumentRecord, ChunkRecord
+    from datetime import timedelta
+
+    rng = random.Random(91)
+    engine, oracle_engine, vocab = _setup(rng, n=120)
+    store = engine.store
+    store.upsert_document(DocumentRecord(id="d2", file_name="d2.txt", created_at_utc=T0))
+    fresh = [
+        ChunkRecord(id=f"d2:{i:04d}", document_id="d2", chunk_index=i,
+                    content=f"fresh topic{i % 3} text",
+                    embedding=hash_embedder.embed_text(f"fresh{i}", DIM),
+                    created_at_utc=T0 + timedelta(days=2, minutes=i))
+        for i in range(20)
+    ]
+    store.upsert_chunks(fresh)
+    engine.on_chunks_upserted(fresh, new=True)
+    store.delete_document("d")
+    engine.on_document_deleted("d")
+    n_rows_before = engine.device_index.n_rows
+    assert engine.device_index.n_valid == 20
+
+    engine.rebuild_index()
+    assert engine.device_index.n_rows == 20  # tombstones compacted
+    assert engine.device_index.n_rows < n_rows_before
+
+    query = "fresh topic1"
+    hits = engine.search(query, hash_embedder.embed_text(query, DIM), 5, now=NOW)
+    expected = oracle_engine.search(query, hash_embedder.embed_text(query, DIM), 5, now=NOW)
+    assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
