@@ -160,19 +160,41 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     k_emb, k_bloom, k_q, k_w = jax.random.split(key, 4)
 
-    emb_f = jax.random.normal(k_emb, (n, d), dtype=jnp.float32)
-    emb_f = emb_f / jnp.linalg.norm(emb_f, axis=1, keepdims=True)
-    if dtype == "int8":
-        absmax = jnp.max(jnp.abs(emb_f), axis=1, keepdims=True)
-        row_scale = (absmax / 127.0)[:, 0]
-        emb = jnp.clip(jnp.round(emb_f / (absmax / 127.0)), -127, 127).astype(jnp.int8)
-        row_err = jnp.linalg.norm(
-            emb_f - emb.astype(jnp.float32) * row_scale[:, None], axis=1
-        ) * 1.000001
-    else:
-        emb = emb_f.astype(jnp.bfloat16)
+    # generate embeddings slab-wise so the full f32 matrix never exists in
+    # HBM (required for the 10M single-chip config: int8 storage fits, f32
+    # generation would not)
+    slab = min(n, 1 << 20)
+    out_dtype = jnp.int8 if dtype == "int8" else jnp.bfloat16
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def fill_slab(emb_buf, scale_buf, err_buf, key, start):
+        f = jax.random.normal(key, (slab, d), dtype=jnp.float32)
+        f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
+        if dtype == "int8":
+            absmax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
+            scale = absmax / 127.0
+            q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
+            err = jnp.linalg.norm(
+                f - q.astype(jnp.float32) * scale, axis=1
+            ) * 1.000001
+            emb_buf = jax.lax.dynamic_update_slice_in_dim(emb_buf, q, start, 0)
+            scale_buf = jax.lax.dynamic_update_slice_in_dim(scale_buf, scale[:, 0], start, 0)
+            err_buf = jax.lax.dynamic_update_slice_in_dim(err_buf, err, start, 0)
+        else:
+            emb_buf = jax.lax.dynamic_update_slice_in_dim(
+                emb_buf, f.astype(out_dtype), start, 0
+            )
+        return emb_buf, scale_buf, err_buf
+
+    emb = jnp.zeros((n, d), dtype=out_dtype)
+    row_scale = jnp.zeros((n,), dtype=jnp.float32)
+    row_err = jnp.zeros((n,), dtype=jnp.float32)
+    for s_i in range(0, n, slab):
+        emb, row_scale, row_err = fill_slab(
+            emb, row_scale, row_err, jax.random.fold_in(k_emb, s_i), jnp.int32(s_i)
+        )
+    if dtype != "int8":
         row_scale = row_err = None
-    del emb_f
     # bloom fill ~25% per bit (realistic signature density)
     bloom = (
         jax.random.bits(k_bloom, (n, bits // 8), dtype=jnp.uint8)

@@ -161,10 +161,24 @@ class DeviceIndex:
             [c.content.lower() for c in chunks],
             self.bloom_bits, self.ngram, self.bloom_hashes,
         )
+        # batch-normalize the common case (correct-dimension embeddings);
+        # row-wise float64 norms are identical to _normalize per row
+        dim_ok = [
+            offset for offset, c in enumerate(chunks)
+            if c.embedding is not None and len(c.embedding) == self.dim
+        ]
+        if dim_ok:
+            a = np.asarray([chunks[o].embedding for o in dim_ok], dtype=np.float32)
+            norm_sq = np.sum((a * a).astype(np.float64), axis=1)
+            ok = norm_sq > 0.0
+            normed = np.zeros_like(a)
+            normed[ok] = (
+                a[ok].astype(np.float64) / np.sqrt(norm_sq[ok])[:, None]
+            ).astype(np.float32)
+            rows_ok = np.asarray(dim_ok, dtype=np.int64) + start
+            self.emb[rows_ok] = normed
         for offset, chunk in enumerate(chunks):
             row = start + offset
-            vec = self._normalize(chunk.embedding)
-            self.emb[row] = 0.0 if vec is None else vec
             self.created[row] = to_days(chunk.created_at_utc)
             self.valid[row] = True
             self.meta.append(chunk)
