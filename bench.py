@@ -160,41 +160,54 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     k_emb, k_bloom, k_q, k_w = jax.random.split(key, 4)
 
-    # generate embeddings slab-wise so the full f32 matrix never exists in
-    # HBM (required for the 10M single-chip config: int8 storage fits, f32
-    # generation would not)
+    # n <= 1M: generate on device (fast). Above that, generate slab-wise ON
+    # HOST so the full f32 matrix never exists in HBM; NOTE the dev tunnel
+    # transfers large host arrays at only ~10-50 MB/s, so multi-GB indexes
+    # take many minutes to upload — the multi-million-row configs are
+    # evidenced through the sharded per-chip math instead (docs/STATUS_R1.md)
     slab = min(n, 1 << 20)
-    out_dtype = jnp.int8 if dtype == "int8" else jnp.bfloat16
+    if dtype == "int8" and n <= (1 << 20):
+        emb_f = jax.random.normal(k_emb, (n, d), dtype=jnp.float32)
+        emb_f = emb_f / jnp.linalg.norm(emb_f, axis=1, keepdims=True)
+        absmax = jnp.max(jnp.abs(emb_f), axis=1, keepdims=True)
+        row_scale = (absmax / 127.0)[:, 0]
+        emb = jnp.clip(jnp.round(emb_f / (absmax / 127.0)), -127, 127).astype(jnp.int8)
+        row_err = jnp.linalg.norm(
+            emb_f - emb.astype(jnp.float32) * row_scale[:, None], axis=1
+        ) * 1.000001
+        del emb_f
+    elif dtype == "int8":
+        import ml_dtypes  # noqa: F401
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def fill_slab(emb_buf, scale_buf, err_buf, key, start):
-        f = jax.random.normal(key, (slab, d), dtype=jnp.float32)
-        f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
-        if dtype == "int8":
-            absmax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
-            scale = absmax / 127.0
-            q = jnp.clip(jnp.round(f / scale), -127, 127).astype(jnp.int8)
-            err = jnp.linalg.norm(
-                f - q.astype(jnp.float32) * scale, axis=1
-            ) * 1.000001
-            emb_buf = jax.lax.dynamic_update_slice_in_dim(emb_buf, q, start, 0)
-            scale_buf = jax.lax.dynamic_update_slice_in_dim(scale_buf, scale[:, 0], start, 0)
-            err_buf = jax.lax.dynamic_update_slice_in_dim(err_buf, err, start, 0)
-        else:
-            emb_buf = jax.lax.dynamic_update_slice_in_dim(
-                emb_buf, f.astype(out_dtype), start, 0
-            )
-        return emb_buf, scale_buf, err_buf
+        from omni_recall_tpu.ops.quantize import quantize_rows_int8
 
-    emb = jnp.zeros((n, d), dtype=out_dtype)
-    row_scale = jnp.zeros((n,), dtype=jnp.float32)
-    row_err = jnp.zeros((n,), dtype=jnp.float32)
-    for s_i in range(0, n, slab):
-        emb, row_scale, row_err = fill_slab(
-            emb, row_scale, row_err, jax.random.fold_in(k_emb, s_i), jnp.int32(s_i)
-        )
-    if dtype != "int8":
+        emb_h = np.empty((n, d), dtype=np.int8)
+        scale_h = np.empty((n,), dtype=np.float32)
+        err_h = np.empty((n,), dtype=np.float32)
+        host_rng = np.random.default_rng(0)
+        for s_i in range(0, n, slab):
+            f = host_rng.standard_normal((min(slab, n - s_i), d), dtype=np.float32)
+            f /= np.linalg.norm(f, axis=1, keepdims=True)
+            q, scale, err = quantize_rows_int8(f)
+            emb_h[s_i : s_i + f.shape[0]] = q
+            scale_h[s_i : s_i + f.shape[0]] = scale
+            err_h[s_i : s_i + f.shape[0]] = err
+        emb = jnp.asarray(emb_h)
+        row_scale = jnp.asarray(scale_h)
+        row_err = jnp.asarray(err_h)
+        del emb_h, scale_h, err_h
+    else:
+        import ml_dtypes
+
+        emb_h = np.empty((n, d), dtype=ml_dtypes.bfloat16)
+        host_rng = np.random.default_rng(0)
+        for s_i in range(0, n, slab):
+            f = host_rng.standard_normal((min(slab, n - s_i), d), dtype=np.float32)
+            f /= np.linalg.norm(f, axis=1, keepdims=True)
+            emb_h[s_i : s_i + f.shape[0]] = f.astype(ml_dtypes.bfloat16)
+        emb = jnp.asarray(emb_h)
         row_scale = row_err = None
+        del emb_h
     # bloom fill ~25% per bit (realistic signature density)
     bloom = (
         jax.random.bits(k_bloom, (n, bits // 8), dtype=jnp.uint8)
@@ -213,7 +226,7 @@ def main() -> None:
     t_block = 1
     sub = 512
 
-    def scan_one(q, kw_w, emb, bloom, add_row, interp):
+    def scan_one(q, kw_w, emb, bloom, add_row, r_scale, interp):
         if dtype == "int8":
             q_absmax = jnp.max(jnp.abs(q), axis=1, keepdims=True)
             q_scale = q_absmax / 127.0
@@ -225,7 +238,7 @@ def main() -> None:
             kw_w8 = jnp.clip(jnp.ceil(kw_w * 127.0), 0, 127).astype(jnp.int8)
             return pallas_scorer.block_topt_int8(
                 emb, bloom, q8, kw_w8, kw_bias, add_row,
-                row_scale[None, :], q_scale, 0.7 * eq,
+                r_scale[None, :], q_scale, 0.7 * eq,
                 t=t_block, sub=sub, interpret=interp,
             )
         return pallas_scorer.block_topt(
@@ -234,11 +247,11 @@ def main() -> None:
         )
 
     @functools.partial(jax.jit, static_argnames=("interp",))
-    def megastep(carry, emb, bloom, add_row, q_all, kw_all, interp):
+    def megastep(carry, emb, bloom, add_row, r_scale, q_all, kw_all, interp):
         def body(c, inp):
             q, kw_w = inp
             q = q + 1e-12 * c[:, None]  # serialize: depend on previous batch
-            bvals, bidxs = scan_one(q, kw_w, emb, bloom, add_row, interp)
+            bvals, bidxs = scan_one(q, kw_w, emb, bloom, add_row, r_scale, interp)
             bb, nb, t1 = bvals.shape
             cand_v = bvals[:, :, : t1 - 1].reshape(bb, -1)
             cand_i = bidxs[:, :, : t1 - 1].reshape(bb, -1)
@@ -249,14 +262,15 @@ def main() -> None:
         carry, outs = jax.lax.scan(body, carry, (q_all, kw_all))
         return carry, outs
 
+    r_scale = row_scale if row_scale is not None else jnp.zeros((n,), jnp.float32)
     carry = jnp.zeros((b,), dtype=jnp.float32)
-    carry, outs = megastep(carry, emb, bloom, add_row, q_all, kw_all, interpret)
+    carry, outs = megastep(carry, emb, bloom, add_row, r_scale, q_all, kw_all, interpret)
     _ = np.asarray(carry[:2])  # compile + settle
 
     start = time.perf_counter()
     c = carry
     for i in range(steps):
-        c, outs = megastep(c, emb, bloom, add_row, q_all, kw_all, interpret)
+        c, outs = megastep(c, emb, bloom, add_row, r_scale, q_all, kw_all, interpret)
     _ = np.asarray(c[:2])  # force completion
     elapsed = time.perf_counter() - start
 
