@@ -128,6 +128,7 @@ class OmniRecallApp(WsgiApp):
         router.add("POST", "/api/chat", self._complete_chat)
         router.add("GET", "/health", self._health)
         router.add("GET", "/swagger/v1/swagger.json", self._swagger)
+        router.add("GET", "/swagger", self._swagger_ui)
         router.add("GET", "/", self._index)
         origins = [
             o.strip()
@@ -256,6 +257,16 @@ class OmniRecallApp(WsgiApp):
 
         return Response(
             200, INDEX_HTML.encode("utf-8"),
+            {"Content-Type": "text/html; charset=utf-8"},
+        )
+
+    def _swagger_ui(self, request: Request) -> Response:
+        """Self-contained API docs page (Swagger-UI parity, Program.cs:74-75,
+        without CDN assets — this environment is offline)."""
+        from omni_recall_tpu.server.ui import SWAGGER_HTML
+
+        return Response(
+            200, SWAGGER_HTML.encode("utf-8"),
             {"Content-Type": "text/html; charset=utf-8"},
         )
 

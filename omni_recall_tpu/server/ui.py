@@ -214,3 +214,37 @@ async function runEval() {
 </body>
 </html>
 """
+
+SWAGGER_HTML = """<!doctype html>
+<html lang="en">
+<head>
+<meta charset="utf-8"><title>Omni Recall TPU — API</title>
+<style>
+body { font: 15px/1.5 system-ui, sans-serif; max-width: 820px; margin: 30px auto; color: #1a1a1a; padding: 0 16px; }
+h1 { font-size: 20px; } .path { font-family: ui-monospace, monospace; }
+.op { border: 1px solid #d8dce3; border-radius: 8px; padding: 10px 14px; margin: 10px 0; }
+.m { display: inline-block; min-width: 58px; font-weight: 700; }
+.get { color: #146c2e; } .post { color: #0b57d0; } .delete { color: #b3261e; }
+.codes { color: #667; font-size: 13px; }
+</style>
+</head>
+<body>
+<h1>Omni Recall TPU API</h1>
+<p>Machine-readable spec: <a href="/swagger/v1/swagger.json">/swagger/v1/swagger.json</a></p>
+<div id="ops"></div>
+<script>
+fetch('/swagger/v1/swagger.json').then(r => r.json()).then(spec => {
+  const out = [];
+  for (const [path, methods] of Object.entries(spec.paths)) {
+    for (const [method, op] of Object.entries(methods)) {
+      const codes = Object.entries(op.responses || {}).map(([c, r]) => `${c} ${r.description}`).join(' · ');
+      out.push(`<div class="op"><span class="m ${method}">${method.toUpperCase()}</span>` +
+               `<span class="path">${path}</span><div class="codes">${codes}</div></div>`);
+    }
+  }
+  document.getElementById('ops').innerHTML = out.join('');
+});
+</script>
+</body>
+</html>
+"""
