@@ -25,6 +25,7 @@ block-aligned slabs via a donated jitted row-slab update.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from functools import partial
@@ -105,6 +106,10 @@ class DeviceIndex:
         self._dirty_lo = 0
         self._dirty_hi = 0
         self._device_cap = -1
+        # guards host-mirror mutation vs device sync: the HTTP server is
+        # thread-per-request, so a search's dirty-slab upload must never
+        # observe a concurrent append/delete mid-write
+        self._lock = threading.RLock()
 
     # ---- sizing ----
 
@@ -155,6 +160,10 @@ class DeviceIndex:
     def append(self, chunks: list[ChunkRecord]) -> None:
         if not chunks:
             return
+        with self._lock:
+            self._append_locked(chunks)
+
+    def _append_locked(self, chunks: list[ChunkRecord]) -> None:
         start = self._n
         self._ensure_capacity(start + len(chunks))
         self.bloom[start : start + len(chunks)] = hashing.chunk_signatures_batch(
@@ -197,8 +206,12 @@ class DeviceIndex:
         """Bulk array injection for large-scale restore/benchmarks: bypasses
         per-chunk python hashing/normalization. Rows must already be in
         (created, seq) order; the index must be empty."""
-        if self._n != 0:
-            raise ValueError("bulk_load requires an empty index")
+        with self._lock:
+            if self._n != 0:
+                raise ValueError("bulk_load requires an empty index")
+            self._bulk_load_locked(emb_normalized, bloom, created_days, meta)
+
+    def _bulk_load_locked(self, emb_normalized, bloom, created_days, meta) -> None:
         n = emb_normalized.shape[0]
         if not (len(meta) == n == bloom.shape[0] == created_days.shape[0]):
             raise ValueError("bulk_load arrays must have matching row counts")
@@ -214,6 +227,10 @@ class DeviceIndex:
         self._mark_dirty(0, n)
 
     def update_embedding(self, chunk_id: str, embedding: list[float] | None) -> bool:
+        with self._lock:
+            return self._update_embedding_locked(chunk_id, embedding)
+
+    def _update_embedding_locked(self, chunk_id: str, embedding) -> bool:
         row = self._row_by_chunk_id.get(chunk_id)
         if row is None or not self.valid[row]:
             return False
@@ -226,6 +243,10 @@ class DeviceIndex:
         return True
 
     def delete_document(self, document_id: str) -> int:
+        with self._lock:
+            return self._delete_document_locked(document_id)
+
+    def _delete_document_locked(self, document_id: str) -> int:
         removed = 0
         for row, chunk in enumerate(self.meta):
             if chunk is not None and chunk.document_id == document_id and self.valid[row]:
@@ -279,7 +300,12 @@ class DeviceIndex:
         return {"emb": emb_slab}
 
     def device_arrays(self) -> DeviceArrays:
-        """Upload pending host changes and return the device-resident SoA."""
+        """Upload pending host changes and return the device-resident SoA.
+        Thread-safe against concurrent mutation (shared lock)."""
+        with self._lock:
+            return self._device_arrays_locked()
+
+    def _device_arrays_locked(self) -> DeviceArrays:
         if self._device is None or self._device_cap != self._cap:
             converted = self._convert_emb(self.emb)
             self._device = DeviceArrays(

@@ -98,3 +98,59 @@ def test_closed_executor_rejects():
     except RuntimeError:
         raised = True
     assert raised
+
+
+def test_concurrent_ingest_and_search_threads():
+    """Mutation (append/delete) racing searches must never crash or return
+    torn results (DeviceIndex lock)."""
+    import random
+    from datetime import timedelta
+
+    engine = _engine()
+    store = engine.store
+    errors = []
+    stop = threading.Event()
+
+    def ingester():
+        rng = random.Random(5)
+        i = 1000
+        try:
+            while not stop.is_set():
+                doc_id = f"x{i}"
+                store.upsert_document(
+                    DocumentRecord(id=doc_id, file_name=f"{doc_id}.txt", created_at_utc=T0)
+                )
+                chunks = [
+                    ChunkRecord(id=f"{doc_id}:0000", document_id=doc_id, chunk_index=0,
+                                content=f"topic{i % 7} extra {i}",
+                                embedding=hash_embedder.embed_text(f"topic{i % 7}", DIM),
+                                created_at_utc=T0 + timedelta(days=1, seconds=i))
+                ]
+                store.upsert_chunks(chunks)
+                engine.on_chunks_upserted(chunks, new=True)
+                if i % 5 == 0:
+                    store.delete_document(doc_id)
+                    engine.on_document_deleted(doc_id)
+                i += 1
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def searcher():
+        try:
+            for j in range(25):
+                q = f"topic{j % 7}"
+                hits = engine.search(q, hash_embedder.embed_text(q, DIM), 5, now=NOW)
+                assert len(hits) <= 5
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    t_ing = threading.Thread(target=ingester)
+    t_search = [threading.Thread(target=searcher) for _ in range(3)]
+    t_ing.start()
+    for t in t_search:
+        t.start()
+    for t in t_search:
+        t.join()
+    stop.set()
+    t_ing.join()
+    assert not errors
