@@ -48,7 +48,11 @@ def to_days(dt: datetime | None) -> float:
     return (dt - EPOCH).total_seconds() / 86400.0
 
 
-@partial(jax.jit, donate_argnums=(0,))
+# NOT donated: searches may still hold references to the previous device
+# arrays while an ingest thread syncs dirty slabs — donation would delete
+# buffers out from under them (functional snapshot semantics instead; the
+# copy is on the ingest path, not the query path)
+@jax.jit
 def _set_slab(dev: jax.Array, slab: jax.Array, start: jax.Array) -> jax.Array:
     return jax.lax.dynamic_update_slice_in_dim(dev, slab, start, axis=0)
 
