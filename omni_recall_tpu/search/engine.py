@@ -164,8 +164,6 @@ class RecallEngine:
         only emits per-slice top-t, so it never guarantees full coverage;
         when it runs out of budget the engine falls back to the exact XLA
         scorer (f32 storage) or the host oracle (quantized storage)."""
-        import jax.numpy as jnp
-
         if self._sharded_scorer is not None:
             import math
 
