@@ -63,10 +63,6 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
 
     contents = [f"topic c{cid}x synthetic chunk" for cid in range(n_clusters)]
-    cluster_sigs = np.stack([
-        hashing.chunk_signature(content.lower(), bits, 4, 1) for content in contents
-    ])
-    bloom = cluster_sigs[assign]
     created_days = np.linspace(0.0, 365.0, n).astype(np.float32)
     day_cache = {}
     meta = []
@@ -88,6 +84,16 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
         capacity_block=max(8192, n // 64),
     )
     engine = RecallEngine(InMemoryIngestionStore(), options=opts)
+    # signatures MUST use the index's exact bloom params (bits/ngram/hashes)
+    # or the device keyword score is not a sound upper bound (bulk_load
+    # asserts the width; ngram/hashes are taken from the live index here)
+    dix = engine.device_index
+    cluster_sigs = np.stack([
+        hashing.chunk_signature(content.lower(), dix.bloom_bits, dix.ngram,
+                                dix.bloom_hashes)
+        for content in contents
+    ])
+    bloom = cluster_sigs[assign]
     engine.device_index.bulk_load(emb, bloom, created_days, meta)
     engine.device_index.device_arrays()  # quantize + upload once
 

@@ -25,6 +25,7 @@ block-aligned slabs via a donated jitted row-slab update.
 
 from __future__ import annotations
 
+import logging
 import threading
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -38,6 +39,13 @@ from omni_recall_tpu.index.records import ChunkRecord
 from omni_recall_tpu.ops import hashing
 
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+logger = logging.getLogger(__name__)
+
+# row granularity of the valid-count blocks backing window_start_row; fixed
+# (independent of capacity_block) so the window cost is bounded by
+# O(n/VALID_BLOCK) numpy + one <=VALID_BLOCK python-free in-block scan
+VALID_BLOCK = 4096
 
 
 def to_days(dt: datetime | None) -> float:
@@ -105,6 +113,13 @@ class DeviceIndex:
         self.valid = np.zeros((0,), dtype=bool)
         self.meta: list[ChunkRecord | None] = []
         self._row_by_chunk_id: dict[str, int] = {}
+        # O(1)-amortized auxiliary structures (a 10M-row index with heavy
+        # tombstones must not pay an O(n) python scan per search/delete):
+        # - per-VALID_BLOCK counts of valid rows -> window_start_row is
+        #   O(n/VALID_BLOCK) vectorized + one in-block scan
+        # - doc_id -> row list -> delete touches only the doc's own rows
+        self._block_valid = np.zeros((0,), dtype=np.int64)
+        self._rows_by_doc: dict[str, list[int]] = {}
 
         self._device: DeviceArrays | None = None
         self._dirty_lo = 0
@@ -139,9 +154,24 @@ class DeviceIndex:
         self.bloom = pad(self.bloom)
         self.created = pad(self.created)
         self.valid = pad(self.valid)
+        n_blocks = (new_cap + VALID_BLOCK - 1) // VALID_BLOCK
+        if n_blocks > self._block_valid.shape[0]:
+            self._block_valid = np.pad(
+                self._block_valid, (0, n_blocks - self._block_valid.shape[0])
+            )
         self._cap = new_cap
         self._device = None  # capacity changed -> full re-upload
         self._device_cap = -1
+
+    def _count_valid_added(self, lo: int, hi: int) -> None:
+        """Credit rows [lo, hi) — all newly valid — to their blocks."""
+        b_lo, b_hi = lo // VALID_BLOCK, (hi - 1) // VALID_BLOCK
+        if b_lo == b_hi:
+            self._block_valid[b_lo] += hi - lo
+            return
+        self._block_valid[b_lo] += (b_lo + 1) * VALID_BLOCK - lo
+        self._block_valid[b_lo + 1 : b_hi] += VALID_BLOCK
+        self._block_valid[b_hi] += hi - b_hi * VALID_BLOCK
 
     def _mark_dirty(self, lo: int, hi: int) -> None:
         if self._dirty_hi <= self._dirty_lo:
@@ -180,6 +210,20 @@ class DeviceIndex:
             offset for offset, c in enumerate(chunks)
             if c.embedding is not None and len(c.embedding) == self.dim
         ]
+        n_mismatched = sum(
+            1 for c in chunks
+            if c.embedding is not None and len(c.embedding) not in (0, self.dim)
+        )
+        if n_mismatched:
+            # stored as zero rows (device cosine 0); search routes queries
+            # whose embedding dim also mismatches to the exact host scan so
+            # the certificate stays sound (search/engine.py)
+            logger.warning(
+                "%d chunk embedding(s) do not match the index dim %d; "
+                "stored as zero vectors (cosine contributes 0). Check "
+                "Embeddings:Dim vs Engine:EmbeddingDim.",
+                n_mismatched, self.dim,
+            )
         if dim_ok:
             a = np.asarray([chunks[o].embedding for o in dim_ok], dtype=np.float32)
             norm_sq = np.sum((a * a).astype(np.float64), axis=1)
@@ -196,8 +240,10 @@ class DeviceIndex:
             self.valid[row] = True
             self.meta.append(chunk)
             self._row_by_chunk_id[chunk.id] = row
+            self._rows_by_doc.setdefault(chunk.document_id, []).append(row)
         self._n += len(chunks)
         self._n_valid += len(chunks)
+        self._count_valid_added(start, self._n)
         self._mark_dirty(start, self._n)
 
     def bulk_load(
@@ -209,7 +255,14 @@ class DeviceIndex:
     ) -> None:
         """Bulk array injection for large-scale restore/benchmarks: bypasses
         per-chunk python hashing/normalization. Rows must already be in
-        (created, seq) order; the index must be empty."""
+        (created, seq) order; the index must be empty.
+
+        CONTRACT: ``bloom`` rows must be signatures built with THIS index's
+        exact parameters — ``chunk_signature(content.lower(), self.bloom_bits,
+        self.ngram, self.bloom_hashes)`` — otherwise the device keyword score
+        is not a sound upper bound and 'certified-exact' results can be
+        silently wrong. The width is asserted; ngram/hash count cannot be
+        recovered from the arrays and are the caller's responsibility."""
         with self._lock:
             if self._n != 0:
                 raise ValueError("bulk_load requires an empty index")
@@ -219,6 +272,12 @@ class DeviceIndex:
         n = emb_normalized.shape[0]
         if not (len(meta) == n == bloom.shape[0] == created_days.shape[0]):
             raise ValueError("bulk_load arrays must have matching row counts")
+        if bloom.shape[1] != self.bloom_bits // 8:
+            raise ValueError(
+                f"bloom width {bloom.shape[1]} != index bloom_bits/8 "
+                f"({self.bloom_bits // 8}); signatures must be built with "
+                "this index's (bloom_bits, ngram, bloom_hashes)"
+            )
         self._ensure_capacity(n)
         self.emb[:n] = emb_normalized
         self.bloom[:n] = bloom
@@ -226,8 +285,11 @@ class DeviceIndex:
         self.valid[:n] = True
         self.meta.extend(meta)
         self._row_by_chunk_id.update({c.id: row for row, c in enumerate(meta)})
+        for row, c in enumerate(meta):
+            self._rows_by_doc.setdefault(c.document_id, []).append(row)
         self._n = n
         self._n_valid = n
+        self._count_valid_added(0, n)
         self._mark_dirty(0, n)
 
     def update_embedding(self, chunk_id: str, embedding: list[float] | None) -> bool:
@@ -252,13 +314,15 @@ class DeviceIndex:
 
     def _delete_document_locked(self, document_id: str) -> int:
         removed = 0
-        for row, chunk in enumerate(self.meta):
-            if chunk is not None and chunk.document_id == document_id and self.valid[row]:
+        for row in self._rows_by_doc.pop(document_id, []):
+            chunk = self.meta[row]
+            if chunk is not None and self.valid[row]:
                 self.valid[row] = False
                 self.emb[row] = 0.0
                 self.bloom[row] = 0
                 self.meta[row] = None
                 self._row_by_chunk_id.pop(chunk.id, None)
+                self._block_valid[row // VALID_BLOCK] -= 1
                 self._mark_dirty(row, row + 1)
                 removed += 1
         self._n_valid -= removed
@@ -269,16 +333,26 @@ class DeviceIndex:
     def window_start_row(self, window: int) -> int:
         """Smallest row r0 such that rows [r0, n) contain <= window valid
         chunks and they are exactly the `window` most recent (rows are in
-        (created, seq) order). window <= 0 means no window."""
+        (created, seq) order). window <= 0 means no window.
+
+        Cost: O(n/VALID_BLOCK) numpy over the per-block valid counts plus one
+        in-block nonzero — sub-millisecond even at 10M rows with 50%
+        tombstones (the naive reverse python scan was O(n))."""
         if window <= 0 or self._n_valid <= window:
             return 0
-        count = 0
-        for row in range(self._n - 1, -1, -1):
-            if self.valid[row]:
-                count += 1
-                if count == window:
-                    return row
-        return 0
+        nb = (self._n + VALID_BLOCK - 1) // VALID_BLOCK
+        counts = self._block_valid[:nb]
+        # suffix[b] = number of valid rows in blocks >= b
+        suffix = np.cumsum(counts[::-1])[::-1]
+        hits = np.nonzero(suffix >= window)[0]
+        if hits.size == 0:
+            return 0
+        b = int(hits[-1])  # deepest block whose suffix still covers window
+        after = int(suffix[b + 1]) if b + 1 < nb else 0
+        need = window - after  # valid rows still needed inside block b
+        hi = min(self._n, (b + 1) * VALID_BLOCK)
+        in_block = np.nonzero(self.valid[b * VALID_BLOCK : hi])[0]
+        return b * VALID_BLOCK + int(in_block[-need])
 
     # ---- device sync ----
 

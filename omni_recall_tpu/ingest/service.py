@@ -64,7 +64,13 @@ class DocumentIngestionService:
         self.embedding_client = embedding_client
         self.options = options or IngestionOptions()
         self.engine = engine
-        self._append_lock = threading.Lock()
+        # Share the engine's mutation lock when present so store upsert +
+        # index append is atomic w.r.t. the engine's shadow rebuild_index
+        # (see RecallEngine.rebuild_index); standalone use keeps a local lock.
+        self._append_lock = (
+            engine.mutation_lock if engine is not None
+            and hasattr(engine, "mutation_lock") else threading.Lock()
+        )
 
     # -- ingest --
 
@@ -168,9 +174,10 @@ class DocumentIngestionService:
         existing = self.store.get_document(document_id)
         if existing is None:
             return False
-        self.store.delete_document(document_id)
-        if self.engine is not None:
-            self.engine.on_document_deleted(document_id)
+        with self._append_lock:
+            self.store.delete_document(document_id)
+            if self.engine is not None:
+                self.engine.on_document_deleted(document_id)
         return True
 
     # -- reindex --

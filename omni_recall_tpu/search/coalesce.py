@@ -82,13 +82,20 @@ class CoalescingSearchExecutor:
             self._flush(batch)
 
     def _flush(self, batch) -> None:
-        requests = [req for req, _, _ in batch]
-        now = next((n for _, n, _ in batch if n is not None), None)
-        try:
-            results = self.engine.search_batch(requests, now=now)
-        except Exception as exc:
-            for _, _, future in batch:
-                future.set_exception(exc)
-            return
-        for (_, _, future), hits in zip(batch, results):
-            future.set_result(hits)
+        # Partition by explicit 'now': recency scores depend on it, so one
+        # caller's pinned timestamp must never skew unrelated coalesced
+        # queries. Callers without a 'now' share a single device pass (the
+        # common serving case); each distinct explicit 'now' gets its own.
+        groups: dict[object, list] = {}
+        for item in batch:
+            groups.setdefault(item[1], []).append(item)
+        for now, group in groups.items():
+            requests = [req for req, _, _ in group]
+            try:
+                results = self.engine.search_batch(requests, now=now)
+            except Exception as exc:
+                for _, _, future in group:
+                    future.set_exception(exc)
+                continue
+            for (_, _, future), hits in zip(group, results):
+                future.set_result(hits)

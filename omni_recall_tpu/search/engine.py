@@ -22,6 +22,7 @@ order — i.e. unspecified).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -82,47 +83,64 @@ class RecallEngine:
                 self.mesh, interpret=_jax.default_backend() != "tpu"
             )
         self.last_escalations = 0  # observability: cert escalations on the last search
+        # Serializes index mutation (append/update/delete) against shadow
+        # rebuild: the ingestion service shares this lock so a chunk upserted
+        # to the store can never be appended to the OLD index after the
+        # rebuild snapshotted the store but before the atomic swap (which
+        # would silently drop it from the new index). Searches never take it.
+        self.mutation_lock = threading.RLock()
 
     # -- index lifecycle hooks (called by the ingestion service) --
 
     def on_chunks_upserted(self, chunks: list[ChunkRecord], *, new: bool) -> None:
-        if self.device_index is None:
-            return
-        if new:
-            self.device_index.append(chunks)
-        else:
-            for chunk in chunks:
-                self.device_index.update_embedding(chunk.id, chunk.embedding)
+        with self.mutation_lock:
+            # device_index is re-read under the lock so a concurrent rebuild's
+            # swap is either fully before (we append to the new index) or
+            # fully after (the rebuild's store snapshot already has us)
+            if self.device_index is None:
+                return
+            if new:
+                self.device_index.append(chunks)
+            else:
+                for chunk in chunks:
+                    self.device_index.update_embedding(chunk.id, chunk.embedding)
 
     def on_document_deleted(self, document_id: str) -> None:
-        if self.device_index is not None:
-            self.device_index.delete_document(document_id)
+        with self.mutation_lock:
+            if self.device_index is not None:
+                self.device_index.delete_document(document_id)
 
     def rebuild_index(self) -> None:
         """Shadow rebuild + atomic swap (BASELINE.json config 3): construct a
         fresh device index from the store's current chunks (compacting
         tombstones and re-deriving signatures/quantization), then swap it in
         atomically. Searches in flight keep using the old index's arrays —
-        device buffers are immutable — so there is no torn state."""
-        if self.device_index is None:
-            return
-        old = self.device_index
-        shadow = DeviceIndex(
-            old.dim,
-            capacity_block=self.options.capacity_block,
-            bloom_bits=old.bloom_bits,
-            ngram=old.ngram,
-            bloom_hashes=old.bloom_hashes,
-            mesh=old.mesh,
-            scan_dtype=old.scan_dtype,
-        )
-        chunks: list[ChunkRecord] = []
-        for doc in self.store.list_documents(2**31 - 1):
-            chunks.extend(self.store.get_chunks_by_document_id(doc.id))
-        chunks.sort(key=lambda c: c.seq)
-        shadow.append(chunks)
-        shadow.device_arrays()  # upload before the swap so search never waits
-        self.device_index = shadow
+        device buffers are immutable — so there is no torn state.
+
+        Holds ``mutation_lock`` for the whole snapshot→build→swap so a
+        concurrent ingest cannot append to the old index between the store
+        read and the swap (its append either lands in the store before our
+        snapshot, or blocks and lands in the new index after the swap)."""
+        with self.mutation_lock:
+            if self.device_index is None:
+                return
+            old = self.device_index
+            shadow = DeviceIndex(
+                old.dim,
+                capacity_block=self.options.capacity_block,
+                bloom_bits=old.bloom_bits,
+                ngram=old.ngram,
+                bloom_hashes=old.bloom_hashes,
+                mesh=old.mesh,
+                scan_dtype=old.scan_dtype,
+            )
+            chunks: list[ChunkRecord] = []
+            for doc in self.store.list_documents(2**31 - 1):
+                chunks.extend(self.store.get_chunks_by_document_id(doc.id))
+            chunks.sort(key=lambda c: c.seq)
+            shadow.append(chunks)
+            shadow.device_arrays()  # upload before the swap so search never waits
+            self.device_index = shadow
 
     # -- search --
 
@@ -422,10 +440,20 @@ class RecallEngine:
         q = np.zeros((b, dix.dim), dtype=np.float32)
         weights = np.zeros((b, dix.bloom_bits), dtype=np.float32)
         biases = np.zeros(b, dtype=np.float32)
+        host_only: list[int] = []
         for i, (query, query_embedding, _) in enumerate(requests):
             qn = dix._normalize(query_embedding)
             if qn is not None:
                 q[i] = qn
+            elif query_embedding is not None and len(query_embedding) > 0:
+                # The query has an embedding the index can't represent (dim
+                # mismatch with the configured index dim, or zero norm). The
+                # device cosine bound would be 0, but the host exact rescore
+                # computes real cosines for any chunk whose stored embedding
+                # dim equals the query dim — so the device bound is NOT a
+                # sound upper bound and the certificate would be vacuous.
+                # Route this query to the exact host scan instead.
+                host_only.append(i)
             terms = oracle.query_terms(query)
             weights[i], biases[i] = hashing.query_bit_weights(
                 terms, dix.bloom_bits, dix.ngram, dix.bloom_hashes
@@ -449,6 +477,9 @@ class RecallEngine:
             for i in indices:
                 query, emb, _ = requests[i]
                 results[i] = self._search_full_host(query, emb, ks[i], window, now)
+
+        if host_only:
+            oracle_fill(host_only)
 
         while any(r is None for r in results):
             pending = [i for i, r in enumerate(results) if r is None]

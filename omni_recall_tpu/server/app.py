@@ -13,6 +13,7 @@ pattern (tests/.../ChatEndpointTests.cs:27-126).
 
 from __future__ import annotations
 
+import logging
 import os
 from pathlib import Path
 
@@ -39,6 +40,21 @@ from omni_recall_tpu.server.http import Request, Response, Router, WsgiApp
 from omni_recall_tpu.server.openapi import build_openapi_document
 
 ALLOWED_EXTENSIONS = {".pdf", ".txt", ".md", ".markdown"}  # DocumentEndpoints.cs:8-14
+
+
+def _parse_top_k(value) -> int | None:
+    """Validate user-supplied topK: accept ints (and integral floats/strings,
+    matching ASP.NET model binding's leniency); None on anything else so the
+    handler returns 400 rather than a 500 ProblemDetails."""
+    if isinstance(value, bool):
+        return None
+    try:
+        as_int = int(value)
+    except (TypeError, ValueError):
+        return None
+    if isinstance(value, float) and value != as_int:
+        return None
+    return as_int
 
 
 class OmniRecallApp(WsgiApp):
@@ -80,6 +96,17 @@ class OmniRecallApp(WsgiApp):
         self.engine = engine if engine is not None else RecallEngine(
             self.store, options=config.engine
         )
+        if config.embeddings.dim != config.engine.embedding_dim:
+            # Mismatched dims are handled soundly (zero device rows + host
+            # full-scan routing for mismatched queries) but silently disable
+            # the fast path — surface the misconfiguration loudly at wiring.
+            logging.getLogger(__name__).warning(
+                "Embeddings:Dim (%d) != Engine:EmbeddingDim (%d): embeddings "
+                "will not land in the device index and searches with "
+                "mismatched query embeddings fall back to the exact host "
+                "scan. Align the two settings.",
+                config.embeddings.dim, config.engine.embedding_dim,
+            )
         self.search_executor = None
         if config.engine.coalesce_window_ms > 0 and config.engine.backend != "oracle":
             from omni_recall_tpu.search.coalesce import CoalescingSearchExecutor
@@ -221,8 +248,10 @@ class OmniRecallApp(WsgiApp):
         query = payload.get("query") or ""
         if not query.strip():
             return Response.error("Query is required.")
-        top_k = payload.get("topK", 5)
-        result = self.search_service.search(query, int(top_k))
+        top_k = _parse_top_k(payload.get("topK", 5))
+        if top_k is None:
+            return Response.error("topK must be an integer.")
+        result = self.search_service.search(query, top_k)
         return Response.json(result)
 
     # -- chat (ChatEndpoints.cs:21-41) --
@@ -235,9 +264,11 @@ class OmniRecallApp(WsgiApp):
         prompt = payload.get("prompt") or ""
         if not prompt.strip():
             return Response.error("Prompt is required.")
-        top_k = payload.get("topK", 5)
+        top_k = _parse_top_k(payload.get("topK", 5))
+        if top_k is None:
+            return Response.error("topK must be an integer.")
         try:
-            result = self.chat_service.complete(prompt, int(top_k))
+            result = self.chat_service.complete(prompt, top_k)
         except AiProviderUnavailableError as exc:
             return Response.problem("AI provider unavailable", str(exc), 503)
         return Response.json(result)
