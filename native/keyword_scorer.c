@@ -166,3 +166,148 @@ int keyword_scores_multi(const char **contents, const long *content_lens,
     }
     return 0;
 }
+
+/* ---- full hybrid rescore (certified-exact path hot loop) ----
+ *
+ * One call scores every (query, candidate-row) pair of a search batch:
+ *   out[i] = 0.7 * cosine(q_emb[owner[i]], raw_emb[rows[i]])
+ *          + 0.2 * keyword(terms of owner[i], arena content of rows[i])
+ * (the caller adds the 0.1 * recency term — kept in numpy so its exp()
+ * matches the numpy oracle bit-for-bit).
+ *
+ * The cosine dot replicates numpy's pairwise summation (PW_BLOCKSIZE=128,
+ * 8-wide partials) over float32 products accumulated in float64, so scores
+ * are bit-identical to the numpy reference path (ops/oracle.py /
+ * engine._exact_hits_multi). The loader verifies this equivalence on random
+ * probes at startup and disables the native path if numpy's algorithm ever
+ * changes. MUST be compiled with -ffp-contract=off: FMA contraction of
+ * (double)(a*b) would change results.
+ */
+
+#include <math.h>
+#include <pthread.h>
+
+static double pairwise_prod_f64(const float *a, const float *b, long n) {
+    if (n < 8) {
+        double res = 0.0;
+        for (long i = 0; i < n; i++) res += (double)(a[i] * b[i]);
+        return res;
+    }
+    if (n <= 128) {
+        double r[8];
+        for (int j = 0; j < 8; j++) r[j] = (double)(a[j] * b[j]);
+        long i;
+        for (i = 8; i < n - (n % 8); i += 8)
+            for (int j = 0; j < 8; j++) r[j] += (double)(a[i + j] * b[i + j]);
+        double res = ((r[0] + r[1]) + (r[2] + r[3])) +
+                     ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; i++) res += (double)(a[i] * b[i]);
+        return res;
+    }
+    long n2 = n / 2;
+    n2 -= n2 % 8;
+    return pairwise_prod_f64(a, b, n2) + pairwise_prod_f64(a + n2, b + n2, n - n2);
+}
+
+/* exposed for the loader's numpy-equivalence self-check */
+int pairwise_dot_f64(const float *a, const float *b, long n, double *out) {
+    *out = pairwise_prod_f64(a, b, n);
+    return 0;
+}
+
+typedef struct {
+    const float *raw_emb;
+    const double *norm_sq;
+    long dim;
+    const char *arena;
+    const long long *arena_off;
+    const long long *rows;
+    const long *owner;
+    long total;
+    const float *q_emb;
+    const double *q_norm;
+    const char *terms_flat;
+    const long long *term_off;
+    const long long *query_term_off;
+    double *out;
+    long lo, hi;
+} rescore_job;
+
+static void *rescore_worker(void *argp) {
+    rescore_job *j = (rescore_job *)argp;
+    for (long i = j->lo; i < j->hi; i++) {
+        long long row = j->rows[i];
+        long q = j->owner[i];
+        double cos = 0.0;
+        double qn = j->q_norm[q];
+        double ns = j->norm_sq[row];
+        if (qn > 0.0 && ns > 0.0) {
+            double dot = pairwise_prod_f64(j->q_emb + (size_t)q * j->dim,
+                                           j->raw_emb + (size_t)row * j->dim,
+                                           j->dim);
+            cos = dot / (sqrt(qn) * sqrt(ns));
+        }
+        double kw = 0.0;
+        long long t_lo = j->query_term_off[q], t_hi = j->query_term_off[q + 1];
+        long n_terms = (long)(t_hi - t_lo);
+        if (n_terms > 0) {
+            const char *content = j->arena + j->arena_off[row];
+            long clen = (long)(j->arena_off[row + 1] - j->arena_off[row]);
+            long matches = 0;
+            if (clen > 0) {
+                for (long long t = t_lo; t < t_hi; t++) {
+                    const char *term = j->terms_flat + j->term_off[t];
+                    long tlen = (long)(j->term_off[t + 1] - j->term_off[t]);
+                    if (tlen > 0 &&
+                        find_sub(content, (size_t)clen, term, (size_t)tlen))
+                        matches++;
+                }
+            }
+            kw = (double)matches / (double)n_terms;
+        }
+        j->out[i] = 0.7 * cos + 0.2 * kw;
+    }
+    return NULL;
+}
+
+int hybrid_rescore(const float *raw_emb, const double *norm_sq, long dim,
+                   const char *arena, const long long *arena_off,
+                   const long long *rows, const long *owner, long total,
+                   const float *q_emb, const double *q_norm, long nq,
+                   const char *terms_flat, const long long *term_off,
+                   const long long *query_term_off, long n_threads,
+                   double *out) {
+    (void)nq;
+    if (total <= 0) return 0;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 16) n_threads = 16;
+    if (total < 256) n_threads = 1;
+    rescore_job jobs[16];
+    pthread_t tids[16];
+    long per = (total + n_threads - 1) / n_threads;
+    long started = 0;
+    for (long w = 0; w < n_threads; w++) {
+        long lo = w * per;
+        long hi = lo + per < total ? lo + per : total;
+        if (lo >= hi) break;
+        jobs[w] = (rescore_job){raw_emb, norm_sq, dim, arena, arena_off,
+                                rows, owner, total, q_emb, q_norm,
+                                terms_flat, term_off, query_term_off,
+                                out, lo, hi};
+        if (w == n_threads - 1 || hi == total) {
+            rescore_worker(&jobs[w]);  /* run the last slice inline */
+            started = w;
+            break;
+        }
+        if (pthread_create(&tids[w], NULL, rescore_worker, &jobs[w]) != 0) {
+            /* thread spawn failed: run remaining slice inline */
+            jobs[w].hi = total;
+            rescore_worker(&jobs[w]);
+            started = w;
+            break;
+        }
+        started = w + 1;
+    }
+    for (long w = 0; w < started; w++) pthread_join(tids[w], NULL);
+    return 0;
+}

@@ -165,6 +165,12 @@ class EngineOptions:
     # bounds (slightly inflated); ranking differs from exact only within the
     # bound slack (bloom false positives + quantization error).
     exact: bool = True
+    # coarse prepass (pallas + int8 + exact only): first scan computes
+    # cosine + recency with the keyword term bounded per query by
+    # 0.2*min(1, sum_w + bias); the certificate still guarantees exactness
+    # and failures escalate to the full fused scan. Cuts per-query scan work
+    # from 2N(d + bloom_bits) to 2Nd ops on embedding-backed queries.
+    coarse_prepass: bool = True
 
 
 @dataclass

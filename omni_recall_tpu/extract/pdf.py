@@ -8,11 +8,19 @@ extractor (``NoOpOcrTextExtractor`` by default, returning empty — reference
 NoOpOcrTextExtractor.cs:9).
 
 No third-party PDF library is available in this environment, so the built-in
-parser handles the common machine-generated case directly: Flate-compressed or
-plain content streams with ``Tj``/``TJ``/``'`` text-showing operators and
-PDFDocEncoding/latin-1 string literals (incl. escape sequences and octal
-codes). Exotic encodings (CID fonts, hex strings with custom CMaps) fall
-through to OCR/empty, exactly like a PdfPig parse failure would.
+parser handles machine-generated PDFs directly:
+
+- Flate-compressed or plain content streams with ``Tj``/``TJ``/``'``/``"``
+  text-showing operators,
+- literal strings (escape sequences, octal codes) AND hex strings ``<...>``,
+- ``/ToUnicode`` CMaps (``bfchar``/``bfrange``) resolved per font through
+  the page ``/Font`` resource dictionaries and ``Tf`` operator tracking, so
+  CID/Type0 fonts with 2-byte codes (the common "copy-paste works" subset
+  PdfPig handles, PdfPigTextExtractor.cs:43-56) extract correctly,
+- PDFDocEncoding/latin-1 fallback for simple fonts without a CMap.
+
+Predefined CMaps without embedded ToUnicode data (rare in generated PDFs)
+still fall through to OCR/empty, like a PdfPig parse failure would.
 """
 
 from __future__ import annotations
@@ -27,19 +35,48 @@ class NoOpOcrTextExtractor:
 
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
-# string literal (with escaped chars) followed by a text-showing operator
-_TJ_RE = re.compile(rb"\((?:\\.|[^\\()])*\)\s*(?:Tj|')")
-_TJ_ARRAY_RE = re.compile(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ", re.DOTALL)
-_STRING_RE = re.compile(rb"\((?:\\.|[^\\()])*\)")
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.DOTALL)
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONT_RES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_NAME_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+
+_LITERAL = rb"\((?:\\.|[^\\()])*\)"
+_HEX = rb"<[0-9A-Fa-f\s]*>"
+_STRING = rb"(?:" + _LITERAL + rb"|" + _HEX + rb")"
+# one pass over the content stream, in order: font switches and text shows
+_CONTENT_TOKEN_RE = re.compile(
+    rb"(?P<tf>/(?P<fname>\w+)\s+[-\d.]+\s+Tf)"
+    rb"|(?P<tj>" + _STRING + rb")\s*(?:Tj|'|\")"
+    rb"|\[(?P<tjarr>(?:[^\[\]\\]|\\.)*)\]\s*TJ",
+    re.DOTALL,
+)
+_STRING_RE = re.compile(_STRING)
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
     b"(": b"(", b")": b")", b"\\": b"\\",
 }
 
+# ToUnicode CMap sections
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX_TOKEN_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_ITEM_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+    re.DOTALL,
+)
 
-def _decode_pdf_string(raw: bytes) -> str:
-    # raw includes the surrounding parentheses
+
+def _string_bytes(raw: bytes) -> bytes:
+    """Decode a PDF string token (literal or hex) to its raw byte content."""
+    if raw.startswith(b"<"):
+        digits = re.sub(rb"\s+", b"", raw[1:-1])
+        if len(digits) % 2:
+            digits += b"0"  # PDF spec: odd final digit implies trailing 0
+        try:
+            return bytes.fromhex(digits.decode("ascii"))
+        except ValueError:
+            return b""
     body = raw[1:-1]
     out = bytearray()
     i = 0
@@ -64,33 +101,144 @@ def _decode_pdf_string(raw: bytes) -> str:
             continue
         out += ch
         i += 1
-    return out.decode("latin-1", errors="replace")
+    return bytes(out)
 
 
-def _extract_stream_text(stream: bytes) -> list[str]:
+def _utf16be_to_str(hexdigits: bytes) -> str:
+    try:
+        return bytes.fromhex(hexdigits.decode("ascii")).decode(
+            "utf-16-be", errors="replace"
+        )
+    except ValueError:
+        return ""
+
+
+class _CMap:
+    """code (int) -> unicode string map with the code byte-width."""
+
+    def __init__(self, code_bytes: int) -> None:
+        self.code_bytes = code_bytes
+        self.map: dict[int, str] = {}
+
+    def decode(self, raw: bytes) -> str:
+        w = self.code_bytes
+        out = []
+        for i in range(0, len(raw) - w + 1, w):
+            code = int.from_bytes(raw[i : i + w], "big")
+            mapped = self.map.get(code)
+            if mapped is not None:
+                out.append(mapped)
+            elif w == 1:
+                out.append(raw[i : i + 1].decode("latin-1"))
+            # unmapped multi-byte codes: drop (PdfPig yields U+FFFD/garbage;
+            # dropping keeps search text clean)
+        return "".join(out)
+
+
+def _parse_tounicode(stream: bytes) -> dict[int, str]:
+    mapping: dict[int, str] = {}
+    for section in _BFCHAR_RE.finditer(stream):
+        tokens = _HEX_TOKEN_RE.findall(section.group(1))
+        for src, dst in zip(tokens[0::2], tokens[1::2]):
+            mapping[int(src, 16)] = _utf16be_to_str(dst)
+    for section in _BFRANGE_RE.finditer(stream):
+        for item in _BFRANGE_ITEM_RE.finditer(section.group(1)):
+            lo, hi = int(item.group(1), 16), int(item.group(2), 16)
+            if hi - lo > 65535:
+                continue  # malformed; bound the work
+            if item.group(3) is not None:
+                base = item.group(3)
+                base_str = _utf16be_to_str(base)
+                base_code = int(base, 16)
+                for code in range(lo, hi + 1):
+                    if len(base_str) == 1:
+                        mapping[code] = chr(ord(base_str) + (code - lo))
+                    else:  # multi-char target: increment the last UTF-16 unit
+                        bumped = f"{base_code + (code - lo):0{len(base)}X}"
+                        mapping[code] = _utf16be_to_str(bumped.encode("ascii"))
+            else:
+                dsts = _HEX_TOKEN_RE.findall(item.group(4) or b"")
+                for offset, dst in enumerate(dsts):
+                    if lo + offset <= hi:
+                        mapping[lo + offset] = _utf16be_to_str(dst)
+    return mapping
+
+
+def _decompress(stream: bytes) -> bytes:
+    try:
+        return zlib.decompress(stream)
+    except zlib.error:
+        return stream  # uncompressed or unsupported filter; try as-is
+
+
+def _build_font_cmaps(data: bytes) -> dict[bytes, _CMap]:
+    """Resource font name (e.g. b'F1') -> CMap, resolved via object refs."""
+    objects: dict[int, bytes] = {
+        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
+    }
+    # font object number -> CMap
+    font_cmaps: dict[int, _CMap] = {}
+    for num, body in objects.items():
+        head = body.split(b"stream", 1)[0]
+        if b"/Font" not in head and b"/ToUnicode" not in head:
+            continue
+        m = _TOUNICODE_RE.search(head)
+        if not m:
+            continue
+        target = objects.get(int(m.group(1)))
+        if target is None:
+            continue
+        sm = _STREAM_RE.search(target)
+        if sm is None:
+            continue
+        mapping = _parse_tounicode(_decompress(sm.group(1)))
+        if not mapping:
+            continue
+        code_bytes = 2 if (b"/Type0" in head or max(mapping) > 0xFF) else 1
+        cmap = _CMap(code_bytes)
+        cmap.map = mapping
+        font_cmaps[num] = cmap
+    # resource name -> font object number (any /Font resource dict)
+    by_name: dict[bytes, _CMap] = {}
+    for res in _FONT_RES_RE.finditer(data):
+        for name, ref in _FONT_NAME_REF_RE.findall(res.group(1)):
+            if int(ref) in font_cmaps:
+                by_name[name] = font_cmaps[int(ref)]
+    return by_name
+
+
+def _extract_stream_text(stream: bytes, fonts: dict[bytes, _CMap]) -> list[str]:
     pieces: list[str] = []
-    for match in _TJ_RE.finditer(stream):
-        literal = _STRING_RE.match(match.group(0))
-        if literal:
-            pieces.append(_decode_pdf_string(literal.group(0)))
-    for match in _TJ_ARRAY_RE.finditer(stream):
-        parts = [_decode_pdf_string(s.group(0)) for s in _STRING_RE.finditer(match.group(1))]
-        if parts:
-            pieces.append("".join(parts))
+    current: _CMap | None = None
+    default = _CMap(1)  # latin-1 passthrough
+
+    def show(raw: bytes) -> None:
+        text = (current or default).decode(_string_bytes(raw))
+        if text:
+            pieces.append(text)
+
+    for match in _CONTENT_TOKEN_RE.finditer(stream):
+        if match.group("tf"):
+            current = fonts.get(match.group("fname"))
+        elif match.group("tj") is not None:
+            show(match.group("tj"))
+        else:
+            parts = []
+            for s in _STRING_RE.finditer(match.group("tjarr")):
+                parts.append((current or default).decode(_string_bytes(s.group(0))))
+            if parts:
+                pieces.append("".join(parts))
     return pieces
 
 
 def extract_pdf_text(data: bytes) -> str:
     if not data.lstrip().startswith(b"%PDF"):
         raise ValueError("Not a PDF document.")
+    fonts = _build_font_cmaps(data)
     pieces: list[str] = []
     for match in _STREAM_RE.finditer(data):
-        stream = match.group(1)
-        try:
-            stream = zlib.decompress(stream)
-        except zlib.error:
-            pass  # uncompressed or unsupported filter; try as-is
-        pieces.extend(_extract_stream_text(stream))
+        stream = _decompress(match.group(1))
+        pieces.extend(_extract_stream_text(stream, fonts))
     return "\n".join(p for p in pieces if p.strip()).strip()
 
 

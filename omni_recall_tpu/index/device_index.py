@@ -39,8 +39,26 @@ from omni_recall_tpu.index.records import ChunkRecord
 from omni_recall_tpu.ops import hashing
 
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+_EPOCH70 = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_MIN_UTC = datetime.min.replace(tzinfo=timezone.utc)
+_MIN_TS = _MIN_UTC.timestamp()
 
 logger = logging.getLogger(__name__)
+
+
+def _aware(dt: datetime | None) -> datetime:
+    if dt is None:
+        return _MIN_UTC
+    return dt if dt.tzinfo is not None else dt.replace(tzinfo=timezone.utc)
+
+
+def to_micros(dt: datetime | None) -> int:
+    """Exact integer epoch microseconds. (now_us - created_us) / 1e6 / 86400
+    in float64 reproduces (now - created).total_seconds() / 86400 bit-for-bit
+    for any timestamp within f64's 2^53 integer range (realistic dates), so
+    the vectorized recency rescore matches the per-pair oracle exactly."""
+    td = _aware(dt) - _EPOCH70
+    return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
 
 # row granularity of the valid-count blocks backing window_start_row; fixed
 # (independent of capacity_block) so the window cost is bounded by
@@ -111,6 +129,24 @@ class DeviceIndex:
         self.bloom = np.zeros((0, bloom_bits // 8), dtype=np.uint8)
         self.created = np.zeros((0,), dtype=np.float32)
         self.valid = np.zeros((0,), dtype=bool)
+        # Host-side mirrors for the vectorized exact rescore (the certified
+        # path's hot loop, search/engine.py _exact_rescore_rows): raw f32
+        # embeddings + exact f64 norms reproduce the oracle's cosine
+        # bit-for-bit without per-candidate python list conversion; exact
+        # integer micros reproduce its recency; timestamp()/seq drive the
+        # tie-break identically to _sort_key.
+        self.raw_emb = np.zeros((0, dim), dtype=np.float32)
+        self.raw_norm_sq = np.zeros((0,), dtype=np.float64)
+        self.created_us = np.full((0,), to_micros(None), dtype=np.int64)
+        self.created_ts = np.zeros((0,), dtype=np.float64)
+        self.seqs = np.zeros((0,), dtype=np.int64)
+        # content arena: all rows' lowercased UTF-8 content concatenated,
+        # row r at bytes [content_off[r], content_off[r+1]). Lets the native
+        # rescorer read candidate contents with zero per-row marshalling.
+        # Deleted rows keep their bytes (compacted by rebuild_index); the
+        # arena is only read under self._lock (bytearray growth reallocates).
+        self._arena = bytearray()
+        self.content_off = np.zeros((1,), dtype=np.int64)
         self.meta: list[ChunkRecord | None] = []
         self._row_by_chunk_id: dict[str, int] = {}
         # O(1)-amortized auxiliary structures (a 10M-row index with heavy
@@ -154,6 +190,18 @@ class DeviceIndex:
         self.bloom = pad(self.bloom)
         self.created = pad(self.created)
         self.valid = pad(self.valid)
+        self.raw_emb = pad(self.raw_emb)
+        self.raw_norm_sq = pad(self.raw_norm_sq)
+        self.created_us = np.concatenate(
+            [self.created_us, np.full(grow, to_micros(None), dtype=np.int64)]
+        )
+        self.created_ts = np.concatenate(
+            [self.created_ts, np.full(grow, _MIN_TS, dtype=np.float64)]
+        )
+        self.seqs = pad(self.seqs)
+        off = np.full(new_cap + 1, self.content_off[self._n], dtype=np.int64)
+        off[: self.content_off.shape[0]] = self.content_off
+        self.content_off = off
         n_blocks = (new_cap + VALID_BLOCK - 1) // VALID_BLOCK
         if n_blocks > self._block_valid.shape[0]:
             self._block_valid = np.pad(
@@ -234,9 +282,16 @@ class DeviceIndex:
             ).astype(np.float32)
             rows_ok = np.asarray(dim_ok, dtype=np.int64) + start
             self.emb[rows_ok] = normed
+            self.raw_emb[rows_ok] = a
+            self.raw_norm_sq[rows_ok] = norm_sq
         for offset, chunk in enumerate(chunks):
             row = start + offset
             self.created[row] = to_days(chunk.created_at_utc)
+            self.created_us[row] = to_micros(chunk.created_at_utc)
+            self.created_ts[row] = _aware(chunk.created_at_utc).timestamp()
+            self.seqs[row] = chunk.seq
+            self._arena.extend(chunk.content_lower_utf8())
+            self.content_off[row + 1] = len(self._arena)
             self.valid[row] = True
             self.meta.append(chunk)
             self._row_by_chunk_id[chunk.id] = row
@@ -283,6 +338,18 @@ class DeviceIndex:
         self.bloom[:n] = bloom
         self.created[:n] = created_days
         self.valid[:n] = True
+        # exact-rescore mirrors: bulk_load rows ARE the records' embeddings
+        # (callers pass the same arrays they put in meta), so raw == emb here
+        self.raw_emb[:n] = emb_normalized
+        self.raw_norm_sq[:n] = np.sum(
+            (emb_normalized * emb_normalized).astype(np.float64), axis=1
+        )
+        self.created_us[:n] = [to_micros(c.created_at_utc) for c in meta]
+        self.created_ts[:n] = [_aware(c.created_at_utc).timestamp() for c in meta]
+        self.seqs[:n] = [c.seq for c in meta]
+        for row, c in enumerate(meta):
+            self._arena.extend(c.content_lower_utf8())
+            self.content_off[row + 1] = len(self._arena)
         self.meta.extend(meta)
         self._row_by_chunk_id.update({c.id: row for row, c in enumerate(meta)})
         for row, c in enumerate(meta):
@@ -302,6 +369,13 @@ class DeviceIndex:
             return False
         vec = self._normalize(embedding)
         self.emb[row] = 0.0 if vec is None else vec
+        if embedding is not None and len(embedding) == self.dim:
+            raw = np.asarray(embedding, dtype=np.float32)
+            self.raw_emb[row] = raw
+            self.raw_norm_sq[row] = float(np.sum((raw * raw).astype(np.float64)))
+        else:
+            self.raw_emb[row] = 0.0
+            self.raw_norm_sq[row] = 0.0
         meta = self.meta[row]
         if meta is not None:
             meta.embedding = embedding
@@ -320,6 +394,8 @@ class DeviceIndex:
                 self.valid[row] = False
                 self.emb[row] = 0.0
                 self.bloom[row] = 0
+                self.raw_emb[row] = 0.0
+                self.raw_norm_sq[row] = 0.0
                 self.meta[row] = None
                 self._row_by_chunk_id.pop(chunk.id, None)
                 self._block_valid[row // VALID_BLOCK] -= 1

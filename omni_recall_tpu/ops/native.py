@@ -30,7 +30,11 @@ def _build() -> bool:
             continue
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", str(_LIB_PATH), str(_SOURCE)],
+                [
+                    cc, "-O3", "-ffp-contract=off", "-pthread",
+                    "-shared", "-fPIC", "-o", str(_LIB_PATH), str(_SOURCE),
+                    "-lm",
+                ],
                 check=True, capture_output=True, timeout=120,
             )
             return True
@@ -74,6 +78,22 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
                 ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
                 ctypes.POINTER(ctypes.c_ubyte),
+            ]
+            c_f32p = ctypes.POINTER(ctypes.c_float)
+            c_f64p = ctypes.POINTER(ctypes.c_double)
+            c_i64p = ctypes.POINTER(ctypes.c_longlong)
+            lib.pairwise_dot_f64.restype = ctypes.c_int
+            lib.pairwise_dot_f64.argtypes = [c_f32p, c_f32p, ctypes.c_long, c_f64p]
+            lib.hybrid_rescore.restype = ctypes.c_int
+            lib.hybrid_rescore.argtypes = [
+                c_f32p, c_f64p, ctypes.c_long,            # raw_emb, norm_sq, dim
+                ctypes.c_void_p, c_i64p,                  # arena, arena_off
+                c_i64p, ctypes.POINTER(ctypes.c_long),    # rows, owner
+                ctypes.c_long,                            # total
+                c_f32p, c_f64p, ctypes.c_long,            # q_emb, q_norm, nq
+                ctypes.c_void_p, c_i64p, c_i64p,          # terms, term_off, query_term_off
+                ctypes.c_long,                            # n_threads
+                c_f64p,                                   # out
             ]
             _lib = lib
         except OSError as exc:
@@ -136,6 +156,123 @@ def chunk_signatures(
     if rc != 0:
         return None
     return out
+
+
+_rescore_verified: bool | None = None
+
+
+def _verify_pairwise_dot(lib) -> bool:
+    """The native cosine replicates numpy's pairwise f64 summation of f32
+    products. Verify the replica against numpy on random probes across the
+    recursion's regimes (sequential / blocked / recursive split) — if numpy
+    ever changes its reduction algorithm, this trips and the engine keeps
+    the (slower) numpy path, preserving bit-exact parity."""
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    for n in (1, 3, 7, 8, 9, 64, 127, 128, 129, 255, 768, 1000, 3072, 8191):
+        a = rng.standard_normal(n).astype(np.float32) * rng.uniform(0.1, 100)
+        b = rng.standard_normal(n).astype(np.float32)
+        want = float(np.sum(a * b, dtype=np.float64))
+        out = ctypes.c_double()
+        lib.pairwise_dot_f64(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, ctypes.byref(out),
+        )
+        if out.value != want:
+            logger.warning(
+                "native pairwise dot diverges from numpy at n=%d "
+                "(%.17g vs %.17g); native rescore disabled", n, out.value, want
+            )
+            return False
+    return True
+
+
+def rescore_available() -> bool:
+    global _rescore_verified
+    lib = _load()
+    if lib is None:
+        return False
+    if _rescore_verified is None:
+        _rescore_verified = _verify_pairwise_dot(lib)
+    return _rescore_verified
+
+
+def hybrid_rescore(
+    raw_emb,            # np.float32 [cap, dim] C-contiguous
+    norm_sq,            # np.float64 [cap]
+    arena: bytes,       # concatenated lowercased contents
+    arena_off,          # np.int64 [cap + 1]
+    rows,               # np.int64 [total]
+    owner,              # np.int_  [total] (platform long)
+    q_emb,              # np.float32 [nq, dim] C-contiguous
+    q_norm,             # np.float64 [nq]
+    terms_flat: bytes,  # concatenated term bytes
+    term_off,           # np.int64 [n_terms + 1]
+    query_term_off,     # np.int64 [nq + 1]
+    n_threads: int | None = None,
+):
+    """0.7*cosine + 0.2*keyword per (query, row) pair in one native call
+    (the caller adds 0.1*recency). Returns np.float64 [total] or None when
+    the native lib is unavailable/unverified."""
+    import numpy as np
+
+    if not rescore_available():
+        return None
+    lib = _load()
+    total = len(rows)
+    out = np.empty(total, dtype=np.float64)
+    if total == 0:
+        return out
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+
+    # Zero-copy buffer addresses. For a bytearray the from_buffer export
+    # blocks resizing until released, so hold the view only for the call
+    # (the caller's index lock keeps the buffer stable meanwhile) and pass
+    # a bare address (c_void_p(int) retains no reference).
+    views = []
+
+    def buf_ptr(b):
+        if not len(b):
+            return None
+        if isinstance(b, bytes):
+            views.append(b)  # keep alive through the call
+            return ctypes.c_void_p(
+                ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p).value
+            )
+        view = (ctypes.c_char * len(b)).from_buffer(b)
+        views.append(view)
+        return ctypes.c_void_p(ctypes.addressof(view))
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    rows_c = np.ascontiguousarray(rows, dtype=np.int64)
+    owner_c = np.ascontiguousarray(owner, dtype=np.int_)
+    try:
+        rc = lib.hybrid_rescore(
+            raw_emb.ctypes.data_as(f32p),
+            norm_sq.ctypes.data_as(f64p),
+            raw_emb.shape[1],
+            buf_ptr(arena),
+            arena_off.ctypes.data_as(i64p),
+            rows_c.ctypes.data_as(i64p),
+            owner_c.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            total,
+            q_emb.ctypes.data_as(f32p),
+            q_norm.ctypes.data_as(f64p),
+            q_emb.shape[0],
+            buf_ptr(terms_flat),
+            term_off.ctypes.data_as(i64p),
+            query_term_off.ctypes.data_as(i64p),
+            n_threads,
+            out.ctypes.data_as(f64p),
+        )
+    finally:
+        views.clear()  # release bytearray exports immediately
+    return out if rc == 0 else None
 
 
 def keyword_scores_multi(

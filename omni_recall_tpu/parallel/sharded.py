@@ -87,7 +87,7 @@ class ShardedScorer:
 
         return local_fn
 
-    def _local_pallas(self, m, t, sub, int8: bool):
+    def _local_pallas(self, m, t, sub, int8: bool, coarse: bool = False):
         interpret = self.interpret
 
         def local_fn(*args):
@@ -99,24 +99,30 @@ class ShardedScorer:
             shard = jax.lax.axis_index("shards")
             row_offset = (shard * n_local).astype(jnp.int32)
             if int8:
-                q_absmax = jnp.max(jnp.abs(q), axis=1, keepdims=True)
-                q_scale = q_absmax / 127.0
-                safe = jnp.where(q_scale > 0, q_scale, 1.0)
-                q8 = jnp.clip(jnp.round(q / safe), -127, 127).astype(jnp.int8)
-                eq = jnp.linalg.norm(
-                    q - q8.astype(jnp.float32) * q_scale, axis=1, keepdims=True
-                ) * (1.0 + 1e-6)
+                q8, q_scale, eq = pallas_scorer.quantize_queries_int8(q)
                 err_term = 0.7 * (1.0 + jnp.max(eq)) * err
                 add_row = pallas_scorer.make_add_row(
                     created, valid, now_days, window_start,
                     row_offset=row_offset, err_term=err_term,
                 )
-                kw_w8 = jnp.clip(jnp.ceil(kw_w * 127.0), 0, 127).astype(jnp.int8)
-                vals, idxs = pallas_scorer.block_topt_int8(
-                    emb, bloom, q8, kw_w8, kw_b[:, None], add_row,
-                    scale[None, :], q_scale, 0.7 * eq,
-                    t=t, sub=sub, interpret=interpret,
-                )
+                if coarse:
+                    # cosine-only scan; keyword capped per query (sound UB,
+                    # see pallas_scorer.score_topm_int8_coarse)
+                    kw_cap = jnp.minimum(
+                        jnp.sum(kw_w, axis=1) + kw_b, 1.0
+                    )[:, None]
+                    q_bias = 0.7 * eq + 0.2 * kw_cap
+                    vals, idxs = pallas_scorer.block_topt_int8_coarse(
+                        emb, q8, add_row, scale[None, :], q_scale, q_bias,
+                        t=t, sub=sub, interpret=interpret,
+                    )
+                else:
+                    kw_w8 = jnp.clip(jnp.ceil(kw_w * 127.0), 0, 127).astype(jnp.int8)
+                    vals, idxs = pallas_scorer.block_topt_int8(
+                        emb, bloom, q8, kw_w8, kw_b[:, None], add_row,
+                        scale[None, :], q_scale, 0.7 * eq,
+                        t=t, sub=sub, interpret=interpret,
+                    )
             else:
                 add_row = pallas_scorer.make_add_row(
                     created, valid, now_days, window_start, row_offset=row_offset
@@ -155,8 +161,10 @@ class ShardedScorer:
             row = P("shards", None)
             vec = P("shards")
             rep = P()
-            if mode == "pallas_int8":
-                local = self._local_pallas(m, t, sub, int8=True)
+            if mode in ("pallas_int8", "pallas_int8_coarse"):
+                local = self._local_pallas(
+                    m, t, sub, int8=True, coarse=mode.endswith("_coarse")
+                )
                 in_specs = (row, vec, vec, row, vec, vec, rep, rep, rep, rep, rep)
             elif mode == "pallas":
                 local = self._local_pallas(m, t, sub, int8=False)
@@ -170,7 +178,7 @@ class ShardedScorer:
                     in_specs=in_specs, out_specs=(rep, rep), check_vma=False,
                 )
             )
-        if mode == "pallas_int8":
+        if mode in ("pallas_int8", "pallas_int8_coarse"):
             return fn(emb, scale, err, bloom, created, valid, q, kw_w, kw_b,
                       now_days, window_start)
         return fn(emb, bloom, created, valid, q, kw_w, kw_b, now_days, window_start)

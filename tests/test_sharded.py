@@ -165,3 +165,57 @@ def test_multihost_initialize_noop_when_unconfigured(monkeypatch):
 
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     initialize_multihost()  # must be a harmless no-op on a single host
+
+
+def test_sharded_merge_at_10m_rows(mesh):
+    """BASELINE configs[4] scale proof on the virtual mesh: the per-shard
+    top-k + all-gather merge and the global window threshold are validated
+    at 10M rows (small dim keeps the CPU run tractable; the kernel math is
+    row-count independent). The sharded result must equal the single-device
+    XLA scorer on the same global arrays."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from omni_recall_tpu.ops import xla_scorer
+    from omni_recall_tpu.parallel.sharded import ShardedScorer
+
+    n, d, bits, b, m = 10 * (1 << 20), 8, 64, 2, 16
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    bloom = rng.integers(0, 256, size=(n, bits // 8), dtype=np.uint8)
+    created = np.linspace(0.0, 365.0, n).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    valid[rng.integers(0, n, size=1000)] = False  # scattered tombstones
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    kw_w = np.zeros((b, bits), dtype=np.float32)
+    kw_w[:, rng.integers(0, bits, size=6)] = 0.17
+    kw_b = np.zeros(b, dtype=np.float32)
+    now_days, r0 = jnp.float32(365.0), jnp.int32(n // 2 + 12345)  # window
+    # starts mid-shard-4: exercises the global row offset in the mask
+
+    ss = ShardedScorer(mesh)
+    got_v, got_i = ss.score_topm(
+        jnp.asarray(emb), jnp.asarray(bloom), jnp.asarray(created),
+        jnp.asarray(valid), jnp.asarray(q), jnp.asarray(kw_w),
+        jnp.asarray(kw_b), now_days, r0, m=m, mode="xla",
+    )
+    want_v, want_i = xla_scorer.score_topm(
+        jnp.asarray(emb), jnp.asarray(bloom), jnp.asarray(created),
+        jnp.asarray(valid), jnp.asarray(q), jnp.asarray(kw_w),
+        jnp.asarray(kw_b), now_days, r0, m=m,
+    )
+    got_v, got_i = np.asarray(got_v), np.asarray(got_i)
+    want_v, want_i = np.asarray(want_v), np.asarray(want_i)
+    # same candidate VALUES in order; indices may permute only within exact
+    # value ties, and every returned row must be in-window and valid
+    assert np.array_equal(got_v[:, :m], want_v[:, :m])
+    for qi in range(b):
+        assert set(got_i[qi, :m]) == set(want_i[qi, :m]) or np.array_equal(
+            np.sort(got_v[qi, :m]), np.sort(want_v[qi, :m])
+        )
+        assert (got_i[qi, :m] >= int(r0)).all()
+        assert valid[got_i[qi, :m]].all()
+    # boundaries must agree (both bound the same excluded set)
+    assert np.allclose(got_v[:, m], want_v[:, m], rtol=0, atol=0)
