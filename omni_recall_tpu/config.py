@@ -158,6 +158,9 @@ class EngineOptions:
     # >0 enables the request-coalescing executor: concurrent searches within
     # this window share one device pass (search/coalesce.py)
     coalesce_window_ms: float = 0.0
+    # largest coalesced batch per device pass; the measured throughput
+    # optimum on v5e at 1M chunks is ~1536 (docs/STATUS_R2.md)
+    coalesce_max_batch: int = 1536
     # exact=True (default): certified-exact ranking (device candidates +
     # float64 host rescore + certificate). exact=False: approximate profile —
     # rank directly by the device upper bound, skipping the host rescore;

@@ -119,10 +119,26 @@ _DEFAULT_MODEL_CHAIN = ["gemini-embedding-001", "embedding-001"]
 
 
 class GeminiEmbeddingClient:
-    def __init__(self, options: GeminiOptions, transport: Transport | None = None, timeout: float = 30.0):
+    """Gemini embedContent client (GeminiEmbeddingClient.cs:15-99 semantics).
+
+    Extension over the reference: when ``output_dim`` is set (wired from
+    Embeddings:Dim), the request carries ``outputDimensionality`` so the
+    provider returns vectors matching the device index dim — the reference
+    omits it, and gemini-embedding-001's 3072-dim default would silently
+    route every query to the exact host scan (dim-mismatch soundness
+    fallback, search/engine.py)."""
+
+    def __init__(
+        self,
+        options: GeminiOptions,
+        transport: Transport | None = None,
+        timeout: float = 30.0,
+        output_dim: int | None = None,
+    ):
         self.options = options
         self.transport = transport or urllib_transport
         self.timeout = timeout
+        self.output_dim = output_dim
 
     def _candidate_models(self) -> list[str]:
         configured = (self.options.embedding_model or "").strip()
@@ -134,7 +150,10 @@ class GeminiEmbeddingClient:
             return EmbeddingResult(
                 [], EmbeddingStatus.NOT_SUPPORTED, message="Gemini API key is not configured."
             )
-        payload = json.dumps({"content": {"parts": [{"text": text}]}}).encode("utf-8")
+        body: dict = {"content": {"parts": [{"text": text}]}}
+        if self.output_dim:
+            body["outputDimensionality"] = self.output_dim
+        payload = json.dumps(body).encode("utf-8")
         last: EmbeddingResult | None = None
         for model in self._candidate_models():
             url = f"{self.options.base_url}/models/{model}:embedContent?key={self.options.api_key}"

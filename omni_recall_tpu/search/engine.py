@@ -613,15 +613,33 @@ class RecallEngine:
         """Exact host scan over the device index's own row list (the
         certificate-exhausted fallback). Uses index metadata rather than the
         store so bulk-loaded indexes behave identically; rows are already in
-        (created, seq) order, so the window is the row tail."""
+        (created, seq) order, so the window is the row tail. Runs through
+        the vectorized/native row rescorer, so even a full 1M-row exact scan
+        is a single batched call rather than a python loop."""
         dix = self.device_index
         if dix is None:
             return self._search_oracle(query, query_embedding, k, window, now)
         r0 = dix.window_start_row(window)
-        chunks = [c for c in dix.meta[r0:] if c is not None]
-        hits = self._exact_hits(chunks, query, query_embedding, now)
-        hits.sort(key=_sort_key)
-        return hits[:k]
+        meta = dix.meta
+        if query_embedding is not None and 0 < len(query_embedding) != dix.dim:
+            # dim-mismatched query: true cosines against any same-dim chunk
+            # embeddings live only in the chunk records, not the raw mirror
+            chunks = [c for c in meta[r0:] if c is not None]
+            hits = self._exact_hits(chunks, query, query_embedding, now)
+            hits.sort(key=_sort_key)
+            return hits[:k]
+        rows = np.asarray(
+            [r for r in range(r0, dix.n_rows) if meta[r] is not None],
+            dtype=np.int64,
+        )
+        (rows_sorted, scores_sorted), = self._exact_rescore_rows(
+            [(query, query_embedding)], [rows], now
+        )
+        return [
+            SearchHit(meta[int(r)], float(s))
+            for r, s in zip(rows_sorted[:k], scores_sorted[:k])
+            if meta[int(r)] is not None
+        ]
 
     def _search_device_batch(
         self,

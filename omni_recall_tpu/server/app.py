@@ -87,7 +87,9 @@ class OmniRecallApp(WsgiApp):
         else:
             provider = (config.embeddings.provider or "").strip().lower()
             if provider == "gemini":
-                self.embedding_client = GeminiEmbeddingClient(config.gemini)
+                self.embedding_client = GeminiEmbeddingClient(
+                    config.gemini, output_dim=config.embeddings.dim
+                )
             elif provider == "hash":
                 self.embedding_client = HashEmbeddingClient(config.embeddings.dim)
             else:
@@ -112,7 +114,9 @@ class OmniRecallApp(WsgiApp):
             from omni_recall_tpu.search.coalesce import CoalescingSearchExecutor
 
             self.search_executor = CoalescingSearchExecutor(
-                self.engine, window_ms=config.engine.coalesce_window_ms
+                self.engine,
+                window_ms=config.engine.coalesce_window_ms,
+                max_batch=max(1, config.engine.coalesce_max_batch),
             )
         self.search_service = RecallSearchService(
             self.engine, self.embedding_client, executor=self.search_executor

@@ -171,3 +171,29 @@ def test_embedding_403_is_error():
 def test_embedding_no_key_not_supported():
     client = GeminiEmbeddingClient(GeminiOptions(api_key=""), ScriptedTransport([]))
     assert client.embed("x").status == EmbeddingStatus.NOT_SUPPORTED
+
+
+def test_embedding_output_dimensionality_sent_when_configured():
+    """Extension over the reference: Embeddings:Dim is forwarded as
+    outputDimensionality so provider vectors match the device index dim
+    (otherwise every query would take the dim-mismatch host fallback)."""
+    import json as _json
+
+    class CapturingTransport(ScriptedTransport):
+        def __init__(self, steps):
+            super().__init__(steps)
+            self.bodies = []
+
+        def __call__(self, method, url, headers, body, timeout):
+            self.bodies.append(_json.loads(body.decode()))
+            return super().__call__(method, url, headers, body, timeout)
+
+    t = CapturingTransport([(200, {"embedding": {"values": [0.1]}})])
+    client = GeminiEmbeddingClient(GeminiOptions(api_key="k"), t, output_dim=768)
+    assert client.embed("text").status == EmbeddingStatus.SUCCESS
+    assert t.bodies[0]["outputDimensionality"] == 768
+
+    t2 = CapturingTransport([(200, {"embedding": {"values": [0.1]}})])
+    client2 = GeminiEmbeddingClient(GeminiOptions(api_key="k"), t2)
+    client2.embed("text")
+    assert "outputDimensionality" not in t2.bodies[0]  # reference behavior

@@ -5,6 +5,7 @@ the same ranking as the single-device path and the host oracle — the
 determinism requirement from SURVEY.md §5 (fixed shard->chunk assignment,
 stable tie-breaks)."""
 
+import os
 import random
 import string
 from datetime import datetime, timedelta, timezone
@@ -178,6 +179,14 @@ def test_sharded_merge_at_10m_rows(mesh):
 
     from omni_recall_tpu.ops import xla_scorer
     from omni_recall_tpu.parallel.sharded import ShardedScorer
+
+    # the run peaks around ~8 GiB of host buffers; skip on small machines
+    try:
+        avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError):
+        avail = 1 << 62
+    if avail < 16 * (1 << 30):
+        pytest.skip("needs >=16 GiB available RAM")
 
     n, d, bits, b, m = 10 * (1 << 20), 8, 64, 2, 16
     rng = np.random.default_rng(0)
