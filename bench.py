@@ -140,12 +140,27 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
         engine._exact_rescore_rows(queries, row_lists, now)
     rescore_s = (time.perf_counter() - t0) / reps
     rescore_qps = b / rescore_s
+    # ingest rate: full append path (normalize + native bloom signatures +
+    # host mirrors + arena) for a fresh batch of real chunk records
+    ing = [
+        ChunkRecord(
+            id=f"ing:{i}", document_id="ingbench", chunk_index=i,
+            content=contents[assign[i % n] % n_clusters],
+            embedding=emb[i % n], created_at_utc=now, seq=n + i,
+        )
+        for i in range(20_000)
+    ]
+    t0 = time.perf_counter()
+    engine.device_index.append(ing)
+    ingest_cps = len(ing) / (time.perf_counter() - t0)
+
     return {
         "e2e_qps_tunnel": round(b * batches / elapsed, 1),
         "e2e_batch_ms_tunnel": round(elapsed / batches * 1000.0, 2),
         "e2e_escalations_last": engine.last_escalations,
         "e2e_coarse_resolved_frac": round(coarse_resolved / (batches * b), 4),
         "host_rescore_qps": round(rescore_qps, 1),
+        "ingest_chunks_per_s": round(ingest_cps, 1),
     }
 
 

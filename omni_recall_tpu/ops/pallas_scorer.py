@@ -671,15 +671,15 @@ def block_topt_int8_coarse_pipelined(
     kernel = pl.pallas_call(
         _make_coarse_pipelined_kernel(b, c, sub, t1, nblocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # emb stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # emb stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q8 resident
-            pl.BlockSpec(memory_space=pltpu.ANY),   # row aux in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # row aux in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.float32),
