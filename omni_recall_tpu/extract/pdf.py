@@ -38,14 +38,14 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.DOTALL)
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _FONT_RES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
-_FONT_NAME_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_FONT_NAME_REF_RE = re.compile(rb"/([^\s/<>\[\]()%]+)\s+(\d+)\s+\d+\s+R")
 
 _LITERAL = rb"\((?:\\.|[^\\()])*\)"
 _HEX = rb"<[0-9A-Fa-f\s]*>"
 _STRING = rb"(?:" + _LITERAL + rb"|" + _HEX + rb")"
 # one pass over the content stream, in order: font switches and text shows
 _CONTENT_TOKEN_RE = re.compile(
-    rb"(?P<tf>/(?P<fname>\w+)\s+[-\d.]+\s+Tf)"
+    rb"(?P<tf>/(?P<fname>[^\s/<>\[\]()%]+)\s+[-\d.]+\s+Tf)"
     rb"|(?P<tj>" + _STRING + rb")\s*(?:Tj|'|\")"
     rb"|\[(?P<tjarr>(?:[^\[\]\\]|\\.)*)\]\s*TJ",
     re.DOTALL,

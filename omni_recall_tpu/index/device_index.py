@@ -213,6 +213,8 @@ class DeviceIndex:
 
     def _count_valid_added(self, lo: int, hi: int) -> None:
         """Credit rows [lo, hi) — all newly valid — to their blocks."""
+        if hi <= lo:
+            return
         b_lo, b_hi = lo // VALID_BLOCK, (hi - 1) // VALID_BLOCK
         if b_lo == b_hi:
             self._block_valid[b_lo] += hi - lo
@@ -428,6 +430,13 @@ class DeviceIndex:
         need = window - after  # valid rows still needed inside block b
         hi = min(self._n, (b + 1) * VALID_BLOCK)
         in_block = np.nonzero(self.valid[b * VALID_BLOCK : hi])[0]
+        if in_block.size == 0:
+            # concurrent delete emptied the block between the suffix read and
+            # here (readers are lock-free): start at the block boundary — a
+            # slightly wider window is safe (the old O(n) scan was equally
+            # stale under races)
+            return b * VALID_BLOCK
+        need = min(need, int(in_block.size))
         return b * VALID_BLOCK + int(in_block[-need])
 
     # ---- device sync ----

@@ -117,6 +117,9 @@ class FakeEmbeddingClient:
 
 _DEFAULT_MODEL_CHAIN = ["gemini-embedding-001", "embedding-001"]
 
+# models that predate the outputDimensionality request field
+_NO_OUTPUT_DIM_MODELS = {"embedding-001"}
+
 
 class GeminiEmbeddingClient:
     """Gemini embedContent client (GeminiEmbeddingClient.cs:15-99 semantics).
@@ -150,12 +153,13 @@ class GeminiEmbeddingClient:
             return EmbeddingResult(
                 [], EmbeddingStatus.NOT_SUPPORTED, message="Gemini API key is not configured."
             )
-        body: dict = {"content": {"parts": [{"text": text}]}}
-        if self.output_dim:
-            body["outputDimensionality"] = self.output_dim
-        payload = json.dumps(body).encode("utf-8")
         last: EmbeddingResult | None = None
         for model in self._candidate_models():
+            body: dict = {"content": {"parts": [{"text": text}]}}
+            # legacy models reject the field; send it only where supported
+            if self.output_dim and model not in _NO_OUTPUT_DIM_MODELS:
+                body["outputDimensionality"] = self.output_dim
+            payload = json.dumps(body).encode("utf-8")
             url = f"{self.options.base_url}/models/{model}:embedContent?key={self.options.api_key}"
             try:
                 resp = self.transport(

@@ -96,7 +96,9 @@ def _load() -> ctypes.CDLL | None:
                 c_f64p,                                   # out
             ]
             _lib = lib
-        except OSError as exc:
+        except (OSError, AttributeError) as exc:
+            # AttributeError: a stale cached .so missing new symbols (e.g. a
+            # deploy that preserved mtimes) — fall back rather than crash
             logger.info("native keyword scorer load failed (%s); Python fallback", exc)
             _load_failed = True
     return _lib

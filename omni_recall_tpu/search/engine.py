@@ -475,6 +475,7 @@ class RecallEngine:
         queries: list[tuple[str, list[float] | None]],
         row_lists: list[np.ndarray],
         now: datetime,
+        dix=None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Vectorized exact rescore over device-index ROW indices: returns,
         per query, (rows_sorted, scores_sorted) ordered by the full ranking
@@ -483,10 +484,15 @@ class RecallEngine:
         with f64 accumulation, recency uses exact integer micros, keyword
         uses the native substring scorer — but with zero per-candidate python
         object work, which is what capped the certified path at ~700 QPS in
-        round 1 (VERDICT weak #3)."""
+        round 1 (VERDICT weak #3).
+
+        ``dix`` MUST be the caller's index snapshot when the row ids come
+        from a device scan: a concurrent rebuild_index swap would otherwise
+        make old-index row ids dereference the new (compacted) index."""
         from omni_recall_tpu.index.device_index import to_micros
 
-        dix = self.device_index
+        if dix is None:
+            dix = self.device_index
         assert dix is not None
         nq = len(queries)
         lens = [len(r) for r in row_lists]
@@ -543,7 +549,12 @@ class RecallEngine:
             kw = np.zeros(total, dtype=np.float64)
             if any(term_lists):
                 meta = dix.meta
-                contents = [meta[r].content_lower_utf8() for r in rows]
+                # meta entries may flip to None under a concurrent delete;
+                # deleted rows are dropped from the final hits either way
+                contents = [
+                    m.content_lower_utf8() if (m := meta[r]) is not None else b""
+                    for r in rows
+                ]
                 flat_terms = []
                 offsets = [0]
                 for terms in term_lists:
@@ -557,9 +568,11 @@ class RecallEngine:
                 else:  # pure-python fallback (no native lib at all)
                     for i, r in enumerate(rows):
                         terms = term_lists[owner[i]]
-                        content = meta[r].content
-                        if terms and content.strip():
-                            kw[i] = oracle.keyword_score_terms(terms, content.lower())
+                        m = meta[r]
+                        if m is not None and terms and m.content.strip():
+                            kw[i] = oracle.keyword_score_terms(
+                                terms, m.content.lower()
+                            )
 
             # cosine: raw f32 products, f64 accumulation (== oracle.cosine)
             raw = dix.raw_emb[rows]
@@ -628,12 +641,11 @@ class RecallEngine:
             hits = self._exact_hits(chunks, query, query_embedding, now)
             hits.sort(key=_sort_key)
             return hits[:k]
-        rows = np.asarray(
-            [r for r in range(r0, dix.n_rows) if meta[r] is not None],
-            dtype=np.int64,
-        )
+        # valid[r] is False exactly when meta[r] is None (delete clears both
+        # under the index lock); vectorized selection instead of an O(n) loop
+        rows = r0 + np.nonzero(dix.valid[r0 : dix.n_rows])[0].astype(np.int64)
         (rows_sorted, scores_sorted), = self._exact_rescore_rows(
-            [(query, query_embedding)], [rows], now
+            [(query, query_embedding)], [rows], now, dix=dix,
         )
         return [
             SearchHit(meta[int(r)], float(s))
@@ -725,7 +737,7 @@ class RecallEngine:
                 row_lists.append(rows)
             ranked = self._exact_rescore_rows(
                 [(requests[i][0], requests[i][1]) for i in pending],
-                row_lists, now,
+                row_lists, now, dix=dix,
             )
             unresolved = []
             for pi, i in enumerate(pending):
@@ -753,12 +765,17 @@ class RecallEngine:
         # keyword-only queries, whose coarse bound is vacuous) continue into
         # the full fused loop below.
         self.last_coarse_resolved = 0
-        if self.options.exact and self._coarse_gate_open():
-            coarse = self._select_coarse_scorer(m, int(dev.emb.shape[0]))
+        if self.options.exact:
             prepass = [
                 i for i, r in enumerate(results)
                 if r is None and bool(np.any(q[i]))
             ]
+            if prepass and not self._coarse_gate_open():
+                # closed gate: still advance the clock so the gate re-opens
+                # after the skip horizon (re-probe), per _coarse_gate_record
+                self._coarse_query_count += len(prepass)
+                prepass = []
+            coarse = self._select_coarse_scorer(m, int(dev.emb.shape[0])) if prepass else None
             if coarse is not None and prepass:
                 c_vals, c_idxs = coarse(dev, q_dev, w_dev, bias_dev, now_dev, r0_dev, m)
                 unresolved = rescore_and_certify(

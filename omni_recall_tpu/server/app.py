@@ -50,7 +50,7 @@ def _parse_top_k(value) -> int | None:
         return None
     try:
         as_int = int(value)
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, OverflowError):  # inf -> OverflowError
         return None
     if isinstance(value, float) and value != as_int:
         return None

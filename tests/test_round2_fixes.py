@@ -267,3 +267,106 @@ def test_top_k_validation_returns_400():
     assert resp.status == 200
     resp = client.post("/api/recall/search", json_body={"query": "x", "topK": 3.0})
     assert resp.status == 200
+
+
+# ---- self-review round-2 findings ----
+
+def test_top_k_infinity_returns_400():
+    from omni_recall_tpu.config import AppConfig
+    from omni_recall_tpu.server.app import OmniRecallApp
+    from omni_recall_tpu.server.testing import TestClient
+
+    config = AppConfig()
+    config.engine.backend = "oracle"
+    client = TestClient(OmniRecallApp(config))
+    resp = client.post("/api/recall/search", json_body={"query": "x", "topK": 1e999})
+    assert resp.status == 400
+
+
+def test_bulk_load_empty_arrays_is_noop():
+    dix = DeviceIndex(4, capacity_block=128, bloom_bits=64)
+    dix.bulk_load(
+        np.zeros((0, 4), dtype=np.float32),
+        np.zeros((0, 8), dtype=np.uint8),
+        np.zeros((0,), dtype=np.float32),
+        [],
+    )
+    assert dix.n_rows == 0 and dix.n_valid == 0
+    assert dix.window_start_row(10) == 0
+
+
+def test_coarse_gate_reopens_after_skip_horizon():
+    from omni_recall_tpu.search.engine import RecallEngine as _RE
+
+    engine = _RE(InMemoryIngestionStore(), None, EngineOptions(backend="oracle"))
+    # simulate 32 failures -> gate closes
+    engine._coarse_gate_record(0, 32)
+    assert not engine._coarse_gate_open()
+    horizon = engine._coarse_skip_until - engine._coarse_query_count
+    # queries passing through a closed gate must advance the clock
+    engine._coarse_query_count += horizon
+    assert engine._coarse_gate_open(), "gate must re-probe after the horizon"
+
+
+def test_rescore_uses_passed_index_snapshot_across_rebuild():
+    """Row ids from a device scan refer to the scan-time index; a concurrent
+    rebuild (which compacts tombstones and shifts rows) must not change what
+    those ids dereference mid-search."""
+    store, engine, chunks = _mk_engine(n=12)
+    old = engine.device_index
+    # delete a doc's rows and rebuild: the new index is compacted
+    target_rows = np.asarray([3, 7, 11], dtype=np.int64)
+    expected = engine._exact_rescore_rows(
+        [("chunk", None)], [target_rows], NOW, dix=old
+    )
+    engine.rebuild_index()
+    assert engine.device_index is not old
+    got = engine._exact_rescore_rows(
+        [("chunk", None)], [target_rows], NOW, dix=old
+    )
+    assert np.array_equal(got[0][0], expected[0][0])
+    assert np.array_equal(got[0][1], expected[0][1])
+
+
+def test_gemini_fallback_model_does_not_get_output_dimensionality():
+    import json as _json
+
+    from omni_recall_tpu.config import GeminiOptions
+    from omni_recall_tpu.ingest.embedding import (
+        EmbeddingStatus, GeminiEmbeddingClient,
+    )
+
+    bodies = []
+
+    def transport(method, url, headers, body, timeout):
+        from omni_recall_tpu.ingest.embedding import SimpleHttpResponse
+
+        bodies.append((url, _json.loads(body.decode())))
+        if "gemini-embedding-001" in url:
+            return SimpleHttpResponse(404, b"")
+        return SimpleHttpResponse(
+            200, _json.dumps({"embedding": {"values": [0.5]}}).encode()
+        )
+
+    client = GeminiEmbeddingClient(
+        GeminiOptions(api_key="k"), transport, output_dim=768
+    )
+    result = client.embed("text")
+    assert result.status == EmbeddingStatus.SUCCESS
+    assert bodies[0][1].get("outputDimensionality") == 768
+    assert "embedding-001" in bodies[1][0]
+    assert "outputDimensionality" not in bodies[1][1]
+
+
+def test_pdf_font_names_with_dots_and_plus():
+    from tests.test_pdf_extract import _pdf, _stream_obj
+
+    from omni_recall_tpu.extract.pdf import extract_pdf_text
+
+    cmap = b"begincmap\n1 beginbfchar\n<0001> <0041>\nendbfchar\nendcmap"
+    font = b"<< /Type /Font /Subtype /Type0 /ToUnicode 3 0 R >>"
+    content = b"<< /Font << /F1.0 2 0 R >> >>\n" + _stream_obj(
+        b"BT /F1.0 12 Tf <0001> Tj /ABCDEF+Arial-Bold 9 Tf (plain) Tj ET"
+    )
+    pdf = _pdf([content, font, _stream_obj(cmap)])
+    assert extract_pdf_text(pdf) == "A\nplain"
