@@ -84,6 +84,14 @@ class RecallEngine:
             )
         self.last_escalations = 0  # observability: cert escalations on the last search
         self.last_coarse_resolved = 0  # queries resolved by the coarse prepass
+        # cumulative counters for /metrics (single-writer-ish; GIL-atomic
+        # increments are sufficient for monitoring fidelity)
+        self.stats = {
+            "searches_total": 0,          # queries served
+            "coarse_resolved_total": 0,   # resolved by the coarse prepass
+            "escalation_rounds_total": 0, # certificate escalation rounds
+            "host_fallbacks_total": 0,    # queries finished by the host scan
+        }
         # Adaptive prepass gate: on corpora with near-tie score distributions
         # the coarse certificate keeps failing and the prepass only adds
         # d/(d+bits) of wasted scan. Track a rolling success rate; disable
@@ -173,6 +181,7 @@ class RecallEngine:
         window = self.options.recent_window
         if not requests:
             return []
+        self.stats["searches_total"] += len(requests)
         if self.options.backend == "oracle" or self.device_index is None:
             return [
                 self._search_oracle(q, emb, max(1, k), window, now)
@@ -706,6 +715,7 @@ class RecallEngine:
         self.last_escalations = 0
 
         def oracle_fill(indices):
+            self.stats["host_fallbacks_total"] += len(indices)
             for i in indices:
                 query, emb, _ = requests[i]
                 results[i] = self._search_full_host(query, emb, ks[i], window, now)
@@ -782,6 +792,7 @@ class RecallEngine:
                     prepass, np.asarray(c_vals), np.asarray(c_idxs), m
                 )
                 self.last_coarse_resolved = len(prepass) - len(unresolved)
+                self.stats["coarse_resolved_total"] += self.last_coarse_resolved
                 self._coarse_gate_record(self.last_coarse_resolved, len(prepass))
 
         while any(r is None for r in results):
@@ -823,5 +834,6 @@ class RecallEngine:
                     break
                 m = min(m * 4, window_rows)
                 self.last_escalations += 1
+                self.stats["escalation_rounds_total"] += 1
 
         return results  # type: ignore[return-value]

@@ -158,6 +158,7 @@ class OmniRecallApp(WsgiApp):
         router.add("POST", "/api/recall/search", self._search_recall)
         router.add("POST", "/api/chat", self._complete_chat)
         router.add("GET", "/health", self._health)
+        router.add("GET", "/metrics", self._metrics)
         router.add("GET", "/swagger/v1/swagger.json", self._swagger)
         router.add("GET", "/swagger", self._swagger_ui)
         router.add("GET", "/", self._index)
@@ -283,6 +284,33 @@ class OmniRecallApp(WsgiApp):
         report = self.health_service.probe()
         status_code = 503 if report.status == "unhealthy" else 200
         return Response.json(report, status_code)
+
+    def _metrics(self, request: Request) -> Response:
+        """Prometheus text exposition of the engine/index counters (new
+        scope: the reference exports no metrics, SURVEY.md §5; this is the
+        observability surface a production serving deployment needs)."""
+        engine = self.engine
+        dix = engine.device_index
+        lines = [
+            "# TYPE omni_searches_total counter",
+            f"omni_searches_total {engine.stats['searches_total']}",
+            "# TYPE omni_coarse_resolved_total counter",
+            f"omni_coarse_resolved_total {engine.stats['coarse_resolved_total']}",
+            "# TYPE omni_escalation_rounds_total counter",
+            f"omni_escalation_rounds_total {engine.stats['escalation_rounds_total']}",
+            "# TYPE omni_host_fallbacks_total counter",
+            f"omni_host_fallbacks_total {engine.stats['host_fallbacks_total']}",
+            "# TYPE omni_index_rows gauge",
+            f"omni_index_rows {dix.n_rows if dix is not None else 0}",
+            "# TYPE omni_index_valid_rows gauge",
+            f"omni_index_valid_rows {dix.n_valid if dix is not None else 0}",
+            "# TYPE omni_index_capacity_rows gauge",
+            f"omni_index_capacity_rows {dix._cap if dix is not None else 0}",
+        ]
+        return Response(
+            200, ("\n".join(lines) + "\n").encode("utf-8"),
+            {"Content-Type": "text/plain; version=0.0.4; charset=utf-8"},
+        )
 
     def _swagger(self, request: Request) -> Response:
         return Response.json(build_openapi_document())

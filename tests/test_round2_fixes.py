@@ -370,3 +370,29 @@ def test_pdf_font_names_with_dots_and_plus():
     )
     pdf = _pdf([content, font, _stream_obj(cmap)])
     assert extract_pdf_text(pdf) == "A\nplain"
+
+
+def test_metrics_endpoint_exposes_engine_counters():
+    from omni_recall_tpu.config import AppConfig
+    from omni_recall_tpu.server.app import OmniRecallApp
+    from omni_recall_tpu.server.testing import TestClient
+
+    config = AppConfig()
+    config.engine.backend = "xla"
+    config.engine.embedding_dim = 8
+    config.embeddings.provider = "Hash"
+    config.embeddings.dim = 8
+    app = OmniRecallApp(config)
+    client = TestClient(app)
+    client.upload(
+        "/api/documents/upload", filename="m.txt",
+        data=b"metrics are exported for production serving observability",
+    )
+    client.post("/api/recall/search", json_body={"query": "metrics", "topK": 2})
+    resp = client.get("/metrics")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"].startswith("text/plain")
+    body = resp.body.decode()
+    assert "omni_searches_total 1" in body
+    assert "omni_index_rows 1" in body
+    assert "omni_index_valid_rows 1" in body

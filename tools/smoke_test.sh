@@ -22,6 +22,10 @@ body=$(head -n-1 <<<"$docs")
 [[ "$code" == "200" ]] || { echo "documents returned $code"; exit 1; }
 [[ "$body" == \[* ]] || { echo "documents body is not a JSON array"; exit 1; }
 
+echo "== /metrics"
+metrics=$(curl -sf "$BASE_URL/metrics")
+grep -q 'omni_searches_total' <<<"$metrics" || { echo "metrics missing counters"; exit 1; }
+
 if [[ -n "$CORS_ORIGIN" ]]; then
   echo "== CORS echo for $CORS_ORIGIN"
   allow=$(curl -sf -D- -o /dev/null -H "Origin: $CORS_ORIGIN" "$BASE_URL/api/documents" \
