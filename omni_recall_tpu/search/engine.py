@@ -91,6 +91,8 @@ class RecallEngine:
             "coarse_resolved_total": 0,   # resolved by the coarse prepass
             "escalation_rounds_total": 0, # certificate escalation rounds
             "host_fallbacks_total": 0,    # queries finished by the host scan
+            "rescore_pairs_total": 0,       # (query,row) pairs exact-rescored
+            "rescore_pairs_saved_total": 0, # pairs skipped by the 2-phase prune
         }
         # Adaptive prepass gate: on corpora with near-tie score distributions
         # the coarse certificate keeps failing and the prepass only adds
@@ -479,12 +481,16 @@ class RecallEngine:
             out[owner[i]].append(SearchHit(chunk, float(s)))
         return out
 
+    _RESCORE_PHASE1 = 32  # candidates exact-rescored before the ub prune
+
     def _exact_rescore_rows(
         self,
         queries: list[tuple[str, list[float] | None]],
         row_lists: list[np.ndarray],
         now: datetime,
         dix=None,
+        ub_lists: list[np.ndarray] | None = None,
+        ks: list[int] | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Vectorized exact rescore over device-index ROW indices: returns,
         per query, (rows_sorted, scores_sorted) ordered by the full ranking
@@ -497,16 +503,39 @@ class RecallEngine:
 
         ``dix`` MUST be the caller's index snapshot when the row ids come
         from a device scan: a concurrent rebuild_index swap would otherwise
-        make old-index row ids dereference the new (compacted) index."""
+        make old-index row ids dereference the new (compacted) index.
+
+        Two-phase prune: when ``ub_lists`` (sound per-row upper bounds,
+        aligned with ``row_lists`` and sorted descending) and ``ks`` are
+        given, only the top _RESCORE_PHASE1 candidates are rescored first;
+        the tail is rescored only where ub >= the provisional kth exact
+        score. The returned arrays then cover a SUBSET of the input rows
+        that provably contains the true top-k in identical order AND whose
+        kth score equals the full-set kth (a skipped row has
+        true <= ub < kth_phase1 <= kth_full, strictly below the kth, so it
+        can neither enter the top-k nor shift the kth; ties at the kth keep
+        ub == kth rows in). Callers that consume more than the top-k plus
+        the kth value must not pass ub_lists."""
         from omni_recall_tpu.index.device_index import to_micros
 
         if dix is None:
             dix = self.device_index
         assert dix is not None
+
+        if ub_lists is not None and ks is not None:
+            p1s = [
+                min(len(rows), max(self._RESCORE_PHASE1, ks[qi]))
+                for qi, rows in enumerate(row_lists)
+            ]
+            if any(len(rows) > p1 for rows, p1 in zip(row_lists, p1s)):
+                return self._exact_rescore_rows_pruned(
+                    queries, row_lists, now, dix, ub_lists, ks, p1s
+                )
         nq = len(queries)
         lens = [len(r) for r in row_lists]
         total = int(sum(lens))
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        self.stats["rescore_pairs_total"] += total
         if total == 0:
             return [empty] * nq
         rows = np.concatenate([np.asarray(r, dtype=np.int64) for r in row_lists])
@@ -608,6 +637,51 @@ class RecallEngine:
             order = np.lexsort((-dix.seqs[r], -dix.created_ts[r], -s))
             out.append((r[order], s[order]))
             pos += ln
+        return out
+
+    def _exact_rescore_rows_pruned(
+        self,
+        queries: list[tuple[str, list[float] | None]],
+        row_lists: list[np.ndarray],
+        now: datetime,
+        dix,
+        ub_lists: list[np.ndarray],
+        ks: list[int],
+        p1s: list[int],
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Two-phase body of _exact_rescore_rows (see its docstring for the
+        soundness argument). Phase 1 rescores the top-p1 candidates by device
+        upper bound; phase 2 rescores only tail candidates whose ub reaches
+        the provisional kth exact score."""
+        phase1 = [rows[:p1] for rows, p1 in zip(row_lists, p1s)]
+        ranked1 = self._exact_rescore_rows(queries, phase1, now, dix=dix)
+
+        phase2 = []
+        for qi, rows in enumerate(row_lists):
+            p1, k = p1s[qi], ks[qi]
+            _, s1 = ranked1[qi]
+            kth1 = float(s1[k - 1]) if len(s1) >= k else -np.inf
+            tail_rows = np.asarray(rows[p1:], dtype=np.int64)
+            tail_ubs = np.asarray(ub_lists[qi][p1:], dtype=np.float64)
+            # keep ties: ub == kth1 may still win on the recency tie-break
+            phase2.append(tail_rows[tail_ubs >= kth1])
+        saved = sum(len(r) - p for r, p in zip(row_lists, p1s)) - sum(
+            len(p) for p in phase2
+        )
+        self.stats["rescore_pairs_saved_total"] += int(saved)
+        ranked2 = self._exact_rescore_rows(queries, phase2, now, dix=dix)
+
+        out: list[tuple[np.ndarray, np.ndarray]] = []
+        for qi in range(len(queries)):
+            r1, s1 = ranked1[qi]
+            r2, s2 = ranked2[qi]
+            if len(r2) == 0:
+                out.append((r1, s1))
+                continue
+            r = np.concatenate([r1, r2])
+            s = np.concatenate([s1, s2])
+            order = np.lexsort((-dix.seqs[r], -dix.created_ts[r], -s))
+            out.append((r[order], s[order]))
         return out
 
     def _search_oracle(
@@ -730,24 +804,31 @@ class RecallEngine:
             """Exact-rescore pending queries' candidates; fill results where
             the certificate passes (or coverage was total). Returns the
             still-unresolved indices."""
-            row_lists = []
+            row_lists, ub_lists = [], []
             for i in pending:
                 vals, idxs = all_vals[i], all_idxs[i]
                 live = vals[:m] > -np.inf
                 rows = idxs[:m][live]
-                rows = rows[rows >= 0]
+                ubs = vals[:m][live]  # descending (top_k order) — the
+                # two-phase prune in _exact_rescore_rows relies on it
+                keep = rows >= 0
+                rows, ubs = rows[keep], ubs[keep]
                 # drop rows tombstoned between the device scan and now
                 # (concurrent delete); their exclusion can only be correct —
                 # deleted chunks must not be returned
                 if len(rows) and any(meta[int(r)] is None for r in rows):
-                    rows = np.asarray(
-                        [r for r in rows if meta[int(r)] is not None],
-                        dtype=np.int64,
+                    keep = np.asarray(
+                        [meta[int(r)] is not None for r in rows], dtype=bool
                     )
-                row_lists.append(rows)
+                    rows, ubs = rows[keep], ubs[keep]
+                row_lists.append(rows.astype(np.int64))
+                ub_lists.append(ubs)
+            prune = self.options.rescore_prune
             ranked = self._exact_rescore_rows(
                 [(requests[i][0], requests[i][1]) for i in pending],
                 row_lists, now, dix=dix,
+                ub_lists=ub_lists if prune else None,
+                ks=[ks[i] for i in pending] if prune else None,
             )
             unresolved = []
             for pi, i in enumerate(pending):

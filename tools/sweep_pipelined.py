@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""On-chip A/B: grid coarse int8 scan vs manually double-buffered pipelined
+variant (ops/pallas_scorer.py block_topt_int8_coarse[_pipelined]).
+
+Chained-megastep timing protocol (see bench.py docstring). One line per
+(variant, batch, block, sub) config.
+"""
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omni_recall_tpu.ops import pallas_scorer
+
+N = int(os.environ.get("SWEEP_N", 1 << 20))
+D = 768
+G = int(os.environ.get("SWEEP_G", 6))
+STEPS = int(os.environ.get("SWEEP_STEPS", 2))
+
+
+def run(variant, b, block, sub, emb8, r_scale, add_row):
+    key = jax.random.PRNGKey(b)
+    q_all = jax.random.normal(key, (G, b, D), dtype=jnp.float32)
+    q_all = q_all / jnp.linalg.norm(q_all, axis=-1, keepdims=True)
+
+    @functools.partial(jax.jit, static_argnames=("block", "sub", "variant"))
+    def megastep(carry, emb8, r_scale, add_row, q_all, block, sub, variant):
+        def body(c, q):
+            q = q + 1e-12 * c[:, None]
+            q8, q_scale, eq = pallas_scorer.quantize_queries_int8(q)
+            q_bias = 0.7 * eq + 0.2
+            if variant == "pipelined":
+                vals, idxs = pallas_scorer.block_topt_int8_coarse_pipelined(
+                    emb8, q8, add_row, r_scale[None, :], q_scale, q_bias,
+                    t=1, sub=sub, block=block,
+                )
+            else:
+                vals, idxs = pallas_scorer.block_topt_int8_coarse(
+                    emb8, q8, add_row, r_scale[None, :], q_scale, q_bias,
+                    t=1, sub=sub, block=block,
+                )
+            bb, nb, t1 = vals.shape
+            cand_v = vals[:, :, : t1 - 1].reshape(bb, -1)
+            cand_i = idxs[:, :, : t1 - 1].reshape(bb, -1)
+            top_v, pos = jax.lax.top_k(cand_v, 128)
+            top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+            new_c = top_v[:, 0] + top_i[:, 0].astype(jnp.float32) * 1e-9
+            return new_c, None
+        carry, _ = jax.lax.scan(body, carry, q_all)
+        return carry
+
+    carry = jnp.zeros((b,), dtype=jnp.float32)
+    carry = megastep(carry, emb8, r_scale, add_row, q_all, block, sub, variant)
+    _ = np.asarray(carry[:2])
+    t0 = time.perf_counter()
+    c = carry
+    for _ in range(STEPS):
+        c = megastep(c, emb8, r_scale, add_row, q_all, block, sub, variant)
+    _ = np.asarray(c[:2])
+    dt = time.perf_counter() - t0
+    scans = G * STEPS
+    print(f"{variant:9s} B={b:4d} block={block:5d} sub={sub:4d}  "
+          f"scan={dt / scans * 1000:7.3f} ms  qps={b * scans / dt:9.1f}",
+          flush=True)
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    emb_f = jax.random.normal(key, (N, D), dtype=jnp.float32)
+    emb_f = emb_f / jnp.linalg.norm(emb_f, axis=1, keepdims=True)
+    absmax = jnp.max(jnp.abs(emb_f), axis=1, keepdims=True)
+    r_scale = (absmax / 127.0)[:, 0]
+    emb8 = jnp.clip(jnp.round(emb_f / (absmax / 127.0)), -127, 127).astype(jnp.int8)
+    del emb_f
+    created = jnp.linspace(0.0, 365.0, N, dtype=jnp.float32)
+    valid = jnp.ones((N,), dtype=bool)
+    add_row = pallas_scorer.make_add_row(created, valid, jnp.float32(365.0), jnp.int32(0))
+
+    bs = [int(x) for x in os.environ.get("SWEEP_B", "448,1536").split(",")]
+    blocks = [int(x) for x in os.environ.get("SWEEP_BLOCK", "1024,2048").split(",")]
+    subs = [int(x) for x in os.environ.get("SWEEP_SUB", "512").split(",")]
+    variants = os.environ.get("SWEEP_VARIANT", "grid,pipelined").split(",")
+    for b in bs:
+        for block in blocks:
+            for sub in subs:
+                if sub > block:
+                    continue
+                for variant in variants:
+                    try:
+                        run(variant, b, block, sub, emb8, r_scale, add_row)
+                    except Exception as e:
+                        msg = str(e).splitlines()[0][:160]
+                        print(f"{variant} B={b} block={block} sub={sub} FAILED: {msg}",
+                              flush=True)
+
+
+if __name__ == "__main__":
+    main()
