@@ -114,6 +114,7 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
 
     now = EPOCH + timedelta(days=365.0)
     engine.search_batch(make_requests(99), now=now)  # warmup/compile
+    pairs0 = engine.stats["rescore_pairs_total"]
     start = time.perf_counter()
     total_hits = 0
     coarse_resolved = 0
@@ -123,6 +124,10 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
         coarse_resolved += engine.last_coarse_resolved
     elapsed = time.perf_counter() - start
     assert total_hits == batches * b * 10
+    # avg exact-rescored pairs per query on this corpus (two-phase prune)
+    pairs_per_query = (
+        engine.stats["rescore_pairs_total"] - pairs0
+    ) / (batches * b)
 
     # Host-rescore throughput in isolation (no device round trip): the dev
     # tunnel adds ~1s of readback latency per dispatch that does not exist
@@ -140,6 +145,18 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
         engine._exact_rescore_rows(queries, row_lists, now)
     rescore_s = (time.perf_counter() - t0) / reps
     rescore_qps = b / rescore_s
+
+    # rescore throughput at the pair count the engine ACTUALLY rescored per
+    # query under the two-phase prune (same full-rescore path at that width;
+    # the prune's own phase split costs one extra native call per batch)
+    ppq = max(1, int(round(pairs_per_query)))
+    cand_p = np.random.default_rng(5).integers(0, n, size=(b, ppq))
+    row_lists_p = [cand_p[qi] for qi in range(b)]
+    engine._exact_rescore_rows(queries, row_lists_p, now)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        engine._exact_rescore_rows(queries, row_lists_p, now)
+    rescore_pruned_qps = b / ((time.perf_counter() - t0) / reps)
     # ingest rate: full append path (normalize + native bloom signatures +
     # host mirrors + arena) for a fresh batch of real chunk records
     ing = [
@@ -160,6 +177,8 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
         "e2e_escalations_last": engine.last_escalations,
         "e2e_coarse_resolved_frac": round(coarse_resolved / (batches * b), 4),
         "host_rescore_qps": round(rescore_qps, 1),
+        "rescore_pairs_per_query": round(pairs_per_query, 1),
+        "host_rescore_pruned_qps": round(rescore_pruned_qps, 1),
         "ingest_chunks_per_s": round(ingest_cps, 1),
     }
 
@@ -176,7 +195,7 @@ def bench_10m(b: int = 448, d: int = 768, bits: int = 512) -> dict:
     slab = 1 << 20
     w = bits // 8
 
-    from omni_recall_tpu.ops import pallas_scorer
+    from omni_recall_tpu.ops import merge, pallas_scorer
 
     @ft.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def fill_slab(emb8, scale, err, bloom, key, start):
@@ -229,8 +248,7 @@ def bench_10m(b: int = 448, d: int = 768, bits: int = 512) -> dict:
             bb, nb, t1 = vals.shape
             cand_v = vals[:, :, : t1 - 1].reshape(bb, -1)
             cand_i = idxs[:, :, : t1 - 1].reshape(bb, -1)
-            top_v, pos = jax.lax.top_k(cand_v, m)
-            top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+            top_v, top_i = merge.top_k_with_payload(cand_v, cand_i, m)
             return top_v[:, 0] + top_i[:, 0].astype(jnp.float32) * 1e-9, None
         carry, _ = jax.lax.scan(body, carry, q_all)
         return carry
@@ -267,7 +285,7 @@ def main() -> None:
     steps = int(os.environ.get("OMNI_BENCH_STEPS", 3))
     dtype = os.environ.get("OMNI_BENCH_DTYPE", "int8")  # int8 | bf16
 
-    from omni_recall_tpu.ops import pallas_scorer, xla_scorer
+    from omni_recall_tpu.ops import merge, pallas_scorer, xla_scorer
 
     interpret = jax.default_backend() not in ("tpu",)
     if interpret:  # CPU smoke mode: keep it small
@@ -385,8 +403,9 @@ def main() -> None:
                 bb, nb, t1 = bvals.shape
                 cand_v = bvals[:, :, : t1 - 1].reshape(bb, -1)
                 cand_i = bidxs[:, :, : t1 - 1].reshape(bb, -1)
-                top_v, pos = jax.lax.top_k(cand_v, min(m, cand_v.shape[1]))
-                top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+                top_v, top_i = merge.top_k_with_payload(
+                    cand_v, cand_i, min(m, cand_v.shape[1])
+                )
                 new_c = top_v[:, 0] + top_i[:, 0].astype(jnp.float32) * 1e-9
                 return new_c, (top_v[:, :4], top_i[:, :4])
             carry, outs = jax.lax.scan(body, carry, (q_all, kw_all))
@@ -441,10 +460,15 @@ def main() -> None:
         # smaller corpus for the e2e stage: it validates the full engine
         # path (scan + certificate + host rescore), not the scan rate
         details.update(bench_e2e(min(n, 1 << 18), d, min(b, 128), bits, batches=3))
-        # projected production e2e: device scan + host rescore pipelined
-        if "host_rescore_qps" in details:
-            r = details["host_rescore_qps"]
+        # projected production e2e: device scan + host rescore pipelined;
+        # the rescore stage runs at the pair width the two-phase prune
+        # actually rescored per query on this corpus
+        if "host_rescore_pruned_qps" in details:
+            r = details["host_rescore_pruned_qps"]
             details["e2e_qps_projected"] = round(1.0 / (1.0 / qps + 1.0 / r), 1)
+            details["e2e_qps_projected_unpruned"] = round(
+                1.0 / (1.0 / qps + 1.0 / details["host_rescore_qps"]), 1
+            )
 
     if os.environ.get("OMNI_BENCH_10M", "1") == "1" and not interpret:
         if not freed:

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from omni_recall_tpu.ops.merge import top_k_with_payload
 from omni_recall_tpu.ops.oracle import (
     COSINE_WEIGHT,
     KEYWORD_WEIGHT,
@@ -96,11 +97,15 @@ def _extract_topt(scores, c: int, sub: int, t1: int, vals_ref, idxs_ref):
     entries plus a bound (the t1-th best of the sub-slice). Static lane
     slices keep the extraction cost independent of the matmul block size;
     the final bound iteration extracts the value only (its index is never
-    read by the merge)."""
+    read by the merge). All nt columns are buffered and written with ONE
+    [B, nt] store per output ref — per-column [B, 1] stores are masked
+    single-lane writes that dominated the extraction cost (~1.7 ms/scan at
+    B=1536, 1M rows; measured)."""
     b = scores.shape[0]
     n_sub = c // sub
     block_base = pl.program_id(0) * c
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, sub), 1)
+    vcols, icols = [], []
     for j in range(n_sub):
         s = scores[:, j * sub : (j + 1) * sub]
         for t in range(t1 - 1):
@@ -108,14 +113,14 @@ def _extract_topt(scores, c: int, sub: int, t1: int, vals_ref, idxs_ref):
             # deterministic: lowest row index among ties
             hit = jnp.where(s == v, lane, sub)
             idx = jnp.min(hit, axis=1, keepdims=True)  # [B, 1]
-            col = j * t1 + t
-            vals_ref[0, :, col : col + 1] = v
-            idxs_ref[0, :, col : col + 1] = idx + (block_base + j * sub)
+            vcols.append(v)
+            icols.append(idx + (block_base + j * sub))
             s = jnp.where(lane == idx, _NEG_INF, s)
         # bound entry: value only
-        col = j * t1 + t1 - 1
-        vals_ref[0, :, col : col + 1] = jnp.max(s, axis=1, keepdims=True)
-        idxs_ref[0, :, col : col + 1] = jnp.full((b, 1), -2, dtype=jnp.int32)
+        vcols.append(jnp.max(s, axis=1, keepdims=True))
+        icols.append(jnp.full((b, 1), -2, dtype=jnp.int32))
+    vals_ref[0] = jnp.concatenate(vcols, axis=1)
+    idxs_ref[0] = jnp.concatenate(icols, axis=1)
 
 
 def _make_topt_kernel(t1: int, c: int, sub: int):
@@ -468,8 +473,7 @@ def _merge_topm(vals: jax.Array, idxs: jax.Array, m: int) -> tuple[jax.Array, ja
     block_bounds = vals[:, :, t_eff]  # [B, nb]
 
     k = min(m + 1, nb * t_eff)
-    top_v, pos = jax.lax.top_k(cand_vals, k)
-    top_i = jnp.take_along_axis(cand_idxs, pos, axis=1)
+    top_v, top_i = top_k_with_payload(cand_vals, cand_idxs, k)
 
     top_v = jnp.where(top_v <= _NEG_INF / 2, -jnp.inf, top_v)
     boundary_emitted = top_v[:, m] if k > m else jnp.full((b,), -jnp.inf)
@@ -524,178 +528,6 @@ def score_topm_int8(
         t=t, sub=sub, interpret=interpret,
     )
     return _merge_topm(vals, idxs, m)
-
-
-def _make_coarse_pipelined_kernel(b: int, c: int, sub: int, t1: int, nblocks: int):
-    """Single-program coarse kernel with an explicit double-buffered DMA
-    pipeline: the grid-based variant measures DMA-additive (Mosaic does not
-    overlap the emb block stream with the matmul at these VMEM footprints),
-    so this version owns the pipeline — prefetch block i+1 while computing
-    block i, stream each block's extracted [B, n_sub*t1] tile back to HBM
-    with its own double-buffered DMA."""
-    n_sub = c // sub
-    nt = n_sub * t1
-
-    def kernel(emb_hbm, q_ref, row_aux_hbm, q_scale_ref, q_bias_ref,
-               vals_hbm, idxs_hbm):
-        def body(emb_buf, row_buf, out_v, out_i, in_sem, row_sem,
-                 outv_sem, outi_sem):
-            def dma_in(slot, i):
-                return pltpu.make_async_copy(
-                    emb_hbm.at[pl.ds(i * c, c), :], emb_buf.at[slot],
-                    in_sem.at[slot],
-                )
-
-            def dma_row(slot, i):
-                return pltpu.make_async_copy(
-                    row_aux_hbm.at[:, pl.ds(i * c, c)], row_buf.at[slot],
-                    row_sem.at[slot],
-                )
-
-            def dma_out_v(slot, i):
-                return pltpu.make_async_copy(
-                    out_v.at[slot], vals_hbm.at[i], outv_sem.at[slot]
-                )
-
-            def dma_out_i(slot, i):
-                return pltpu.make_async_copy(
-                    out_i.at[slot], idxs_hbm.at[i], outi_sem.at[slot]
-                )
-
-            dma_in(0, 0).start()
-            dma_row(0, 0).start()
-            lane = jax.lax.broadcasted_iota(jnp.int32, (b, sub), 1)
-
-            def loop(i, _):
-                slot = jax.lax.rem(i, 2)
-                nxt = jax.lax.rem(i + 1, 2)
-
-                @pl.when(i + 1 < nblocks)
-                def _():
-                    dma_in(nxt, i + 1).start()
-                    dma_row(nxt, i + 1).start()
-
-                dma_in(slot, i).wait()
-                dma_row(slot, i).wait()
-
-                cosd = jax.lax.dot_general(
-                    q_ref[:], emb_buf[slot],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32)  # [B, C]
-                scores = (
-                    cosd * q_scale_ref[:] * row_buf[slot, 1:2, :]
-                    + row_buf[slot, 0:1, :]
-                    + q_bias_ref[:]
-                    + PALLAS_CERT_EPS
-                )
-
-                # the out slot was last used by block i-2; its DMA must have
-                # drained before we overwrite the scratch
-                @pl.when(i >= 2)
-                def _():
-                    dma_out_v(slot, i - 2).wait()
-                    dma_out_i(slot, i - 2).wait()
-
-                base = i * c
-                for j in range(n_sub):
-                    s = scores[:, j * sub : (j + 1) * sub]
-                    for t in range(t1 - 1):
-                        v = jnp.max(s, axis=1, keepdims=True)
-                        hit = jnp.where(s == v, lane, sub)
-                        idx = jnp.min(hit, axis=1, keepdims=True)
-                        col = j * t1 + t
-                        out_v[slot, :, col : col + 1] = v
-                        out_i[slot, :, col : col + 1] = idx + (base + j * sub)
-                        s = jnp.where(lane == idx, _NEG_INF, s)
-                    col = j * t1 + t1 - 1
-                    out_v[slot, :, col : col + 1] = jnp.max(s, axis=1, keepdims=True)
-                    out_i[slot, :, col : col + 1] = jnp.full((b, 1), -2, jnp.int32)
-
-                dma_out_v(slot, i).start()
-                dma_out_i(slot, i).start()
-                return 0
-
-            jax.lax.fori_loop(0, nblocks, loop, 0)
-            # drain the last two out DMAs
-            dma_out_v(jax.lax.rem(nblocks - 1, 2), nblocks - 1).wait()
-            dma_out_i(jax.lax.rem(nblocks - 1, 2), nblocks - 1).wait()
-
-            @pl.when(nblocks >= 2)
-            def _():
-                dma_out_v(jax.lax.rem(nblocks - 2, 2), nblocks - 2).wait()
-                dma_out_i(jax.lax.rem(nblocks - 2, 2), nblocks - 2).wait()
-
-        pl.run_scoped(
-            body,
-            emb_buf=pltpu.VMEM((2, c, q_ref.shape[1]), jnp.int8),
-            row_buf=pltpu.VMEM((2, 2, c), jnp.float32),
-            out_v=pltpu.VMEM((2, b, nt), jnp.float32),
-            out_i=pltpu.VMEM((2, b, nt), jnp.int32),
-            in_sem=pltpu.SemaphoreType.DMA((2,)),
-            row_sem=pltpu.SemaphoreType.DMA((2,)),
-            outv_sem=pltpu.SemaphoreType.DMA((2,)),
-            outi_sem=pltpu.SemaphoreType.DMA((2,)),
-        )
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("t", "sub", "block", "interpret"))
-def block_topt_int8_coarse_pipelined(
-    emb8: jax.Array,        # i8 [N, d]
-    q8: jax.Array,          # i8 [B, d]
-    add_row: jax.Array,     # f32 [1, N]
-    scale_row: jax.Array,   # f32 [1, N]
-    q_scale: jax.Array,     # f32 [B, 1]
-    q_bias: jax.Array,      # f32 [B, 1]
-    t: int,
-    sub: int = 1024,
-    block: int = 1024,
-    interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """Manually pipelined variant of block_topt_int8_coarse (same output
-    contract and values; block ordering of the output tiles is identical)."""
-    n, d = emb8.shape
-    b = q8.shape[0]
-    c = block if n % block == 0 else _pick_block_coarse(n)
-    if c == 0:
-        raise ValueError(f"row count {n} not divisible by a supported block")
-    sub = min(sub, c)
-    t1 = min(t + 1, sub)
-    n_sub = c // sub
-    nblocks = n // c
-    q_scale = COSINE_WEIGHT * q_scale
-    row_aux = jnp.concatenate([add_row, scale_row], axis=0)  # [2, N]
-
-    kernel = pl.pallas_call(
-        _make_coarse_pipelined_kernel(b, c, sub, t1, nblocks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # emb stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # q8 resident
-            pl.BlockSpec(memory_space=pl.ANY),      # row aux in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.float32),
-            jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.int32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * b * d,
-            bytes_accessed=n * d + b * nblocks * n_sub * t1 * 8,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )
-    vals, idxs = kernel(emb8, q8, row_aux, q_scale, q_bias)
-    vals = jnp.transpose(vals, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
-    idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
-    return vals, idxs
 
 
 def quantize_queries_int8(q: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:

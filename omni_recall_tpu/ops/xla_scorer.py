@@ -26,6 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from omni_recall_tpu.ops.merge import top_k_with_payload
 from omni_recall_tpu.ops.oracle import (
     COSINE_WEIGHT,
     KEYWORD_WEIGHT,
@@ -63,9 +64,7 @@ def _topk_rows(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     glob_i = loc_i + base
     flat_v = loc_v.reshape(b, blocks * k)
     flat_i = glob_i.reshape(b, blocks * k)
-    top_v, pos = jax.lax.top_k(flat_v, k)
-    top_i = jnp.take_along_axis(flat_i, pos, axis=1)
-    return top_v, top_i
+    return top_k_with_payload(flat_v, flat_i, k)
 
 
 def ub_scores(

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from omni_recall_tpu.ops import pallas_scorer, xla_scorer
+from omni_recall_tpu.ops.merge import top_k_with_payload
 
 
 def _globalize_and_merge(out_v, out_i, row_offset, m):
@@ -34,8 +35,7 @@ def _globalize_and_merge(out_v, out_i, row_offset, m):
     shard_bounds = jnp.max(all_v[:, :, m], axis=0)  # [B]
 
     k = min(m + 1, s * m)
-    top_v, pos = jax.lax.top_k(cand_v, k)
-    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    top_v, top_i = top_k_with_payload(cand_v, cand_i, k)
     boundary_emitted = top_v[:, m] if k > m else jnp.full((b,), -jnp.inf)
     boundary = jnp.maximum(boundary_emitted, shard_bounds)
     out_v = jnp.concatenate([top_v[:, :m], boundary[:, None]], axis=1)

@@ -244,34 +244,3 @@ def test_sharded_coarse_mode_matches_oracle():
         assert [h.score for h in got] == [h.score for h in want]
 
 
-def test_pipelined_coarse_kernel_matches_grid_variant():
-    """The manually double-buffered coarse kernel (an experiment toward
-    overlapping the emb DMA stream with compute; not the default — its
-    Mosaic compile is pathological at serving batch on this toolchain) must
-    stay bit-identical to the grid kernel."""
-    from omni_recall_tpu.ops.quantize import quantize_rows_int8
-
-    rng = np.random.default_rng(6)
-    n, d, b = 512, 64, 4
-    emb = rng.standard_normal((n, d)).astype(np.float32)
-    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    emb8, scale, err = quantize_rows_int8(emb)
-    q = rng.standard_normal((b, d)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
-    q8, q_scale, eq = pallas_scorer.quantize_queries_int8(jnp.asarray(q))
-    created = jnp.linspace(0.0, 30.0, n, dtype=jnp.float32)
-    valid = jnp.ones((n,), bool)
-    add_row = pallas_scorer.make_add_row(
-        created, valid, jnp.float32(30.0), jnp.int32(7)
-    )
-    q_bias = 0.7 * eq + 0.2
-    args = (jnp.asarray(emb8), q8, add_row, jnp.asarray(scale)[None, :],
-            q_scale, q_bias)
-    va, ia = pallas_scorer.block_topt_int8_coarse(
-        *args, t=2, sub=128, block=256, interpret=True
-    )
-    vb, ib = pallas_scorer.block_topt_int8_coarse_pipelined(
-        *args, t=2, sub=128, block=256, interpret=True
-    )
-    assert np.array_equal(np.asarray(va), np.asarray(vb))
-    assert np.array_equal(np.asarray(ia), np.asarray(ib))

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from omni_recall_tpu.ops import pallas_scorer
+from omni_recall_tpu.ops import merge, pallas_scorer
 
 N = int(os.environ.get("SWEEP_N", 1 << 20))
 D = 768
@@ -48,8 +48,7 @@ def run(b, block, sub, emb8, r_scale, add_row):
                 top_v = jnp.max(cand_v, axis=1, keepdims=True)
                 top_i = jnp.argmax(cand_i, axis=1, keepdims=True).astype(jnp.int32)
             else:
-                top_v, pos = jax.lax.top_k(cand_v, 128)
-                top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+                top_v, top_i = merge.top_k_with_payload(cand_v, cand_i, 128)
             new_c = top_v[:, 0] + top_i[:, 0].astype(jnp.float32) * 1e-9
             return new_c, None
         carry, _ = jax.lax.scan(body, carry, q_all)
