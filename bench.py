@@ -183,7 +183,10 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     }
 
 
-def bench_10m(b: int = 448, d: int = 768, bits: int = 512) -> dict:
+def bench_10m(
+    b: int = 448, d: int = 768, bits: int = 512,
+    sub: int | None = None, block: int | None = None,
+) -> dict:
     """10M-chunk single-chip scan (BASELINE.json configs[4] capacity proof):
     int8 storage (7.5 GiB) + bloom (0.6 GiB) fit one v5e HBM. Data is
     generated slab-wise ON DEVICE into donated buffers — the dev tunnel
@@ -243,7 +246,9 @@ def bench_10m(b: int = 448, d: int = 768, bits: int = 512) -> dict:
             q_bias = 0.7 * eq + 0.2
             vals, idxs = pallas_scorer.block_topt_int8_coarse(
                 emb8, q8, add_row, scale[None, :], q_scale, q_bias,
-                t=1, sub=512, block=2048,
+                t=1,
+                sub=sub or int(os.environ.get("OMNI_BENCH_10M_SUB", 1024)),
+                block=block or int(os.environ.get("OMNI_BENCH_10M_BLOCK", 2048)),
             )
             bb, nb, t1 = vals.shape
             cand_v = vals[:, :, : t1 - 1].reshape(bb, -1)
@@ -460,12 +465,17 @@ def main() -> None:
         # smaller corpus for the e2e stage: it validates the full engine
         # path (scan + certificate + host rescore), not the scan rate
         details.update(bench_e2e(min(n, 1 << 18), d, min(b, 128), bits, batches=3))
-        # projected production e2e: device scan + host rescore pipelined;
-        # the rescore stage runs at the pair width the two-phase prune
-        # actually rescored per query on this corpus
+        # projected production e2e: device scan + host rescore pipelined.
+        # The rescore stage runs at the pair width the two-phase prune
+        # actually rescored per query on this corpus, and queries whose
+        # coarse certificate failed pay a second (full-fused) scan plus a
+        # second rescore round.
         if "host_rescore_pruned_qps" in details:
             r = details["host_rescore_pruned_qps"]
-            details["e2e_qps_projected"] = round(1.0 / (1.0 / qps + 1.0 / r), 1)
+            esc = 1.0 - details.get("e2e_coarse_resolved_frac", 1.0)
+            full_qps = details.get("full_fused_scan_qps", qps)
+            cost = 1.0 / qps + 1.0 / r + esc * (1.0 / full_qps + 1.0 / r)
+            details["e2e_qps_projected"] = round(1.0 / cost, 1)
             details["e2e_qps_projected_unpruned"] = round(
                 1.0 / (1.0 / qps + 1.0 / details["host_rescore_qps"]), 1
             )

@@ -120,6 +120,9 @@ class EmbeddingsOptions:
     # Program.cs:50-57)
     provider: str = "None"
     dim: int = 768
+    # optional fine-tuned local-encoder checkpoint (models/encoder.py
+    # save_params format); used only when provider == "Local"
+    checkpoint: str = ""
 
 
 @dataclass
@@ -175,6 +178,8 @@ class EngineOptions:
     # the pruned union equals the kth over all candidates. Cuts the host
     # float64 rescore work ~3-4x on discriminative corpora.
     rescore_prune: bool = True
+    # phase-1 width of the two-phase rescore (clamped up to the request's k)
+    rescore_phase1: int = 32
     # coarse prepass (pallas + int8 + exact only): first scan computes
     # cosine + recency with the keyword term bounded per query by
     # 0.2*min(1, sum_w + bias); the certificate still guarantees exactness

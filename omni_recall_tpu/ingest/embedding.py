@@ -99,6 +99,84 @@ class HashEmbeddingClient:
         return EmbeddingResult(vec, EmbeddingStatus.SUCCESS, model="hash")
 
 
+class LocalEncoderEmbeddingClient:
+    """On-device transformer embedder (models/encoder.py) as an embedding
+    provider: the framework runs fully self-contained — ingestion and query
+    embeddings computed on the TPU, no network dependency. NEW vs the
+    reference, whose embeddings are all remote HTTPS
+    (GeminiEmbeddingClient.cs); selected with Embeddings:Provider=Local.
+
+    Batches are padded to power-of-two sizes so jit recompiles are bounded
+    (one compile per bucket); a fine-tuned checkpoint (models/encoder.py
+    save_params, e.g. from tools/train_embedder_demo.py) is loaded when
+    Embeddings:Checkpoint is set, otherwise deterministic seed-0 init."""
+
+    _BUCKETS = (1, 8, 32, 128)
+
+    def __init__(
+        self, dim: int = 768, checkpoint: str = "", seed: int = 0, cfg=None
+    ) -> None:
+        import jax
+        from functools import partial as _partial
+
+        from omni_recall_tpu.models import encoder
+
+        self._enc = encoder
+        if checkpoint:
+            self.params, self.cfg = encoder.load_params(checkpoint)
+            if self.cfg.out_dim != dim:
+                raise ValueError(
+                    f"checkpoint out_dim {self.cfg.out_dim} != Embeddings:Dim {dim}"
+                )
+            self.model = f"local-encoder:{checkpoint}"
+        else:
+            self.cfg = cfg or encoder.EncoderConfig(out_dim=dim)
+            self.params = encoder.init_params(jax.random.PRNGKey(seed), self.cfg)
+            self.model = "local-encoder"
+        self._forward = jax.jit(_partial(encoder.forward, cfg=self.cfg))
+
+    def _embed_many(self, texts: list[str]) -> list[EmbeddingResult]:
+        import numpy as np
+
+        nonempty = [i for i, t in enumerate(texts) if t.strip()]
+        out: list[EmbeddingResult] = [
+            EmbeddingResult([], EmbeddingStatus.EMPTY, model=self.model)
+            for _ in texts
+        ]
+        if not nonempty:
+            return out
+        try:
+            ids = self._enc.tokenize_batch([texts[i] for i in nonempty], self.cfg)
+            bucket = next(
+                (b for b in self._BUCKETS if b >= len(nonempty)),
+                ((len(nonempty) + 127) // 128) * 128,
+            )
+            if bucket > len(nonempty):
+                ids = np.concatenate(
+                    [ids, np.zeros((bucket - len(nonempty), ids.shape[1]), ids.dtype)]
+                )
+            vecs = np.asarray(self._forward(self.params, ids))
+            for row, i in enumerate(nonempty):
+                out[i] = EmbeddingResult(
+                    [float(v) for v in vecs[row]], EmbeddingStatus.SUCCESS,
+                    model=self.model,
+                )
+        except Exception as exc:  # never raise (IEmbeddingClient.cs contract)
+            for i in nonempty:
+                out[i] = EmbeddingResult(
+                    [], EmbeddingStatus.ERROR, model=self.model, message=str(exc)
+                )
+        return out
+
+    def embed(self, text: str) -> EmbeddingResult:
+        return self._embed_many([text])[0]
+
+    def embed_batch(self, texts: list[str]) -> list[EmbeddingResult]:
+        """One device pass for a whole chunk batch — the ingestion service
+        prefers this over bounded-parallel single calls when present."""
+        return self._embed_many(texts)
+
+
 class FakeEmbeddingClient:
     """Scripted test double (reference pattern:
     DocumentIngestionServiceTests.cs FakeEmbeddingClient)."""

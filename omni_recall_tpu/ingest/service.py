@@ -245,6 +245,25 @@ class DocumentIngestionService:
     ) -> list[EmbeddingResult]:
         if not texts:
             return []
+        # device-side providers embed the whole batch in one pass (one TPU
+        # dispatch); the reference's bounded-parallel loop exists for REMOTE
+        # providers' HTTP latency (DocumentIngestionService.cs:309-328)
+        batch_embed = getattr(self.embedding_client, "embed_batch", None)
+        if callable(batch_embed):
+            try:
+                results_b = batch_embed(texts)
+                if len(results_b) == len(texts):
+                    return results_b
+                logger.warning(
+                    "embed_batch returned %d results for %d texts during %s "
+                    "for %s; falling back to per-text embedding",
+                    len(results_b), len(texts), operation, context_id,
+                )
+            except Exception as exc:
+                logger.warning(
+                    "Batch embedding failed during %s for %s: %s; falling "
+                    "back to per-text embedding", operation, context_id, exc,
+                )
         parallelism = min(8, max(1, self.options.embedding_parallelism))
         results: list[EmbeddingResult | None] = [None] * len(texts)
 

@@ -196,3 +196,56 @@ def make_train_step(cfg: EncoderConfig, optimizer=None):
         return params, opt_state, loss
 
     return optimizer, train_step
+
+
+# -- checkpointing ----------------------------------------------------------
+
+def save_params(path: str, params: dict, cfg: EncoderConfig) -> None:
+    """Persist params + config as a single .npz (flattened pytree paths).
+
+    Deliberately dependency-light (numpy only): the encoder is small enough
+    that a full-copy save is cheap; sharded/async checkpointing (orbax) is
+    unnecessary at this size."""
+    import json
+
+    flat: dict[str, np.ndarray] = {}
+
+    def walk(prefix: str, node) -> None:
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}.{k}" if prefix else k, v)
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(f"{prefix}.{i}", v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    flat["__config__"] = np.frombuffer(
+        json.dumps(cfg.__dict__).encode("utf-8"), dtype=np.uint8
+    )
+    np.savez(path, **flat)
+
+
+def load_params(path: str) -> tuple[dict, EncoderConfig]:
+    """Inverse of save_params."""
+    import json
+
+    with np.load(path) as data:
+        cfg = EncoderConfig(
+            **json.loads(bytes(data["__config__"].tobytes()).decode("utf-8"))
+        )
+        params: dict = {"layers": [{} for _ in range(cfg.n_layers)]}
+        for key in data.files:
+            if key == "__config__":
+                continue
+            arr = jnp.asarray(data[key])
+            parts = key.split(".")
+            node = params
+            for part in parts[:-1]:
+                if part.isdigit():
+                    node = node[int(part)]
+                else:
+                    node = node.setdefault(part, {})
+            node[parts[-1]] = arr
+    return params, cfg

@@ -317,7 +317,7 @@ class RecallEngine:
             c = pallas_scorer._pick_block_coarse(n_local)
             if c == 0:
                 return None
-            sub = min(512, c)
+            sub = min(1024, c)  # swept optimum (tools/sweep_coarse.py)
             slices = n_local // sub
             t = min(PALLAS_BLOCK_T, sub - 1, max(1, math.ceil(2 * m / slices)))
             if m > slices * t:
@@ -337,7 +337,7 @@ class RecallEngine:
         c = pallas_scorer._pick_block_coarse(n_rows_padded)
         if c == 0:
             return None
-        sub = min(512, c)
+        sub = min(1024, c)  # swept optimum (tools/sweep_coarse.py)
         slices = n_rows_padded // sub
         t = min(PALLAS_BLOCK_T, sub - 1, max(1, math.ceil(2 * m / slices)))
         if m > slices * t:
@@ -523,8 +523,9 @@ class RecallEngine:
         assert dix is not None
 
         if ub_lists is not None and ks is not None:
+            phase1 = getattr(self.options, "rescore_phase1", self._RESCORE_PHASE1)
             p1s = [
-                min(len(rows), max(self._RESCORE_PHASE1, ks[qi]))
+                min(len(rows), max(phase1, ks[qi]))
                 for qi, rows in enumerate(row_lists)
             ]
             if any(len(rows) > p1 for rows, p1 in zip(row_lists, p1s)):

@@ -92,6 +92,15 @@ class OmniRecallApp(WsgiApp):
                 )
             elif provider == "hash":
                 self.embedding_client = HashEmbeddingClient(config.embeddings.dim)
+            elif provider == "local":
+                from omni_recall_tpu.ingest.embedding import (
+                    LocalEncoderEmbeddingClient,
+                )
+
+                self.embedding_client = LocalEncoderEmbeddingClient(
+                    config.embeddings.dim,
+                    checkpoint=config.embeddings.checkpoint,
+                )
             else:
                 self.embedding_client = NoOpEmbeddingClient()
 

@@ -40,11 +40,11 @@ def run(b, block, sub, emb8, r_scale, add_row):
             bb, nb, t1 = vals.shape
             cand_v = vals[:, :, : t1 - 1].reshape(bb, -1)
             cand_i = idxs[:, :, : t1 - 1].reshape(bb, -1)
-            merge = os.environ.get("SWEEP_MERGE", "topk")
-            if merge == "approx":
+            merge_mode = os.environ.get("SWEEP_MERGE", "topk")
+            if merge_mode == "approx":
                 top_v, pos = jax.lax.approx_max_k(cand_v, 128, recall_target=1.0)
                 top_i = jnp.take_along_axis(cand_i, pos, axis=1)
-            elif merge == "none":
+            elif merge_mode == "none":
                 top_v = jnp.max(cand_v, axis=1, keepdims=True)
                 top_i = jnp.argmax(cand_i, axis=1, keepdims=True).astype(jnp.int32)
             else:

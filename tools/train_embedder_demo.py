@@ -75,6 +75,14 @@ def main() -> None:
     print(f"after training:  top-1 same-topic retrieval accuracy = {acc1:.3f}", flush=True)
     assert acc1 > acc0, "training must improve retrieval"
 
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "--save":
+        path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/embedder.npz"
+        encoder.save_params(path, params, cfg)
+        print(f"saved checkpoint to {path} — serve it with "
+              f"OMNI__Embeddings__Provider=Local "
+              f"OMNI__Embeddings__Checkpoint={path}", flush=True)
+
 
 if __name__ == "__main__":
     main()
