@@ -184,7 +184,7 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
 
 
 def bench_10m(
-    b: int = 448, d: int = 768, bits: int = 512,
+    b: int | None = None, d: int = 768, bits: int = 512,
     sub: int | None = None, block: int | None = None,
 ) -> dict:
     """10M-chunk single-chip scan (BASELINE.json configs[4] capacity proof):
@@ -194,6 +194,12 @@ def bench_10m(
     take >10 minutes; device-side generation takes seconds."""
     import functools as ft
 
+    # swept optimum (tools/sweep_10m.py): B=896/sub=1024/block=2048 =
+    # 12.4k QPS (84% of the 14.7k int8-TOPS ceiling at 10M x 768) with the
+    # FULL index resident (incl. the bloom planes the escalation path
+    # needs). B=1536 reaches 12.7k but only fits this chip's free HBM with
+    # bloom/err dropped; B=448 is the latency config (37.6 ms/scan).
+    b = b or int(os.environ.get("OMNI_BENCH_10M_B", 896))
     n = 10 * (1 << 20)
     slab = 1 << 20
     w = bits // 8

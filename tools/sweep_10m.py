@@ -1,0 +1,129 @@
+"""Sweep the 10M-chunk coarse-scan config (B, sub, block) on the real chip.
+
+bench.bench_10m regenerates the 10 GiB index per call; this tool generates
+once and times each kernel config against the same buffers, so a 6-point
+sweep costs ~6 compiles instead of 6 full data generations.
+
+Usage: python tools/sweep_10m.py [b,sub,block ...]   (defaults below)
+"""
+from __future__ import annotations
+
+import functools as ft
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omni_recall_tpu.ops import merge, pallas_scorer
+
+N = 10 * (1 << 20)
+D = 768
+BITS = 512
+SLAB = 1 << 20
+
+DEFAULT_CONFIGS = [
+    (448, 512, 2048),
+    (448, 1024, 2048),
+    (896, 1024, 2048),
+    (1536, 512, 2048),
+    (1536, 1024, 2048),
+    (1536, 1024, 4096),
+]
+
+
+def build_index():
+    w = BITS // 8
+
+    @ft.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def fill_slab(emb8, scale, err, bloom, key, start):
+        f = jax.random.normal(key, (SLAB, D), dtype=jnp.float32)
+        f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
+        absmax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
+        s = (absmax / 127.0)[:, 0]
+        q = jnp.clip(jnp.round(f / (absmax / 127.0)), -127, 127).astype(jnp.int8)
+        e = jnp.linalg.norm(f - q.astype(jnp.float32) * s[:, None], axis=1) * 1.000001
+        bl = (
+            jax.random.bits(key, (SLAB, w), dtype=jnp.uint8)
+            & jax.random.bits(jax.random.fold_in(key, 1), (SLAB, w), dtype=jnp.uint8)
+        )
+        emb8 = jax.lax.dynamic_update_slice(emb8, q, (start, 0))
+        scale = jax.lax.dynamic_update_slice(scale, s, (start,))
+        err = jax.lax.dynamic_update_slice(err, e, (start,))
+        bloom = jax.lax.dynamic_update_slice(bloom, bl, (start, 0))
+        return emb8, scale, err, bloom
+
+    emb8 = jnp.zeros((N, D), dtype=jnp.int8)
+    scale = jnp.zeros((N,), dtype=jnp.float32)
+    err = jnp.zeros((N,), dtype=jnp.float32)
+    bloom = jnp.zeros((N, w), dtype=jnp.uint8)
+    key = jax.random.PRNGKey(42)
+    for i in range(N // SLAB):
+        emb8, scale, err, bloom = fill_slab(
+            emb8, scale, err, bloom, jax.random.fold_in(key, i), jnp.int32(i * SLAB)
+        )
+    del err, bloom  # coarse scan doesn't read them; free ~0.6 GiB
+    created = jnp.linspace(0.0, 365.0, N, dtype=jnp.float32)
+    valid = jnp.ones((N,), dtype=bool)
+    add_row = pallas_scorer.make_add_row(
+        created, valid, jnp.float32(365.0), jnp.int32(0)
+    )
+    return emb8, scale, add_row
+
+
+def run_config(b, sub, block, emb8, scale, add_row, g=4, steps=2, m=128):
+    q_all = jax.random.normal(jax.random.PRNGKey(7), (g, b, D), dtype=jnp.float32)
+    q_all = q_all / jnp.linalg.norm(q_all, axis=-1, keepdims=True)
+
+    @jax.jit
+    def megastep(carry, emb8, scale, add_row, q_all):
+        def body(c, q):
+            q = q + 1e-12 * c[:, None]
+            q8, q_scale, eq = pallas_scorer.quantize_queries_int8(q)
+            q_bias = 0.7 * eq + 0.2
+            vals, idxs = pallas_scorer.block_topt_int8_coarse(
+                emb8, q8, add_row, scale[None, :], q_scale, q_bias,
+                t=1, sub=sub, block=block,
+            )
+            bb, nb, t1 = vals.shape
+            cand_v = vals[:, :, : t1 - 1].reshape(bb, -1)
+            cand_i = idxs[:, :, : t1 - 1].reshape(bb, -1)
+            top_v, top_i = merge.top_k_with_payload(cand_v, cand_i, m)
+            return top_v[:, 0] + top_i[:, 0].astype(jnp.float32) * 1e-9, None
+        carry, _ = jax.lax.scan(body, carry, q_all)
+        return carry
+
+    carry = jnp.zeros((b,), dtype=jnp.float32)
+    carry = megastep(carry, emb8, scale, add_row, q_all)
+    _ = np.asarray(carry[:2])
+    start = time.perf_counter()
+    c = carry
+    for _ in range(steps):
+        c = megastep(c, emb8, scale, add_row, q_all)
+    _ = np.asarray(c[:2])
+    elapsed = time.perf_counter() - start
+    scans = g * steps
+    return elapsed / scans * 1000.0, b * scans / elapsed
+
+
+def main() -> None:
+    configs = DEFAULT_CONFIGS
+    if len(sys.argv) > 1:
+        configs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]]
+    print(f"building 10M index on {jax.default_backend()}...", flush=True)
+    t0 = time.perf_counter()
+    emb8, scale, add_row = build_index()
+    print(f"  built in {time.perf_counter() - t0:.1f}s", flush=True)
+    for b, sub, block in configs:
+        try:
+            ms, qps = run_config(b, sub, block, emb8, scale, add_row)
+            print(f"B={b:5d} sub={sub:5d} block={block:5d}: "
+                  f"{ms:7.2f} ms/scan  {qps:9.1f} QPS", flush=True)
+        except Exception as exc:
+            print(f"B={b:5d} sub={sub:5d} block={block:5d}: FAILED "
+                  f"{type(exc).__name__}: {str(exc)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
