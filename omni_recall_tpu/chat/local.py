@@ -1,0 +1,112 @@
+"""Local on-TPU chat provider: models/decoder.py behind the IAiChatClient
+contract (complete(AiChatRequest) -> AiChatResponse, IAiChatClient.cs:5-9).
+
+NEW vs the reference, whose chat providers are all remote HTTPS
+(GeminiChatClient.cs / GitHubModelsChatClient.cs). With
+Embeddings:Provider=Local this makes the whole stack self-contained on the
+device: no API key, no network. Selected with Ai:Provider=Local; quality is
+whatever the configured checkpoint was trained to do (Ai:Local:Checkpoint,
+models/decoder.py save_params format, e.g. from tools/train_chat_demo.py) —
+the seed-0 default is an UNTRAINED model and is only useful for smoke tests
+and as a template for fine-tuning.
+
+Serving mechanics (the TPU-relevant part):
+- prompts are left-padded into power-of-two length buckets and decode runs a
+  fixed number of steps per call, so jit compiles once per (bucket, steps)
+  pair and every later call reuses the compiled prefill+scan executable,
+- generation is deterministic greedy by default (temperature 0) so answers
+  are reproducible; sampling is opt-in via Ai:Local:Temperature.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+from omni_recall_tpu.contracts import AiChatRequest, AiChatResponse
+
+logger = logging.getLogger(__name__)
+
+_PROMPT_BUCKETS = (128, 256, 512)
+
+
+class LocalDecoderChatClient:
+    provider_name = "local"
+
+    def __init__(
+        self,
+        checkpoint: str = "",
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        seed: int = 0,
+        cfg=None,
+        params=None,
+    ) -> None:
+        import jax
+
+        from omni_recall_tpu.models import decoder
+
+        self._dec = decoder
+        self._jax = jax
+        self._lock = threading.Lock()  # generation mutates no state; lock
+        # only serializes first-use compilation bursts
+        if params is not None:
+            self.params, self.cfg = params, cfg or decoder.DecoderConfig()
+            self.model = "local-decoder"
+        elif checkpoint:
+            self.params, self.cfg = decoder.load_params(checkpoint)
+            self.model = f"local-decoder:{checkpoint}"
+        else:
+            self.cfg = cfg or decoder.DecoderConfig()
+            self.params = decoder.init_params(jax.random.PRNGKey(seed), self.cfg)
+            self.model = "local-decoder"
+        self.max_new_tokens = max(1, min(max_new_tokens, self.cfg.max_len - 1))
+        self.temperature = float(temperature)
+
+    def _bucket_for(self, n_tokens: int) -> int:
+        return next(
+            (b for b in _PROMPT_BUCKETS
+             if b >= n_tokens and b + self.max_new_tokens <= self.cfg.max_len),
+            min(_PROMPT_BUCKETS[-1], self.cfg.max_len - self.max_new_tokens),
+        )
+
+    def warmup_async(self) -> threading.Thread:
+        """Compile the serving executable in the background so the first
+        user request doesn't pay it. Grounded prompts are almost always
+        truncated to the maximum length, so warming the maximal bucket
+        covers the common case (one compile per (bucket, steps) pair)."""
+        def _warm():
+            try:
+                max_prompt = "x" * (self.cfg.max_len - self.max_new_tokens - 1)
+                self.complete(AiChatRequest(max_prompt))
+            except Exception as exc:  # compile/generation problems surface
+                logger.warning("Local decoder warmup failed: %s", exc)
+
+        t = threading.Thread(target=_warm, daemon=True, name="local-chat-warmup")
+        t.start()
+        return t
+
+    def complete(self, request: AiChatRequest) -> AiChatResponse:
+        import numpy as np
+
+        toks = self._dec.encode_text(
+            request.prompt, max_bytes=self.cfg.max_len - self.max_new_tokens - 1
+        )
+        bucket = self._bucket_for(len(toks))
+        prompt = self._dec.pad_left_batch([toks], bucket)
+        key = self._jax.random.PRNGKey(abs(hash(request.prompt)) % (1 << 31))
+        with self._lock:
+            out = self._dec.generate(
+                self.params, prompt, self.cfg, self.max_new_tokens, key,
+                temperature=self.temperature,
+            )
+        text = self._dec.decode_tokens(np.asarray(out)[0]).strip()
+        if not text:
+            # contract: providers raise on empty output; the router treats it
+            # as a non-transient provider failure -> recall-only fallback
+            # (GeminiChatClient.cs:170-204 analogue)
+            raise RuntimeError(
+                "Local decoder produced an empty answer "
+                "(untrained or out-of-domain checkpoint)."
+            )
+        return AiChatResponse(text, self.model, self.provider_name)

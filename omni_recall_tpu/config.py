@@ -39,6 +39,19 @@ class AiRoutingOptions:
 
 
 @dataclass
+class AiOptions:
+    """Chat provider selection. NEW vs the reference (its chat path is
+    always remote Gemini->GitHub, Program.cs:36-49): 'Local' serves the
+    on-device decoder (models/decoder.py via chat/local.py) as the primary
+    provider, with the remote chain as fallback."""
+
+    provider: str = "Remote"  # Remote | Local
+    local_checkpoint: str = ""  # models/decoder.py save_params .npz
+    local_max_new_tokens: int = 128
+    local_temperature: float = 0.0  # 0 = deterministic greedy
+
+
+@dataclass
 class IngestionOptions:
     """IngestionOptions.cs:5-8."""
 
@@ -190,6 +203,7 @@ class EngineOptions:
 
 @dataclass
 class AppConfig:
+    ai: AiOptions = field(default_factory=AiOptions)
     ai_routing: AiRoutingOptions = field(default_factory=AiRoutingOptions)
     ingestion: IngestionOptions = field(default_factory=IngestionOptions)
     chat_quality: ChatQualityOptions = field(default_factory=ChatQualityOptions)
@@ -204,6 +218,7 @@ class AppConfig:
 
 
 _SECTION_NAMES = {
+    "Ai": "ai",
     "AiRouting": "ai_routing",
     "Ingestion": "ingestion",
     "ChatQuality": "chat_quality",

@@ -1,0 +1,422 @@
+"""Local generative chat model: a compact pure-JAX causal transformer.
+
+The reference's chat path is remote-only (GeminiChatClient.cs /
+GitHubModelsChatClient.cs over HTTPS). Together with the local encoder
+(models/encoder.py as the embedding provider) this module completes the
+fully self-contained TPU stack: ingestion, recall, AND answer generation all
+run on the device with zero network dependency. Selected with
+Ai:Provider=Local (chat/local.py wraps it in the IAiChatClient contract).
+
+TPU-first serving design:
+- **byte-level reversible vocabulary** (PAD/BOS/EOS + 256 bytes, padded to
+  384 rows so the LM head tiles the MXU lanes) — generation must detokenize,
+  so the encoder's hashed vocabulary is not reusable here,
+- **left-padded prompts**: every row of a batch ends at the same position,
+  so the KV cache advances with ONE scalar position per step instead of
+  per-row dynamic scatters (the standard TPU serving layout),
+- **prefill/decode split**: prefill runs the full prompt through the MXU in
+  one batched pass and writes the KV cache; decode is a `lax.scan` of
+  single-token steps against the static-shape cache — no Python loop, no
+  recompiles, one compilation per (batch, prompt_len, n_steps) bucket,
+- matmuls carry ``preferred_element_type=float32`` with bf16 compute/cache,
+- `param_specs` shards heads/FFN/vocab on 'model' and the batch on 'data'
+  (same dp x tp recipe as the encoder).
+
+Positional caveat: positions are absolute over the left-padded buffer, so a
+prompt's token positions depend on its bucket width. Train with
+`pad_left_batch` at the same bucket widths you serve (tools/train_chat_demo.py
+does); the serving client picks the bucket deterministically from the prompt
+length, so generation stays reproducible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+PAD, BOS, EOS = 0, 1, 2
+_BYTE0 = 3  # byte b encodes as _BYTE0 + b
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 384  # 259 used; padded to a lane-friendly width
+    d_model: int = 256
+    n_layers: int = 4
+    n_heads: int = 4
+    d_ff: int = 1024
+    max_len: int = 640  # prompt buffer + generated tokens
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+# -- tokenization (reversible, byte-level) ----------------------------------
+
+def encode_text(text: str, max_bytes: int | None = None) -> list[int]:
+    data = text.encode("utf-8", errors="surrogatepass")
+    if max_bytes is not None:
+        data = data[-max_bytes:]  # keep the tail: recency matters for chat
+    return [BOS] + [_BYTE0 + b for b in data]
+
+
+def decode_tokens(tokens) -> str:
+    data = bytes(
+        int(t) - _BYTE0 for t in tokens if _BYTE0 <= int(t) < _BYTE0 + 256
+    )
+    return data.decode("utf-8", errors="replace")
+
+
+def pad_left_batch(token_lists: list[list[int]], length: int) -> np.ndarray:
+    """Left-pad to [B, length] so all rows end at position length-1."""
+    out = np.zeros((len(token_lists), length), dtype=np.int32)
+    for i, toks in enumerate(token_lists):
+        toks = toks[-length:]
+        out[i, length - len(toks):] = toks
+    return out
+
+
+# -- parameters -------------------------------------------------------------
+
+def init_params(key: jax.Array, cfg: DecoderConfig) -> dict:
+    keys = iter(jax.random.split(key, 3 + 8 * cfg.n_layers))
+
+    def dense(k, shape, scale=None):
+        scale = scale if scale is not None else 1.0 / np.sqrt(shape[0])
+        return jax.random.normal(k, shape, dtype=jnp.float32) * scale
+
+    params: dict = {
+        "tok_embed": dense(next(keys), (cfg.vocab_size, cfg.d_model), scale=0.02),
+        "pos_embed": dense(next(keys), (cfg.max_len, cfg.d_model), scale=0.02),
+        "lm_head": dense(next(keys), (cfg.d_model, cfg.vocab_size)),
+        "final_ln": {"scale": jnp.ones(cfg.d_model), "bias": jnp.zeros(cfg.d_model)},
+        "layers": [],
+    }
+    for _ in range(cfg.n_layers):
+        params["layers"].append(
+            {
+                "ln1": {"scale": jnp.ones(cfg.d_model), "bias": jnp.zeros(cfg.d_model)},
+                "ln2": {"scale": jnp.ones(cfg.d_model), "bias": jnp.zeros(cfg.d_model)},
+                "wq": dense(next(keys), (cfg.d_model, cfg.d_model)),
+                "wk": dense(next(keys), (cfg.d_model, cfg.d_model)),
+                "wv": dense(next(keys), (cfg.d_model, cfg.d_model)),
+                "wo": dense(next(keys), (cfg.d_model, cfg.d_model)),
+                "w1": dense(next(keys), (cfg.d_model, cfg.d_ff)),
+                "b1": jnp.zeros(cfg.d_ff),
+                "w2": dense(next(keys), (cfg.d_ff, cfg.d_model)),
+                "b2": jnp.zeros(cfg.d_model),
+            }
+        )
+    return params
+
+
+def param_specs(cfg: DecoderConfig) -> dict:
+    """PartitionSpecs over a ('data', 'model') mesh (encoder.py recipe)."""
+    layer = {
+        "ln1": {"scale": P(), "bias": P()},
+        "ln2": {"scale": P(), "bias": P()},
+        "wq": P(None, "model"),
+        "wk": P(None, "model"),
+        "wv": P(None, "model"),
+        "wo": P("model", None),
+        "w1": P(None, "model"),
+        "b1": P("model"),
+        "w2": P("model", None),
+        "b2": P(),
+    }
+    return {
+        "tok_embed": P("model", None),
+        "pos_embed": P(),
+        "lm_head": P(None, "model"),
+        "final_ln": {"scale": P(), "bias": P()},
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+    }
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+# -- training forward (teacher forcing, causal mask) ------------------------
+
+def forward(params: dict, token_ids: jax.Array, cfg: DecoderConfig) -> jax.Array:
+    """token_ids i32[B, L] -> logits f32[B, L, vocab]. PAD positions attend
+    to nothing and nothing attends to them."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    b, l = token_ids.shape
+    valid = token_ids != PAD  # [B, L]
+    x = params["tok_embed"][token_ids] + params["pos_embed"][None, :l]
+    x = x.astype(dtype)
+    causal = jnp.tril(jnp.ones((l, l), dtype=bool))
+    mask = causal[None, :, :] & valid[:, None, :]  # [B, Lq, Lk]
+    for layer in params["layers"]:
+        layer = jax.tree.map(lambda p: p.astype(dtype), layer)
+        h = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
+        x = x + _attention_full(h, layer, mask, cfg).astype(dtype)
+        h = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
+        x = x + _ffn(h, layer).astype(dtype)
+    x = _layer_norm(
+        x.astype(jnp.float32), params["final_ln"]["scale"], params["final_ln"]["bias"]
+    )
+    return jnp.einsum(
+        "bld,dv->blv", x, params["lm_head"], preferred_element_type=jnp.float32
+    )
+
+
+def _attention_full(x, layer, mask, cfg: DecoderConfig):
+    b, l, d = x.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+
+    def heads(w):
+        return jnp.einsum(
+            "bld,dk->blk", x, w, preferred_element_type=jnp.float32
+        ).reshape(b, l, h, hd)
+
+    q, k, v = heads(layer["wq"]), heads(layer["wk"]), heads(layer["wv"])
+    logits = jnp.einsum("blhe,bmhe->bhlm", q, k, preferred_element_type=jnp.float32)
+    logits = logits / np.sqrt(hd)
+    logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhlm,bmhe->blhe", weights, v, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "blk,kd->bld", out.reshape(b, l, h * hd).astype(x.dtype), layer["wo"],
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _ffn(h, layer):
+    ff = jnp.einsum("bld,df->blf", h, layer["w1"], preferred_element_type=jnp.float32)
+    ff = jax.nn.gelu(ff + layer["b1"]).astype(h.dtype)
+    ff = jnp.einsum("blf,fd->bld", ff, layer["w2"], preferred_element_type=jnp.float32)
+    return ff + layer["b2"]
+
+
+# -- serving: prefill + KV-cache decode -------------------------------------
+
+def init_cache(cfg: DecoderConfig, batch: int) -> list[dict]:
+    dtype = jnp.dtype(cfg.compute_dtype)
+    return [
+        {
+            "k": jnp.zeros((batch, cfg.max_len, cfg.n_heads, cfg.head_dim), dtype),
+            "v": jnp.zeros((batch, cfg.max_len, cfg.n_heads, cfg.head_dim), dtype),
+        }
+        for _ in range(cfg.n_layers)
+    ]
+
+
+def prefill(params: dict, token_ids: jax.Array, cfg: DecoderConfig):
+    """Left-padded prompt i32[B, Lp] -> (last-position logits f32[B, vocab],
+    cache filled for positions [0, Lp))."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    b, lp = token_ids.shape
+    valid = token_ids != PAD
+    x = params["tok_embed"][token_ids] + params["pos_embed"][None, :lp]
+    x = x.astype(dtype)
+    causal = jnp.tril(jnp.ones((lp, lp), dtype=bool))
+    mask = causal[None, :, :] & valid[:, None, :]
+    cache = init_cache(cfg, b)
+    for li, layer in enumerate(params["layers"]):
+        layer = jax.tree.map(lambda p: p.astype(dtype), layer)
+        h = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
+        hh, hd = cfg.n_heads, cfg.head_dim
+
+        def heads(w, src=h):
+            return jnp.einsum(
+                "bld,dk->blk", src, w, preferred_element_type=jnp.float32
+            ).reshape(b, lp, hh, hd)
+
+        q, k, v = heads(layer["wq"]), heads(layer["wk"]), heads(layer["wv"])
+        cache[li]["k"] = jax.lax.dynamic_update_slice(
+            cache[li]["k"], k.astype(dtype), (0, 0, 0, 0)
+        )
+        cache[li]["v"] = jax.lax.dynamic_update_slice(
+            cache[li]["v"], v.astype(dtype), (0, 0, 0, 0)
+        )
+        logits = jnp.einsum("blhe,bmhe->bhlm", q, k, preferred_element_type=jnp.float32)
+        logits = logits / np.sqrt(hd)
+        logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+        weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        out = jnp.einsum("bhlm,bmhe->blhe", weights, v, preferred_element_type=jnp.float32)
+        att = jnp.einsum(
+            "blk,kd->bld", out.reshape(b, lp, hh * hd).astype(dtype), layer["wo"],
+            preferred_element_type=jnp.float32,
+        )
+        x = x + att.astype(dtype)
+        h = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
+        x = x + _ffn(h, layer).astype(dtype)
+    x_last = _layer_norm(
+        x[:, -1].astype(jnp.float32),
+        params["final_ln"]["scale"], params["final_ln"]["bias"],
+    )
+    logits_last = x_last @ params["lm_head"]
+    return logits_last, cache
+
+
+def decode_step(params: dict, cache: list[dict], token: jax.Array,
+                pos: jax.Array, cfg: DecoderConfig,
+                key_valid: jax.Array | None = None):
+    """One token i32[B] at scalar position `pos` -> (logits f32[B, vocab],
+    updated cache). Attention reads the static-shape cache masked to
+    positions <= pos (O(max_len) per step — fine at this scale and fully
+    scan-compatible; no dynamic shapes). `key_valid` bool[B, max_len] marks
+    cache positions that hold real tokens — left-PAD prompt positions MUST
+    be excluded or their (non-zero) cached k/v corrupt the attention."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    b = token.shape[0]
+    h_, hd = cfg.n_heads, cfg.head_dim
+    x = params["tok_embed"][token] + params["pos_embed"][pos]
+    x = x.astype(dtype)  # [B, d]
+    pos_mask = (jnp.arange(cfg.max_len) <= pos)[None, :]  # [1, max_len]
+    if key_valid is not None:
+        pos_mask = pos_mask & key_valid
+    for li, layer in enumerate(params["layers"]):
+        layer = jax.tree.map(lambda p: p.astype(dtype), layer)
+        h = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
+        def proj(w, src=h):
+            return jnp.einsum("bd,dk->bk", src, w,
+                              preferred_element_type=jnp.float32)
+
+        q = proj(layer["wq"]).reshape(b, h_, hd)
+        k = proj(layer["wk"]).reshape(b, 1, h_, hd).astype(dtype)
+        v = proj(layer["wv"]).reshape(b, 1, h_, hd).astype(dtype)
+        ck = jax.lax.dynamic_update_slice(cache[li]["k"], k, (0, pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache[li]["v"], v, (0, pos, 0, 0))
+        cache[li] = {"k": ck, "v": cv}
+        logits = jnp.einsum("bhe,bmhe->bhm", q.astype(dtype), ck,
+                            preferred_element_type=jnp.float32)
+        logits = logits / np.sqrt(hd)
+        logits = jnp.where(pos_mask[:, None, :], logits, -1e30)
+        weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        out = jnp.einsum("bhm,bmhe->bhe", weights, cv,
+                         preferred_element_type=jnp.float32)
+        att = jnp.einsum("bk,kd->bd", out.reshape(b, h_ * hd).astype(dtype),
+                         layer["wo"], preferred_element_type=jnp.float32)
+        x = x + att.astype(dtype)
+        h = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
+        ff = jnp.einsum("bd,df->bf", h, layer["w1"],
+                        preferred_element_type=jnp.float32)
+        ff = jax.nn.gelu(ff + layer["b1"]).astype(dtype)
+        ff = jnp.einsum("bf,fd->bd", ff, layer["w2"],
+                        preferred_element_type=jnp.float32)
+        x = x + (ff + layer["b2"]).astype(dtype)
+    x = _layer_norm(
+        x.astype(jnp.float32), params["final_ln"]["scale"], params["final_ln"]["bias"]
+    )
+    return x @ params["lm_head"], cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "temperature"))
+def generate(params: dict, prompt_ids: jax.Array, cfg: DecoderConfig,
+             n_steps: int, key: jax.Array, temperature: float = 0.0):
+    """Left-padded prompts i32[B, Lp] -> generated tokens i32[B, n_steps].
+
+    Greedy when temperature <= 0, else categorical sampling. Generation
+    continues to n_steps (static shape); tokens after a row's EOS are
+    forced to PAD so the host-side detokenizer needs no length handling."""
+    b, lp = prompt_ids.shape
+    logits0, cache = prefill(params, prompt_ids, cfg)
+    # cache-key validity: left-PAD prompt positions never become attendable;
+    # generated positions are real tokens (post-EOS PADs are masked per-row)
+    key_valid = jnp.concatenate(
+        [prompt_ids != PAD,
+         jnp.ones((b, cfg.max_len - lp), dtype=bool)], axis=1,
+    )
+
+    # only bytes and EOS are emittable: PAD/BOS and the padded vocab tail
+    # (ids >= 259) are structural, never generated
+    emit_ok = jnp.zeros((cfg.vocab_size,), dtype=bool)
+    emit_ok = emit_ok.at[EOS].set(True).at[_BYTE0:_BYTE0 + 256].set(True)
+
+    def sample(logits, k):
+        logits = jnp.where(emit_ok[None, :], logits, -1e30)
+        if temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(k, logits / temperature, axis=-1).astype(jnp.int32)
+
+    def body(carry, step):
+        cache, logits, done, kv, k = carry
+        k, sub = jax.random.split(k)
+        tok = sample(logits, sub)
+        tok = jnp.where(done, PAD, tok)
+        done = done | (tok == EOS)
+        kv = kv & ~((jnp.arange(cfg.max_len) == lp + step)[None, :] & (tok == PAD)[:, None])
+        logits, cache = decode_step(params, cache, tok, lp + step, cfg, kv)
+        return (cache, logits, done, kv, k), tok
+
+    done0 = jnp.zeros((b,), dtype=bool)
+    (_, _, _, _, _), toks = jax.lax.scan(
+        body, (cache, logits0, done0, key_valid, key), jnp.arange(n_steps)
+    )
+    return toks.T  # [B, n_steps]
+
+
+# -- training ---------------------------------------------------------------
+
+def lm_loss(params: dict, token_ids: jax.Array, cfg: DecoderConfig) -> jax.Array:
+    """Next-token cross-entropy over non-PAD targets."""
+    logits = forward(params, token_ids[:, :-1], cfg)
+    targets = token_ids[:, 1:]
+    mask = targets != PAD
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[:, :, None], axis=-1)[:, :, 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def make_train_step(cfg: DecoderConfig, optimizer=None):
+    import optax
+
+    optimizer = optimizer or optax.adamw(3e-4)
+
+    def train_step(params, opt_state, token_ids):
+        loss, grads = jax.value_and_grad(lm_loss)(params, token_ids, cfg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return optimizer, train_step
+
+
+# -- checkpointing (same .npz scheme as the encoder) ------------------------
+
+def save_params(path: str, params: dict, cfg: DecoderConfig) -> None:
+    from omni_recall_tpu.models import encoder
+
+    encoder.save_params(path, params, cfg)  # format is config-class-agnostic
+
+
+def load_params(path: str) -> tuple[dict, DecoderConfig]:
+    import json
+
+    with np.load(path) as data:
+        cfg = DecoderConfig(
+            **json.loads(bytes(data["__config__"].tobytes()).decode("utf-8"))
+        )
+    params, _ = _load_tree(path, cfg.n_layers)
+    return params, cfg
+
+
+def _load_tree(path: str, n_layers: int):
+    with np.load(path) as data:
+        params: dict = {"layers": [{} for _ in range(n_layers)]}
+        for key in data.files:
+            if key == "__config__":
+                continue
+            arr = jnp.asarray(data[key])
+            parts = key.split(".")
+            node = params
+            for part in parts[:-1]:
+                if part.isdigit():
+                    node = node[int(part)]
+                else:
+                    node = node.setdefault(part, {})
+            node[parts[-1]] = arr
+    return params, None

@@ -134,11 +134,30 @@ class OmniRecallApp(WsgiApp):
             self.store, self.raw_store, self.embedding_client,
             config.ingestion, engine=self.engine,
         )
-        self.chat_router = chat_router if chat_router is not None else AiChatRouter(
-            GeminiChatClient(config.gemini),
-            GitHubModelsChatClient(config.github_models),
-            config.ai_routing,
-        )
+        if chat_router is not None:
+            self.chat_router = chat_router
+        elif (config.ai.provider or "").strip().lower() == "local":
+            from omni_recall_tpu.chat.local import LocalDecoderChatClient
+
+            # local on-device decoder is primary; the remote chain stays as
+            # fallback (without API keys it fails -> recall-only fallback)
+            local_client = LocalDecoderChatClient(
+                checkpoint=config.ai.local_checkpoint,
+                max_new_tokens=config.ai.local_max_new_tokens,
+                temperature=config.ai.local_temperature,
+            )
+            local_client.warmup_async()  # compile overlaps server startup
+            self.chat_router = AiChatRouter(
+                local_client,
+                GeminiChatClient(config.gemini),
+                config.ai_routing,
+            )
+        else:
+            self.chat_router = AiChatRouter(
+                GeminiChatClient(config.gemini),
+                GitHubModelsChatClient(config.github_models),
+                config.ai_routing,
+            )
         self.chat_service = ChatOrchestrationService(
             self.search_service, self.chat_router, config.chat_quality
         )

@@ -45,9 +45,16 @@ class HealthProbeService:
         dependencies = [
             self._probe_store(),
             self._probe_raw_storage(),
-            self._probe_gemini(),
-            self._probe_github_models(),
         ]
+        if (self.config.ai.provider or "").strip().lower() == "local":
+            # chat is served on-device: the remote chain is only a fallback,
+            # so missing API keys must not degrade overall health
+            dependencies.append(HealthDependency(
+                "ai-local", HEALTHY, "Chat served by the on-device decoder.", 0
+            ))
+        else:
+            dependencies.append(self._probe_gemini())
+            dependencies.append(self._probe_github_models())
         if self.engine is not None:
             dependencies.append(self._probe_engine())
         statuses = [d.status for d in dependencies]
