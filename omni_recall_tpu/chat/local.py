@@ -48,8 +48,10 @@ class LocalDecoderChatClient:
 
         self._dec = decoder
         self._jax = jax
-        self._lock = threading.Lock()  # generation mutates no state; lock
-        # only serializes first-use compilation bursts
+        # serializes ALL generations, not just compiles: the chip executes
+        # one program at a time anyway, and holding the lock across the
+        # whole call also prevents duplicate cold compiles of one bucket
+        self._lock = threading.Lock()
         if params is not None:
             self.params, self.cfg = params, cfg or decoder.DecoderConfig()
             self.model = "local-decoder"
@@ -60,14 +62,20 @@ class LocalDecoderChatClient:
             self.cfg = cfg or decoder.DecoderConfig()
             self.params = decoder.init_params(jax.random.PRNGKey(seed), self.cfg)
             self.model = "local-decoder"
-        self.max_new_tokens = max(1, min(max_new_tokens, self.cfg.max_len - 1))
+        # cap generation at half the position window so the prompt always
+        # keeps at least as much room as the answer (a checkpoint with a
+        # small max_len otherwise ends up with a 0-byte prompt budget)
+        self.max_new_tokens = max(1, min(max_new_tokens, self.cfg.max_len // 2))
         self.temperature = float(temperature)
 
     def _bucket_for(self, n_tokens: int) -> int:
+        # the fallback is NOT capped at _PROMPT_BUCKETS[-1]: encode_text
+        # already truncated to max_len - max_new - 1 bytes, and a smaller
+        # fallback would silently re-truncate the grounded context
         return next(
             (b for b in _PROMPT_BUCKETS
              if b >= n_tokens and b + self.max_new_tokens <= self.cfg.max_len),
-            min(_PROMPT_BUCKETS[-1], self.cfg.max_len - self.max_new_tokens),
+            self.cfg.max_len - self.max_new_tokens,
         )
 
     def warmup_async(self) -> threading.Thread:

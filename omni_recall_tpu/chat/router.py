@@ -50,6 +50,11 @@ class _AttemptResult:
 
 
 class AiChatRouter:
+    # routers satisfy the IAiChatClient contract themselves, so a router
+    # can nest as another router's fallback (used by Ai:Provider=Local to
+    # keep the full Gemini -> GitHub Models chain behind the local decoder)
+    provider_name = "router"
+
     def __init__(
         self,
         primary,
@@ -61,6 +66,9 @@ class AiChatRouter:
         self._fallback = fallback
         self._options = options or AiRoutingOptions()
         self._sleep = sleep
+        self.provider_name = (
+            f"{primary.provider_name}->{fallback.provider_name}"
+        )
 
     def complete(self, request: AiChatRequest) -> AiChatResponse:
         primary_result = self._try_provider(self._primary, request)

@@ -62,8 +62,10 @@ class DecoderConfig:
 
 def encode_text(text: str, max_bytes: int | None = None) -> list[int]:
     data = text.encode("utf-8", errors="surrogatepass")
-    if max_bytes is not None:
-        data = data[-max_bytes:]  # keep the tail: recency matters for chat
+    if max_bytes is not None and len(data) > max_bytes:
+        # keep the tail: recency matters for chat (and max_bytes=0 must
+        # truncate to nothing — data[-0:] would keep everything)
+        data = data[len(data) - max_bytes:]
     return [BOS] + [_BYTE0 + b for b in data]
 
 
@@ -394,29 +396,6 @@ def save_params(path: str, params: dict, cfg: DecoderConfig) -> None:
 
 
 def load_params(path: str) -> tuple[dict, DecoderConfig]:
-    import json
+    from omni_recall_tpu.models import encoder
 
-    with np.load(path) as data:
-        cfg = DecoderConfig(
-            **json.loads(bytes(data["__config__"].tobytes()).decode("utf-8"))
-        )
-    params, _ = _load_tree(path, cfg.n_layers)
-    return params, cfg
-
-
-def _load_tree(path: str, n_layers: int):
-    with np.load(path) as data:
-        params: dict = {"layers": [{} for _ in range(n_layers)]}
-        for key in data.files:
-            if key == "__config__":
-                continue
-            arr = jnp.asarray(data[key])
-            parts = key.split(".")
-            node = params
-            for part in parts[:-1]:
-                if part.isdigit():
-                    node = node[int(part)]
-                else:
-                    node = node.setdefault(part, {})
-            node[parts[-1]] = arr
-    return params, None
+    return encoder.load_checkpoint(path, DecoderConfig)

@@ -227,12 +227,13 @@ def save_params(path: str, params: dict, cfg: EncoderConfig) -> None:
     np.savez(path, **flat)
 
 
-def load_params(path: str) -> tuple[dict, EncoderConfig]:
-    """Inverse of save_params."""
+def load_checkpoint(path: str, cfg_cls):
+    """Inverse of save_params for any config dataclass sharing the .npz
+    scheme (EncoderConfig, decoder.DecoderConfig)."""
     import json
 
     with np.load(path) as data:
-        cfg = EncoderConfig(
+        cfg = cfg_cls(
             **json.loads(bytes(data["__config__"].tobytes()).decode("utf-8"))
         )
         params: dict = {"layers": [{} for _ in range(cfg.n_layers)]}
@@ -249,3 +250,7 @@ def load_params(path: str) -> tuple[dict, EncoderConfig]:
                     node = node.setdefault(part, {})
             node[parts[-1]] = arr
     return params, cfg
+
+
+def load_params(path: str) -> tuple[dict, EncoderConfig]:
+    return load_checkpoint(path, EncoderConfig)

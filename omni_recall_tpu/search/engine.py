@@ -38,6 +38,26 @@ from omni_recall_tpu.ops import hashing, oracle, xla_scorer
 PALLAS_BLOCK_T = 8
 
 
+def _coarse_layout(n_rows: int, m: int, block: int) -> tuple[int, int] | None:
+    """Pick the coarse-scan (sub, t): the widest sub-slice (fastest scan —
+    sub=1024 swept optimal at 1M/10M rows, tools/sweep_{coarse,10m}.py)
+    whose extraction budget slices*t still covers ~4m candidates, for
+    certificate headroom. Smaller corpora fall back to narrower slices
+    instead of losing the prepass (or its resolution) entirely: at 256k
+    rows sub=1024/t=1 emits only 2m candidates and the per-slice top-1
+    loses any slice holding two true top-m rows, collapsing certificate
+    resolution (measured 0.70 -> 0.0 on the bench e2e corpus)."""
+    import math
+
+    for sub_try in (1024, 512, 256, 128, 64, 32):
+        sub = min(sub_try, block)
+        slices = n_rows // sub
+        t = min(PALLAS_BLOCK_T, sub - 1, max(1, math.ceil(4 * m / slices)))
+        if m <= slices * t:
+            return sub, t
+    return None
+
+
 @dataclass(frozen=True)
 class SearchHit:
     chunk: ChunkRecord
@@ -317,11 +337,10 @@ class RecallEngine:
             c = pallas_scorer._pick_block_coarse(n_local)
             if c == 0:
                 return None
-            sub = min(1024, c)  # swept optimum (tools/sweep_coarse.py)
-            slices = n_local // sub
-            t = min(PALLAS_BLOCK_T, sub - 1, max(1, math.ceil(2 * m / slices)))
-            if m > slices * t:
+            layout = _coarse_layout(n_local, m, c)
+            if layout is None:
                 return None
+            sub, t = layout
 
             def sharded_coarse(dev, q, w, bias, now_days, r0, m):
                 return ss.score_topm(
@@ -337,11 +356,10 @@ class RecallEngine:
         c = pallas_scorer._pick_block_coarse(n_rows_padded)
         if c == 0:
             return None
-        sub = min(1024, c)  # swept optimum (tools/sweep_coarse.py)
-        slices = n_rows_padded // sub
-        t = min(PALLAS_BLOCK_T, sub - 1, max(1, math.ceil(2 * m / slices)))
-        if m > slices * t:
+        layout = _coarse_layout(n_rows_padded, m, c)
+        if layout is None:
             return None
+        sub, t = layout
         interpret = _jax.default_backend() != "tpu"
 
         def coarse(dev, q, w, bias, now_days, r0, m):

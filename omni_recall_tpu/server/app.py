@@ -139,18 +139,24 @@ class OmniRecallApp(WsgiApp):
         elif (config.ai.provider or "").strip().lower() == "local":
             from omni_recall_tpu.chat.local import LocalDecoderChatClient
 
-            # local on-device decoder is primary; the remote chain stays as
-            # fallback (without API keys it fails -> recall-only fallback)
+            # local on-device decoder is primary; the FULL remote chain
+            # (Gemini -> GitHub Models) stays as fallback by nesting a
+            # remote router as the fallback client — routers satisfy the
+            # IAiChatClient contract, so they compose. Without API keys the
+            # nested router fails -> recall-only fallback.
             local_client = LocalDecoderChatClient(
                 checkpoint=config.ai.local_checkpoint,
                 max_new_tokens=config.ai.local_max_new_tokens,
                 temperature=config.ai.local_temperature,
             )
             local_client.warmup_async()  # compile overlaps server startup
-            self.chat_router = AiChatRouter(
-                local_client,
+            remote_chain = AiChatRouter(
                 GeminiChatClient(config.gemini),
+                GitHubModelsChatClient(config.github_models),
                 config.ai_routing,
+            )
+            self.chat_router = AiChatRouter(
+                local_client, remote_chain, config.ai_routing,
             )
         else:
             self.chat_router = AiChatRouter(

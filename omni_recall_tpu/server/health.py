@@ -1,12 +1,16 @@
 """Health probes.
 
-Mirrors src/OmniRecall.Api/Services/HealthProbeService.cs: four sequential
-probes (ingestion store, raw storage, Gemini, GitHub Models) each timed and
-mapped to healthy/degraded/unhealthy; overall status = worst
+Mirrors src/OmniRecall.Api/Services/HealthProbeService.cs: sequential
+probes (ingestion store, raw storage, then the AI providers in use) each
+timed and mapped to healthy/degraded/unhealthy; overall status = worst
 (:33-37); AI probes report degraded when unconfigured and only hit the
 network when ``Health:ProbeExternalAi`` is true (:89-159, 3s timeout).
 
-A fifth, TPU-specific probe reports device/engine state (new scope).
+Departures from the reference (new scope): with Ai:Provider=Local the
+chat path is on-device, so the remote probes are replaced by a synthetic
+healthy 'ai-local' row — except Gemini, which stays probed whenever it
+still serves the embeddings path. A TPU-specific probe reports
+device/engine state.
 """
 
 from __future__ import annotations
@@ -46,14 +50,22 @@ class HealthProbeService:
             self._probe_store(),
             self._probe_raw_storage(),
         ]
-        if (self.config.ai.provider or "").strip().lower() == "local":
+        chat_local = (self.config.ai.provider or "").strip().lower() == "local"
+        uses_gemini = (
+            not chat_local
+            or (self.config.embeddings.provider or "").strip().lower() == "gemini"
+        )
+        if chat_local:
             # chat is served on-device: the remote chain is only a fallback,
-            # so missing API keys must not degrade overall health
+            # so missing API keys must not degrade overall health...
             dependencies.append(HealthDependency(
                 "ai-local", HEALTHY, "Chat served by the on-device decoder.", 0
             ))
-        else:
+        if uses_gemini:
+            # ...but Gemini stays a REQUIRED dependency whenever it still
+            # serves the embeddings path
             dependencies.append(self._probe_gemini())
+        if not chat_local:
             dependencies.append(self._probe_github_models())
         if self.engine is not None:
             dependencies.append(self._probe_engine())

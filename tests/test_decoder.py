@@ -268,6 +268,86 @@ def test_health_local_mode_skips_remote_ai_probes():
     assert health.status == "healthy"
 
 
+def test_health_local_mode_keeps_gemini_probe_for_embeddings():
+    """Gemini stays a probed (degraded-when-unconfigured) dependency when it
+    serves the embeddings path, even with on-device chat."""
+    from omni_recall_tpu.config import load_config
+    from omni_recall_tpu.server.app import OmniRecallApp
+
+    cfg = load_config(settings_file=None, env={}, overrides={
+        "Ai:Provider": "Local",
+        "Ai:LocalMaxNewTokens": "4",
+        "Embeddings:Provider": "Gemini",
+        "Engine:Backend": "oracle",
+    })
+    app = OmniRecallApp(cfg)
+    health = app.health_service.probe()
+    names = {d.name: d.status for d in health.dependencies}
+    assert names.get("ai-local") == "healthy"
+    assert names.get("ai-gemini") == "degraded"  # key not configured
+    assert health.status == "degraded"
+
+
+def test_local_mode_fallback_chain_keeps_github_models(tiny_params):
+    """Local primary failing must still reach GitHub Models (nested remote
+    router), not just Gemini."""
+    from omni_recall_tpu.chat.router import AiChatRouter
+    from omni_recall_tpu.config import AiRoutingOptions
+    from omni_recall_tpu.contracts import AiChatResponse
+
+    head = np.zeros_like(np.asarray(tiny_params["lm_head"]))
+    head[:, decoder.EOS] = 1.0
+    params = {**tiny_params, "lm_head": jnp.asarray(head),
+              "final_ln": {"scale": jnp.ones(TINY.d_model),
+                           "bias": jnp.ones(TINY.d_model)}}
+    local = LocalDecoderChatClient(params=params, cfg=TINY, max_new_tokens=4)
+
+    class FailingGemini:
+        provider_name = "gemini"
+
+        def complete(self, request):
+            raise ValueError("Gemini API key is not configured.")
+
+    class WorkingGitHub:
+        provider_name = "github-models"
+
+        def complete(self, request):
+            return AiChatResponse("github answer", "gh-model", "github-models")
+
+    opts = AiRoutingOptions(max_attempts_per_provider=1, retry_base_delay_ms=0)
+    remote = AiChatRouter(FailingGemini(), WorkingGitHub(), opts, sleep=lambda s: None)
+    router = AiChatRouter(local, remote, opts, sleep=lambda s: None)
+    resp = router.complete(AiChatRequest("hi"))
+    assert resp.provider == "github-models"
+    assert resp.text == "github answer"
+
+
+def test_coarse_layout_adapts_sub_to_corpus_size():
+    """The coarse layout must keep >= m candidates at every corpus size by
+    narrowing sub (a fixed sub=1024 would disable the prepass at 8k rows
+    and collapse certificate resolution at 256k)."""
+    from omni_recall_tpu.search.engine import _coarse_layout
+
+    # 1M rows: widest slices, t=1 (swept optimum)
+    sub, t = _coarse_layout(1 << 20, 128, 2048)
+    assert (sub, t) == (1024, 1)
+    # 256k rows: budget >= 4m restores resolution via t=2
+    sub, t = _coarse_layout(1 << 18, 128, 2048)
+    assert sub * 1 <= (1 << 18) and ((1 << 18) // sub) * t >= 4 * 128
+    # 8k rows: prepass still available via a narrower sub
+    layout = _coarse_layout(8192, 128, 2048)
+    assert layout is not None
+    sub, t = layout
+    assert (8192 // sub) * t >= 128
+
+
+def test_encode_text_max_bytes_zero():
+    assert decoder.encode_text("hello", max_bytes=0) == [decoder.BOS]
+    assert decoder.encode_text("hello", max_bytes=3)[1:] == [
+        decoder._BYTE0 + b for b in b"llo"
+    ]
+
+
 def test_app_wires_local_provider(tmp_path):
     from omni_recall_tpu.config import load_config
     from omni_recall_tpu.server.app import OmniRecallApp

@@ -63,7 +63,11 @@ def build_index():
         emb8, scale, err, bloom = fill_slab(
             emb8, scale, err, bloom, jax.random.fold_in(key, i), jnp.int32(i * SLAB)
         )
-    del err, bloom  # coarse scan doesn't read them; free ~0.6 GiB
+    # keep err+bloom resident even though the coarse scan doesn't read
+    # them: production serving holds them for the escalation path, and a
+    # sweep with ~1 GiB more free HBM admits configs (e.g. B=1536) that
+    # then OOM in bench_10m
+    build_index._keepalive = (err, bloom)
     created = jnp.linspace(0.0, 365.0, N, dtype=jnp.float32)
     valid = jnp.ones((N,), dtype=bool)
     add_row = pallas_scorer.make_add_row(
