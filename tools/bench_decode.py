@@ -1,0 +1,87 @@
+"""On-chip serving benchmark for the local chat decoder: prefill tokens/s
+and KV-cache decode tokens/s at an LLM-scale config (params are seed-init;
+throughput does not depend on training).
+
+The whole generation (prefill + n_steps decode) is ONE device program
+(models/decoder.py generate = prefill + lax.scan), so the tunnel's
+per-dispatch RPC overhead is paid once per batch, not per token — the same
+megastep discipline bench.py uses.
+
+Usage: PYTHONPATH=.:/root/.axon_site python tools/bench_decode.py
+Knobs: OMNI_DECODE_{D,LAYERS,HEADS,FF,B,PROMPT,STEPS}
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omni_recall_tpu.models import decoder
+
+
+def main() -> None:
+    d = int(os.environ.get("OMNI_DECODE_D", 1024))
+    n_layers = int(os.environ.get("OMNI_DECODE_LAYERS", 12))
+    n_heads = int(os.environ.get("OMNI_DECODE_HEADS", 16))
+    d_ff = int(os.environ.get("OMNI_DECODE_FF", 4096))
+    b = int(os.environ.get("OMNI_DECODE_B", 32))
+    prompt_len = int(os.environ.get("OMNI_DECODE_PROMPT", 448))
+    steps = int(os.environ.get("OMNI_DECODE_STEPS", 128))
+
+    cfg = decoder.DecoderConfig(
+        d_model=d, n_layers=n_layers, n_heads=n_heads, d_ff=d_ff,
+        max_len=prompt_len + steps,
+    )
+    n_params = sum(
+        int(np.prod(p.shape))
+        for p in jax.tree.leaves(decoder.init_params(jax.random.PRNGKey(0), cfg))
+    )
+    print(f"model: d={d} L={n_layers} H={n_heads} ff={d_ff} "
+          f"({n_params / 1e6:.0f}M params), B={b}, prompt={prompt_len}, "
+          f"decode={steps}, backend={jax.default_backend()}", flush=True)
+
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    ids = np.random.default_rng(0).integers(
+        decoder._BYTE0, decoder._BYTE0 + 256, size=(b, prompt_len), dtype=np.int32
+    )
+    ids = jnp.asarray(ids)
+
+    prefill_jit = jax.jit(lambda p, i: decoder.prefill(p, i, cfg)[0])
+    t0 = time.perf_counter()
+    _ = np.asarray(prefill_jit(params, ids)[:1, :1])
+    print(f"prefill compile+first run: {time.perf_counter() - t0:.1f}s", flush=True)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = prefill_jit(params, ids)
+    _ = np.asarray(out[:1, :1])
+    dt = (time.perf_counter() - t0) / reps
+    prefill_tps = b * prompt_len / dt
+    print(f"prefill: {dt * 1000:.1f} ms/batch = {prefill_tps:,.0f} tokens/s",
+          flush=True)
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    toks = decoder.generate(params, ids, cfg, steps, key, temperature=0.0)
+    _ = np.asarray(toks[:1, :1])
+    print(f"generate compile+first run: {time.perf_counter() - t0:.1f}s", flush=True)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        toks = decoder.generate(params, ids, cfg, steps, key, temperature=0.0)
+    _ = np.asarray(toks[:1, :1])
+    dt = (time.perf_counter() - t0) / reps
+    gen_tps = b * steps / dt
+    # subtract the (measured) prefill share to isolate decode steps/s
+    decode_ms = dt * 1000 - (b * prompt_len / prefill_tps) * 1000
+    print(f"generate (prefill + {steps} steps): {dt * 1000:.1f} ms/batch = "
+          f"{gen_tps:,.0f} new tokens/s "
+          f"(~{decode_ms / steps:.2f} ms/decode-step @ B={b})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
