@@ -8,7 +8,9 @@ per-dispatch RPC overhead is paid once per batch, not per token — the same
 megastep discipline bench.py uses.
 
 Usage: PYTHONPATH=.:/root/.axon_site python tools/bench_decode.py
-Knobs: OMNI_DECODE_{D,LAYERS,HEADS,FF,B,PROMPT,STEPS}
+Knobs: OMNI_DECODE_{D,LAYERS,HEADS,FF,B,PROMPT,STEPS,WDTYPE}
+  WDTYPE: float32 (default) | bfloat16 — resident weight dtype; decode is
+  HBM-bound, so bf16 weights halve the per-step parameter stream.
 """
 
 from __future__ import annotations
@@ -45,6 +47,10 @@ def main() -> None:
           f"decode={steps}, backend={jax.default_backend()}", flush=True)
 
     params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    wdtype = os.environ.get("OMNI_DECODE_WDTYPE", "float32")
+    if wdtype != "float32":
+        params = jax.tree.map(lambda p: p.astype(jnp.dtype(wdtype)), params)
+        print(f"weights cast to {wdtype}", flush=True)
     ids = np.random.default_rng(0).integers(
         decoder._BYTE0, decoder._BYTE0 + 256, size=(b, prompt_len), dtype=np.int32
     )
