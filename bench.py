@@ -171,7 +171,30 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     engine.device_index.append(ing)
     ingest_cps = len(ing) / (time.perf_counter() - t0)
 
+    # reindex path (BASELINE.json configs[2]): shadow rebuild + atomic swap
+    # from the store — re-derives bloom signatures + int8 quantization for
+    # every chunk and uploads the fresh index before the swap. Runs LAST:
+    # it replaces the device index with just the store's chunks.
+    from omni_recall_tpu.index.records import DocumentRecord
+
+    n_rb = min(n, 1 << 16)
+    engine.store.upsert_document(DocumentRecord(id="rb", file_name="rb.txt"))
+    engine.store.upsert_chunks([
+        ChunkRecord(
+            id=f"rb:{i}", document_id="rb", chunk_index=i,
+            content=meta[i].content, embedding=meta[i].embedding,
+            created_at_utc=meta[i].created_at_utc, seq=i,
+        )
+        for i in range(n_rb)
+    ])
+    t0 = time.perf_counter()
+    engine.rebuild_index()
+    rebuild_s = time.perf_counter() - t0
+    assert engine.device_index.n_valid == n_rb
+
     return {
+        "rebuild_chunks_per_s": round(n_rb / rebuild_s, 1),
+        "rebuild_swap_chunks": n_rb,
         "e2e_qps_tunnel": round(b * batches / elapsed, 1),
         "e2e_batch_ms_tunnel": round(elapsed / batches * 1000.0, 2),
         "e2e_escalations_last": engine.last_escalations,
