@@ -149,6 +149,9 @@ class DeviceIndex:
         self.content_off = np.zeros((1,), dtype=np.int64)
         self.meta: list[ChunkRecord | None] = []
         self._row_by_chunk_id: dict[str, int] = {}
+        # bumped (under _lock) on every in-place embedding update; the
+        # engine compares it across a search to detect reindex races
+        self._update_seq = 0
         # O(1)-amortized auxiliary structures (a 10M-row index with heavy
         # tombstones must not pay an O(n) python scan per search/delete):
         # - per-VALID_BLOCK counts of valid rows -> window_start_row is
@@ -175,6 +178,10 @@ class DeviceIndex:
     @property
     def n_valid(self) -> int:
         return self._n_valid
+
+    @property
+    def update_seq(self) -> int:
+        return self._update_seq
 
     def _ensure_capacity(self, needed: int) -> None:
         if needed <= self._cap:
@@ -369,6 +376,11 @@ class DeviceIndex:
         row = self._row_by_chunk_id.get(chunk_id)
         if row is None or not self.valid[row]:
             return False
+        # bump BEFORE writing: a search that reads any updated value is
+        # guaranteed to observe the new seq when it checks afterwards
+        # (engine.rescore_and_certify); searches whose rescore ran entirely
+        # before this lock acquisition serialize before the update
+        self._update_seq += 1
         vec = self._normalize(embedding)
         self.emb[row] = 0.0 if vec is None else vec
         if embedding is not None and len(embedding) == self.dim:

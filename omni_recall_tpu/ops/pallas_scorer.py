@@ -21,11 +21,16 @@ Exactness contract (engine certificate, search/engine.py):
 - merged boundary = max((m+1)-th best candidate, max over block bounds);
   every row outside the returned candidate set has ub <= boundary.
 - matmuls run in bf16 (inputs rounded; f32 accumulation); the certificate
-  margin PALLAS_CERT_EPS covers the divergence from the float64 host oracle:
-  for L2-normalized operands the bf16 input-rounding error is bounded by
-  ~2^-8 * sum|q_i c_i| <= 0.004 on the cosine term and < 0.005 * 0.2 on the
-  keyword term (weights sum ~<=1.2, bits exact 0/1). A larger eps only
-  loosens the upper bound — exactness is preserved via candidate escalation.
+  margin PALLAS_CERT_EPS covers the divergence from the float64 host oracle.
+  BOTH operands round to bf16 (7 explicit mantissa bits -> per-element
+  relative error <= 2^-8), so for L2-normalized operands
+  |q^.c^ - q.c| <= (2^-8 + 2^-8 + 2^-16) * sum|q_i c_i| <= ~2^-7 = 0.0078,
+  i.e. <= 0.0055 on the weighted cosine term, plus < 0.005 * 0.2 = 0.001 on
+  the keyword term (weights sum ~<=1.2, bits exact 0/1): eps = 8e-3 covers
+  the sum. (A one-operand derivation previously justified 4e-3; a vector
+  with every element at a rounding-loss extreme was constructed that
+  exceeds it — both operands must be counted.) A larger eps only loosens
+  the upper bound — exactness is preserved via candidate escalation.
 
 Performance notes:
 - embeddings may be stored bf16 in HBM (EngineOptions.bf16_embeddings) to
@@ -58,7 +63,12 @@ from omni_recall_tpu.ops.oracle import (
 _NEG_INF = -1e30  # finite mask value inside the kernel; mapped to -inf outside
 
 # Certificate margin for the fused kernel (see module docstring derivation).
-PALLAS_CERT_EPS = 4e-3
+PALLAS_CERT_EPS = 8e-3
+# The int8 kernels' dot products are exact integer MXU ops; quantization
+# error is covered by the explicit eq/ec folding, leaving only f32 scaling
+# arithmetic (~1e-6 relative) — the original smaller margin is ample there
+# and keeps coarse-certificate resolution tight.
+PALLAS_CERT_EPS_INT8 = 4e-3
 
 
 def _ub_block(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref):
@@ -177,7 +187,7 @@ def _ub_block_int8(emb_ref, bloom_ref, q_ref, kw_w_ref, kw_b_ref, add_row_ref,
         + KEYWORD_WEIGHT * kw
         + add_row_ref[:]
         + q_bias_ref[:]
-        + PALLAS_CERT_EPS
+        + PALLAS_CERT_EPS_INT8
     )
 
 
@@ -224,7 +234,7 @@ def _make_topt_kernel_int8_coarse(t1: int, c: int, sub: int):
             cosd * q_scale_ref[:] * scale_row_ref[:]
             + add_row_ref[:]
             + q_bias_ref[:]
-            + PALLAS_CERT_EPS
+            + PALLAS_CERT_EPS_INT8
         )
         _extract_topt(scores, c, sub, t1, vals_ref, idxs_ref)
 
@@ -513,14 +523,11 @@ def score_topm_int8(
     # exact f32 math gives a value within 1 ulp of the true error norm;
     # quantize_queries_int8 scales by (1 + 1e-6) so the bound is never
     # optimistic
-    q8, q_scale, eq = quantize_queries_int8(q)
-    eq_max = jnp.max(eq)
-
-    err_term = COSINE_WEIGHT * (1.0 + eq_max) * err_row
+    q8, q_scale, eq, err_term = prepare_int8_query(q, err_row)
     add_row = make_add_row(created, valid, now_days, window_start, err_term=err_term)
     q_bias = COSINE_WEIGHT * eq
 
-    kw_w8 = jnp.clip(jnp.ceil(kw_weights * 127.0), 0, 127).astype(jnp.int8)
+    kw_w8 = quantize_kw_weights(kw_weights)
 
     vals, idxs = block_topt_int8(
         emb8, bloom, q8, kw_w8, kw_bias[:, None], add_row,
@@ -528,6 +535,39 @@ def score_topm_int8(
         t=t, sub=sub, interpret=interpret,
     )
     return _merge_topm(vals, idxs, m)
+
+
+def prepare_int8_query(q: jax.Array, err_row: jax.Array):
+    """Quantize queries + fold the sound error terms. THE single source of
+    the int8 certificate's error construction — the single-device scans
+    (score_topm_int8 / _coarse) and the sharded path
+    (parallel/sharded.py _local_pallas) must all build their bounds here,
+    or a future change leaves one path with an unsound bound.
+
+    Returns (q8, q_scale, eq, err_term) with
+    err_term = COSINE_WEIGHT * (1 + max(eq)) * err_row — covers
+    |q.dc| + |dq.c_hat| for the quantization deltas (ops/quantize.py)."""
+    q8, q_scale, eq = quantize_queries_int8(q)
+    err_term = COSINE_WEIGHT * (1.0 + jnp.max(eq)) * err_row
+    return q8, q_scale, eq, err_term
+
+
+def coarse_q_bias(eq, kw_weights, kw_bias):
+    """Per-query additive bias of the coarse scan: the cosine quantization
+    error plus the keyword cap KEYWORD_WEIGHT*min(1, sum_w + bias). Note
+    query_bit_weights distributes exactly 1/T mass per term, so sum_w (+
+    stopword-fallback bias) is 1 for every query WITH terms — the cap is
+    effectively a flat KEYWORD_WEIGHT for termful queries and 0 otherwise;
+    coarse resolution therefore rides on cosine separation. Shared by the
+    single-device and sharded coarse paths (soundness-critical)."""
+    kw_cap = jnp.minimum(jnp.sum(kw_weights, axis=1) + kw_bias, 1.0)[:, None]
+    return COSINE_WEIGHT * eq + KEYWORD_WEIGHT * kw_cap
+
+
+def quantize_kw_weights(kw_weights: jax.Array) -> jax.Array:
+    """Ceil-quantize keyword weights to int8 (w8/127 >= w: sound).
+    Shared by the single-device and sharded full-fused int8 paths."""
+    return jnp.clip(jnp.ceil(kw_weights * 127.0), 0, 127).astype(jnp.int8)
 
 
 def quantize_queries_int8(q: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -562,14 +602,12 @@ def score_topm_int8_coarse(
     """Coarse int8 scan: cosine + recency computed, keyword bounded by
     0.2 * min(1, sum(weights) + bias) per query (a sound upper bound on the
     bloom keyword score, which itself bounds the reference's substring
-    score). The engine certifies the result exactly as with the full kernel;
-    queries whose certificate fails escalate to the full fused scan."""
-    q8, q_scale, eq = quantize_queries_int8(q)
-    eq_max = jnp.max(eq)
-    err_term = COSINE_WEIGHT * (1.0 + eq_max) * err_row
+    score; note the cap is effectively FLAT — see coarse_q_bias). The
+    engine certifies the result exactly as with the full kernel; queries
+    whose certificate fails escalate to the full fused scan."""
+    q8, q_scale, eq, err_term = prepare_int8_query(q, err_row)
     add_row = make_add_row(created, valid, now_days, window_start, err_term=err_term)
-    kw_cap = jnp.minimum(jnp.sum(kw_weights, axis=1) + kw_bias, 1.0)[:, None]
-    q_bias = COSINE_WEIGHT * eq + KEYWORD_WEIGHT * kw_cap
+    q_bias = coarse_q_bias(eq, kw_weights, kw_bias)
 
     vals, idxs = block_topt_int8_coarse(
         emb8, q8, add_row, scale_row[None, :], q_scale, q_bias,

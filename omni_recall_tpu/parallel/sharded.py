@@ -99,28 +99,25 @@ class ShardedScorer:
             shard = jax.lax.axis_index("shards")
             row_offset = (shard * n_local).astype(jnp.int32)
             if int8:
-                q8, q_scale, eq = pallas_scorer.quantize_queries_int8(q)
-                err_term = 0.7 * (1.0 + jnp.max(eq)) * err
+                # soundness-critical bound construction shared with the
+                # single-device scans — see pallas_scorer.prepare_int8_query
+                q8, q_scale, eq, err_term = pallas_scorer.prepare_int8_query(q, err)
                 add_row = pallas_scorer.make_add_row(
                     created, valid, now_days, window_start,
                     row_offset=row_offset, err_term=err_term,
                 )
                 if coarse:
-                    # cosine-only scan; keyword capped per query (sound UB,
-                    # see pallas_scorer.score_topm_int8_coarse)
-                    kw_cap = jnp.minimum(
-                        jnp.sum(kw_w, axis=1) + kw_b, 1.0
-                    )[:, None]
-                    q_bias = 0.7 * eq + 0.2 * kw_cap
+                    q_bias = pallas_scorer.coarse_q_bias(eq, kw_w, kw_b)
                     vals, idxs = pallas_scorer.block_topt_int8_coarse(
                         emb, q8, add_row, scale[None, :], q_scale, q_bias,
                         t=t, sub=sub, interpret=interpret,
                     )
                 else:
-                    kw_w8 = jnp.clip(jnp.ceil(kw_w * 127.0), 0, 127).astype(jnp.int8)
+                    kw_w8 = pallas_scorer.quantize_kw_weights(kw_w)
                     vals, idxs = pallas_scorer.block_topt_int8(
                         emb, bloom, q8, kw_w8, kw_b[:, None], add_row,
-                        scale[None, :], q_scale, 0.7 * eq,
+                        scale[None, :], q_scale,
+                        pallas_scorer.COSINE_WEIGHT * eq,
                         t=t, sub=sub, interpret=interpret,
                     )
             else:

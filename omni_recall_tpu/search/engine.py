@@ -796,6 +796,7 @@ class RecallEngine:
         r0 = dix.window_start_row(window)
         window_rows = dix.n_valid if window <= 0 else min(window, dix.n_valid)
 
+        upd_seq0 = dix.update_seq  # read BEFORE the snapshot (reindex race)
         dev = dix.device_arrays()
         q_dev = jnp.asarray(q)
         w_dev = jnp.asarray(weights)
@@ -818,10 +819,12 @@ class RecallEngine:
 
         meta = dix.meta
 
-        def rescore_and_certify(pending, all_vals, all_idxs, m, *,
-                                accept_at_boundary=False):
+        def rescore_and_certify(pending, all_vals, all_idxs, m):
             """Exact-rescore pending queries' candidates; fill results where
-            the certificate passes (or coverage was total). Returns the
+            the certificate passes (or the scan itself proves total coverage:
+            boundary == -inf means the excluded set was empty IN THE
+            SNAPSHOT — never inferred from a separately-read row count,
+            which a concurrent append can make stale). Returns the
             still-unresolved indices."""
             row_lists, ub_lists = [], []
             for i in pending:
@@ -832,14 +835,16 @@ class RecallEngine:
                 # two-phase prune in _exact_rescore_rows relies on it
                 keep = rows >= 0
                 rows, ubs = rows[keep], ubs[keep]
-                # drop rows tombstoned between the device scan and now
-                # (concurrent delete); their exclusion can only be correct —
-                # deleted chunks must not be returned
-                if len(rows) and any(meta[int(r)] is None for r in rows):
-                    keep = np.asarray(
-                        [meta[int(r)] is not None for r in rows], dtype=bool
-                    )
-                    rows, ubs = rows[keep], ubs[keep]
+                if len(rows):
+                    # drop rows tombstoned between the device scan and now
+                    # (concurrent delete); their exclusion can only be
+                    # correct — deleted chunks must not be returned.
+                    # valid[r] is False exactly when meta[r] is None (racy
+                    # read is fine: a late tombstone is filtered again at
+                    # SearchHit construction)
+                    keep = dix.valid[rows]
+                    if not keep.all():
+                        rows, ubs = rows[keep], ubs[keep]
                 row_lists.append(rows.astype(np.int64))
                 ub_lists.append(ubs)
             prune = self.options.rescore_prune
@@ -849,6 +854,16 @@ class RecallEngine:
                 ub_lists=ub_lists if prune else None,
                 ks=[ks[i] for i in pending] if prune else None,
             )
+            if dix.update_seq != upd_seq0:
+                # embeddings were updated in place (reindex) after the
+                # device snapshot: exclusions rest on stale bounds while the
+                # rescore read live rows — NO consistent state certifies the
+                # combination. Serialize after the update via the exact host
+                # scan. (The rescore reads under dix._lock and the seq bumps
+                # before any write, so a rescore that saw updated values is
+                # guaranteed to observe the new seq here.)
+                oracle_fill(pending)
+                return []
             unresolved = []
             for pi, i in enumerate(pending):
                 k = ks[i]
@@ -856,10 +871,10 @@ class RecallEngine:
                 boundary = vals[m] if vals.shape[0] > m else -np.inf
                 rows_sorted, scores_sorted = ranked[pi]
                 if boundary == -np.inf:
-                    pass  # candidates covered the whole window: accept
+                    pass  # candidates covered the whole snapshot: accept
                 else:
                     kth = scores_sorted[k - 1] if len(scores_sorted) >= k else -np.inf
-                    if not (kth > boundary or accept_at_boundary):
+                    if not kth > boundary:
                         unresolved.append(i)
                         continue
                 results[i] = [
@@ -919,10 +934,7 @@ class RecallEngine:
                     results[i] = hits[: ks[i]]
                 break
 
-            unresolved = rescore_and_certify(
-                pending, all_vals, all_idxs, m,
-                accept_at_boundary=(m >= window_rows and full_coverage),
-            )
+            unresolved = rescore_and_certify(pending, all_vals, all_idxs, m)
             if m >= window_rows and not full_coverage:
                 # partial-coverage scorer exhausted: exact host scan
                 oracle_fill(unresolved)

@@ -167,3 +167,94 @@ def test_engine_pallas_falls_back_to_xla_on_tiny_index():
     hits = engine.search(query, q_emb, 10, now=NOW)
     expected = oracle_engine.search(query, q_emb, 10, now=NOW)
     assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
+
+
+def test_cert_eps_covers_two_operand_bf16_rounding():
+    """Adversarial soundness: a legitimately unit-normalized f32 vector
+    whose elements sit just below a bf16 rounding midpoint loses ~2^-8
+    relative on EACH matmul operand; the self-cosine deficit (~0.0065)
+    exceeded the old one-operand eps of 4e-3. PALLAS_CERT_EPS must cover
+    the two-operand worst case."""
+    import math as _math
+
+    import jax.numpy as jnp
+
+    from omni_recall_tpu.ops.pallas_scorer import PALLAS_CERT_EPS
+
+    d = 768
+    u = 1.0 / _math.sqrt(d)
+    # bad value: just under the midpoint between two adjacent bf16 values
+    ulp = 2.0 ** (_math.floor(_math.log2(u)) - 7)  # bf16: 7 mantissa bits
+    v = _math.floor(u / ulp) * ulp + 0.499 * ulp
+    q = np.full(d, v, dtype=np.float64)
+    # solve the last element for exact unit norm (keeps 767 bad elements)
+    q[-1] = _math.sqrt(max(0.0, 1.0 - float(np.sum(q[:-1] ** 2))))
+    qf = q.astype(np.float32)
+    norm = float(np.linalg.norm(qf.astype(np.float64)))
+    assert abs(norm - 1.0) < 1e-6  # legitimate normalized input
+
+    exact = float(np.dot(qf.astype(np.float64), qf.astype(np.float64)))
+    qb = jnp.asarray(qf).astype(jnp.bfloat16)
+    device = float(
+        jnp.dot(qb, qb, preferred_element_type=jnp.float32)
+    )
+    deficit = exact - device
+    # the adversarial deficit really does exceed the old 4e-3-per-0.7 margin
+    assert 0.7 * deficit > 4e-3, deficit
+    # ... and the current margin covers it with the keyword term's 1e-3
+    assert 0.7 * deficit + 1e-3 < PALLAS_CERT_EPS, deficit
+
+
+def test_certificate_detects_concurrent_embedding_update():
+    """A reindex (in-place embedding update) landing between the device
+    snapshot and the host rescore must NOT produce a 'certified' ranking
+    mixing stale bounds with fresh scores — the engine detects the update
+    via DeviceIndex.update_seq and serializes after it through the exact
+    host scan."""
+    rng = random.Random(77)
+    store = InMemoryIngestionStore()
+    engine = RecallEngine(
+        store,
+        options=EngineOptions(
+            backend="pallas", embedding_dim=DIM, capacity_block=128,
+            candidate_m=8, bloom_bits=256,
+        ),
+    )
+    vocab, chunks = _seed_engine_corpus(store, rng, 200)
+    engine.on_chunks_upserted(chunks, new=True)
+
+    query = " ".join(rng.choices(vocab, k=2))
+    q_emb = hash_embedder.embed_text(query, DIM)
+
+    # inject an update between the scan and the rescore: wrap the rescore
+    # entry point so the first call flips a chunk's embedding to be a
+    # near-perfect match for the query
+    target = chunks[0]
+    original = engine._exact_rescore_rows
+    fired = {"n": 0}
+
+    def updating_rescore(*args, **kwargs):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            engine.on_chunks_upserted(
+                [ChunkRecord(
+                    id=target.id, document_id=target.document_id,
+                    chunk_index=target.chunk_index, content=target.content,
+                    embedding=q_emb, created_at_utc=target.created_at_utc,
+                    seq=target.seq,
+                )],
+                new=False,
+            )
+        return original(*args, **kwargs)
+
+    engine._exact_rescore_rows = updating_rescore
+    try:
+        hits = engine.search(query, q_emb, 5, now=NOW)
+    finally:
+        engine._exact_rescore_rows = original
+
+    # exact vs the post-update state: the updated chunk must now rank first
+    oracle_engine = RecallEngine(store, None, EngineOptions(backend="oracle"))
+    expected = oracle_engine.search(query, q_emb, 5, now=NOW)
+    assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
+    assert hits[0].chunk.id == target.id
