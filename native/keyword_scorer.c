@@ -116,7 +116,11 @@ int chunk_signatures(const char **contents, const long *content_lens,
         unsigned char *row = out + i * w_bytes;
         for (int li = 0; li < 3; li++) {
             long gl = lens[li];
-            if (li == 1 && ngram == 2) continue;  /* dedupe lengths */
+            /* dedupe lengths KEEPING the first occurrence (matches
+             * hashing.py dict.fromkeys((1, 2, ngram))): for ngram<=2 the
+             * li==2 entry duplicates an earlier length and is skipped; the
+             * li==1 (length-2) pass always runs so ngram=2 signatures
+             * keep their 2-gram bits (soundness) */
             if (li == 2 && (ngram == 1 || ngram == 2)) continue;
             for (long p = 0; p + gl <= slen; p++) {
                 int ws = 0;
@@ -170,8 +174,8 @@ int keyword_scores_multi(const char **contents, const long *content_lens,
 /* ---- full hybrid rescore (certified-exact path hot loop) ----
  *
  * One call scores every (query, candidate-row) pair of a search batch:
- *   out[i] = 0.7 * cosine(q_emb[owner[i]], raw_emb[rows[i]])
- *          + 0.2 * keyword(terms of owner[i], arena content of rows[i])
+ *   out[i] = w_cos * cosine(q_emb[owner[i]], raw_emb[rows[i]])
+ *          + w_kw * keyword(terms of owner[i], arena content of rows[i])
  * (the caller adds the 0.1 * recency term — kept in numpy so its exp()
  * matches the numpy oracle bit-for-bit).
  *
@@ -222,8 +226,10 @@ typedef struct {
     const char *arena;
     const long long *arena_off;
     const long long *rows;
-    const long *owner;
+    const long long *owner;
     long total;
+    double w_cos;
+    double w_kw;
     const float *q_emb;
     const double *q_norm;
     const char *terms_flat;
@@ -237,7 +243,7 @@ static void *rescore_worker(void *argp) {
     rescore_job *j = (rescore_job *)argp;
     for (long i = j->lo; i < j->hi; i++) {
         long long row = j->rows[i];
-        long q = j->owner[i];
+        long q = (long)j->owner[i];
         double cos = 0.0;
         double qn = j->q_norm[q];
         double ns = j->norm_sq[row];
@@ -265,17 +271,23 @@ static void *rescore_worker(void *argp) {
             }
             kw = (double)matches / (double)n_terms;
         }
-        j->out[i] = 0.7 * cos + 0.2 * kw;
+        j->out[i] = j->w_cos * cos + j->w_kw * kw;
     }
     return NULL;
 }
 
+/* w_cos/w_kw arrive from the caller (ops/oracle.py COSINE_WEIGHT /
+ * KEYWORD_WEIGHT) so the fusion weights have ONE source of truth — a C
+ * literal here silently diverged from a retuned oracle constant. owner is
+ * int64 to match the numpy marshalling on every platform (c_long is 32-bit
+ * on Windows). */
 int hybrid_rescore(const float *raw_emb, const double *norm_sq, long dim,
                    const char *arena, const long long *arena_off,
-                   const long long *rows, const long *owner, long total,
+                   const long long *rows, const long long *owner, long total,
                    const float *q_emb, const double *q_norm, long nq,
                    const char *terms_flat, const long long *term_off,
                    const long long *query_term_off, long n_threads,
+                   double w_cos, double w_kw,
                    double *out) {
     (void)nq;
     if (total <= 0) return 0;
@@ -291,7 +303,8 @@ int hybrid_rescore(const float *raw_emb, const double *norm_sq, long dim,
         long hi = lo + per < total ? lo + per : total;
         if (lo >= hi) break;
         jobs[w] = (rescore_job){raw_emb, norm_sq, dim, arena, arena_off,
-                                rows, owner, total, q_emb, q_norm,
+                                rows, owner, total, w_cos, w_kw,
+                                q_emb, q_norm,
                                 terms_flat, term_off, query_term_off,
                                 out, lo, hi};
         if (w == n_threads - 1 || hi == total) {

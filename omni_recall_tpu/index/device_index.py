@@ -161,8 +161,10 @@ class DeviceIndex:
         self._rows_by_doc: dict[str, list[int]] = {}
 
         self._device: DeviceArrays | None = None
-        self._dirty_lo = 0
-        self._dirty_hi = 0
+        # dirty tracking is per capacity-block: a single [lo, hi) interval
+        # would collapse one low-row update + one tail append into a sync of
+        # every block in between (GBs of H2D for a handful of changed rows)
+        self._dirty_blocks: set[int] = set()
         self._device_cap = -1
         # guards host-mirror mutation vs device sync: the HTTP server is
         # thread-per-request, so a search's dirty-slab upload must never
@@ -231,11 +233,10 @@ class DeviceIndex:
         self._block_valid[b_hi] += hi - b_hi * VALID_BLOCK
 
     def _mark_dirty(self, lo: int, hi: int) -> None:
-        if self._dirty_hi <= self._dirty_lo:
-            self._dirty_lo, self._dirty_hi = lo, hi
-        else:
-            self._dirty_lo = min(self._dirty_lo, lo)
-            self._dirty_hi = max(self._dirty_hi, hi)
+        if hi <= lo:
+            return
+        block = self.capacity_block
+        self._dirty_blocks.update(range(lo // block, (hi + block - 1) // block))
 
     # ---- mutation ----
 
@@ -293,13 +294,28 @@ class DeviceIndex:
             self.emb[rows_ok] = normed
             self.raw_emb[rows_ok] = a
             self.raw_norm_sq[rows_ok] = norm_sq
-        for offset, chunk in enumerate(chunks):
+        # precompute every fallible per-chunk value BEFORE the mutation
+        # loop: an exception mid-loop would leave meta/valid/row maps
+        # partially updated with _n unchanged, permanently corrupting the
+        # meta-index == row-index alignment (rows would be reused)
+        payloads = [
+            (
+                to_days(chunk.created_at_utc),
+                to_micros(chunk.created_at_utc),
+                _aware(chunk.created_at_utc).timestamp(),
+                chunk.content_lower_utf8(),
+            )
+            for chunk in chunks
+        ]
+        for offset, (chunk, (days, us, ts, lower)) in enumerate(
+            zip(chunks, payloads)
+        ):
             row = start + offset
-            self.created[row] = to_days(chunk.created_at_utc)
-            self.created_us[row] = to_micros(chunk.created_at_utc)
-            self.created_ts[row] = _aware(chunk.created_at_utc).timestamp()
+            self.created[row] = days
+            self.created_us[row] = us
+            self.created_ts[row] = ts
             self.seqs[row] = chunk.seq
-            self._arena.extend(chunk.content_lower_utf8())
+            self._arena.extend(lower)
             self.content_off[row + 1] = len(self._arena)
             self.valid[row] = True
             self.meta.append(chunk)
@@ -492,16 +508,17 @@ class DeviceIndex:
                 err=self._put(converted["err"]) if "err" in converted else None,
             )
             self._device_cap = self._cap
-            self._dirty_lo = self._dirty_hi = 0
+            self._dirty_blocks.clear()
             return self._device
 
-        if self._dirty_hi > self._dirty_lo:
+        if self._dirty_blocks:
             block = self.capacity_block
-            lo = (self._dirty_lo // block) * block
-            hi = min(self._cap, ((self._dirty_hi + block - 1) // block) * block)
             dev = self._device
-            for b_lo in range(lo, hi, block):
-                b_hi = b_lo + block
+            for b in sorted(self._dirty_blocks):
+                b_lo = b * block
+                if b_lo >= self._cap:
+                    continue
+                b_hi = min(b_lo + block, self._cap)
                 start = jnp.int32(b_lo)
                 converted = self._convert_emb(self.emb[b_lo:b_hi])
                 dev = DeviceArrays(
@@ -519,5 +536,5 @@ class DeviceIndex:
                     ),
                 )
             self._device = dev
-            self._dirty_lo = self._dirty_hi = 0
+            self._dirty_blocks.clear()
         return self._device

@@ -45,5 +45,10 @@ class ChunkRecord:
 
     def content_lower_utf8(self) -> bytes:
         if self._lower_utf8 is None:
-            self._lower_utf8 = self.content.lower().encode("utf-8")
+            # surrogatepass matches ops/hashing.py's gram encoding: lone
+            # surrogates (surrogateescape-decoded input) must not raise
+            # mid-append (index state is mutated row by row)
+            self._lower_utf8 = self.content.lower().encode(
+                "utf-8", errors="surrogatepass"
+            )
         return self._lower_utf8

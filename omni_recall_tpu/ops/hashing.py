@@ -44,7 +44,11 @@ def _gram_positions(gram: str, bloom_bits: int, n_hashes: int) -> list[int]:
     data = gram.encode("utf-8", errors="surrogatepass")
     h1 = fnv1a(data, seed=1)
     h2 = fnv1a(data, seed=2) | 1
-    return [((h1 + i * h2) % bloom_bits) for i in range(n_hashes)]
+    # the & _MASK64 wrap matches C uint64 arithmetic (keyword_scorer.c
+    # set_gram) — without it Python's unbounded h1 + i*h2 diverges from the
+    # native builder for every non-power-of-two bloom_bits, silently
+    # breaking the bit-identical contract (and certificate soundness)
+    return [(((h1 + i * h2) & _MASK64) % bloom_bits) for i in range(n_hashes)]
 
 
 def term_grams(term: str, ngram: int) -> list[str]:
@@ -74,9 +78,10 @@ def content_grams(content_lower: str, ngram: int) -> set[str]:
     whitespace-containing grams (query terms never contain whitespace)."""
     grams: set[str] = set()
     L = len(content_lower)
-    for n in (1, 2, ngram):
-        if n == 2 and ngram == 2:
-            continue
+    # dedupe lengths KEEPING one occurrence: the old `skip n==2 when
+    # ngram==2` skipped BOTH length-2 entries, leaving ngram=2 signatures
+    # with no 2-gram bits while term_grams probes them (unsound bound)
+    for n in dict.fromkeys((1, 2, ngram)):
         for i in range(L - n + 1):
             g = content_lower[i : i + n]
             if not any(ch.isspace() for ch in g):

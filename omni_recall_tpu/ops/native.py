@@ -29,14 +29,20 @@ def _build() -> bool:
         if not cc:
             continue
         try:
+            # build to a temp path and atomically rename: compiling onto
+            # the live .so truncates a file another process may have mmapped
+            # (SIGBUS on its next call) and a concurrent CDLL could load a
+            # half-written ELF
+            tmp = _LIB_PATH.with_suffix(f".tmp{os.getpid()}.so")
             subprocess.run(
                 [
                     cc, "-O3", "-ffp-contract=off", "-pthread",
-                    "-shared", "-fPIC", "-o", str(_LIB_PATH), str(_SOURCE),
+                    "-shared", "-fPIC", "-o", str(tmp), str(_SOURCE),
                     "-lm",
                 ],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp, _LIB_PATH)
             return True
         except (OSError, subprocess.SubprocessError) as exc:
             logger.debug("native build with %s failed: %s", cc, exc)
@@ -88,11 +94,12 @@ def _load() -> ctypes.CDLL | None:
             lib.hybrid_rescore.argtypes = [
                 c_f32p, c_f64p, ctypes.c_long,            # raw_emb, norm_sq, dim
                 ctypes.c_void_p, c_i64p,                  # arena, arena_off
-                c_i64p, ctypes.POINTER(ctypes.c_long),    # rows, owner
+                c_i64p, c_i64p,                           # rows, owner (both int64)
                 ctypes.c_long,                            # total
                 c_f32p, c_f64p, ctypes.c_long,            # q_emb, q_norm, nq
                 ctypes.c_void_p, c_i64p, c_i64p,          # terms, term_off, query_term_off
                 ctypes.c_long,                            # n_threads
+                ctypes.c_double, ctypes.c_double,         # w_cos, w_kw
                 c_f64p,                                   # out
             ]
             _lib = lib
@@ -207,7 +214,7 @@ def hybrid_rescore(
     arena: bytes,       # concatenated lowercased contents
     arena_off,          # np.int64 [cap + 1]
     rows,               # np.int64 [total]
-    owner,              # np.int_  [total] (platform long)
+    owner,              # np.int64 [total]
     q_emb,              # np.float32 [nq, dim] C-contiguous
     q_norm,             # np.float64 [nq]
     terms_flat: bytes,  # concatenated term bytes
@@ -215,10 +222,14 @@ def hybrid_rescore(
     query_term_off,     # np.int64 [nq + 1]
     n_threads: int | None = None,
 ):
-    """0.7*cosine + 0.2*keyword per (query, row) pair in one native call
-    (the caller adds 0.1*recency). Returns np.float64 [total] or None when
-    the native lib is unavailable/unverified."""
+    """COSINE_WEIGHT*cosine + KEYWORD_WEIGHT*keyword per (query, row)
+    pair in one native call (the caller adds the recency term). The fusion
+    weights are passed from ops/oracle.py so they have one source of truth.
+    Returns np.float64 [total] or None when the native lib is
+    unavailable/unverified."""
     import numpy as np
+
+    from omni_recall_tpu.ops.oracle import COSINE_WEIGHT, KEYWORD_WEIGHT
 
     if not rescore_available():
         return None
@@ -252,7 +263,7 @@ def hybrid_rescore(
     f64p = ctypes.POINTER(ctypes.c_double)
     i64p = ctypes.POINTER(ctypes.c_longlong)
     rows_c = np.ascontiguousarray(rows, dtype=np.int64)
-    owner_c = np.ascontiguousarray(owner, dtype=np.int_)
+    owner_c = np.ascontiguousarray(owner, dtype=np.int64)
     try:
         rc = lib.hybrid_rescore(
             raw_emb.ctypes.data_as(f32p),
@@ -261,7 +272,7 @@ def hybrid_rescore(
             buf_ptr(arena),
             arena_off.ctypes.data_as(i64p),
             rows_c.ctypes.data_as(i64p),
-            owner_c.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            owner_c.ctypes.data_as(i64p),
             total,
             q_emb.ctypes.data_as(f32p),
             q_norm.ctypes.data_as(f64p),
@@ -270,6 +281,7 @@ def hybrid_rescore(
             term_off.ctypes.data_as(i64p),
             query_term_off.ctypes.data_as(i64p),
             n_threads,
+            ctypes.c_double(COSINE_WEIGHT), ctypes.c_double(KEYWORD_WEIGHT),
             out.ctypes.data_as(f64p),
         )
     finally:

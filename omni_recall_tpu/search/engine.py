@@ -102,6 +102,13 @@ class RecallEngine:
             self._sharded_scorer = ShardedScorer(
                 self.mesh, interpret=_jax.default_backend() != "tpu"
             )
+        if self.device_index is not None:
+            # warm the native library (compile + bit-identity self-check)
+            # OUTSIDE any index lock: a cold cc compile takes seconds and
+            # must not stall the first ingest/search holding DeviceIndex._lock
+            from omni_recall_tpu.ops import native as _native
+
+            _native.rescore_available()
         self.last_escalations = 0  # observability: cert escalations on the last search
         self.last_coarse_resolved = 0  # queries resolved by the coarse prepass
         # cumulative counters for /metrics (single-writer-ish; GIL-atomic

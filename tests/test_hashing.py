@@ -75,3 +75,50 @@ def test_signature_deterministic():
     a = hashing.chunk_signature("hello world", BLOOM_BITS, NGRAM, HASHES)
     b = hashing.chunk_signature("hello world", BLOOM_BITS, NGRAM, HASHES)
     assert np.array_equal(a, b)
+
+
+def _kw_ub_cfg(terms, content_lower, bits, ngram, hashes):
+    weights, bias = hashing.query_bit_weights(terms, bits, ngram, hashes)
+    sig = hashing.chunk_signature(content_lower, bits, ngram, hashes)
+    unpacked = hashing.unpack_bits(sig, bits)
+    return min(1.0, float(unpacked @ weights) + bias)
+
+
+def test_soundness_non_power_of_two_bits_multi_hash():
+    """The double-hash probe must wrap mod 2^64 like the C builder: with
+    unbounded Python ints, h1 + i*h2 diverges for every non-power-of-two
+    bloom_bits once bloom_hashes >= 2, and a PRESENT term's upper bound
+    dropped below its exact score (unsound certificate)."""
+    for bits in (1528, 3072, 8000):
+        for content in ("the quick brown fox", "alpha beta gamma delta"):
+            for term in content.split():
+                ub = _kw_ub_cfg([term], content, bits, 4, 2)
+                assert ub >= 1.0 - 1e-6, (bits, term, ub)
+
+
+def test_soundness_ngram_two():
+    """ngram=2 signatures must contain 2-gram bits: the old length-dedupe
+    skipped BOTH length-2 passes, leaving kw_ub = 0 for present terms."""
+    content = "the quick brown fox"
+    for term in ("quick", "brown", "ox"):
+        ub = _kw_ub_cfg([term], content, BLOOM_BITS, 2, 1)
+        assert ub >= 1.0 - 1e-6, (term, ub)
+
+
+def test_native_builder_bit_identical_non_power_of_two():
+    """C builder == Python builder for non-pow2 bits / multi-hash / ngram=2
+    (the configs where the two previously diverged)."""
+    from omni_recall_tpu.ops import native
+
+    if not native.native_available():
+        import pytest
+        pytest.skip("native builder unavailable")
+    contents = ["the quick brown fox", "pack my box with five dozen jugs"]
+    for bits, ngram, hashes in ((1528, 4, 2), (3072, 2, 2), (8000, 3, 3)):
+        py = np.stack([
+            hashing.chunk_signature(c, bits, ngram, hashes) for c in contents
+        ])
+        nat = native.chunk_signatures(
+            [c.encode() for c in contents], bits, ngram, hashes
+        )
+        np.testing.assert_array_equal(py, nat)
