@@ -16,6 +16,14 @@
 #include <stddef.h>
 #include <string.h>
 
+/* ABI version, checked by the ctypes loader (ops/native.py) before any
+ * other call: bump on ANY exported-signature change. A stale .so whose
+ * mtime beats the source would otherwise be called with mismatched
+ * marshalling (e.g. a weight double landing where the old ABI expected the
+ * out pointer -> segfault). */
+#define OMNI_NATIVE_ABI 2
+int omni_abi_version(void) { return OMNI_NATIVE_ABI; }
+
 /* Two-way/memmem is glibc; provide a fallback for other libcs. */
 static const char *find_sub(const char *hay, size_t hay_len,
                             const char *needle, size_t needle_len) {

@@ -49,6 +49,19 @@ def _build() -> bool:
     return False
 
 
+_ABI_VERSION = 2  # must match OMNI_NATIVE_ABI in keyword_scorer.c
+
+
+def _abi_version(lib) -> int:
+    try:
+        fn = lib.omni_abi_version
+        fn.restype = ctypes.c_int
+        fn.argtypes = []
+        return int(fn())
+    except (AttributeError, OSError):
+        return -1  # pre-ABI-guard library
+
+
 def _load() -> ctypes.CDLL | None:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
@@ -63,6 +76,21 @@ def _load() -> ctypes.CDLL | None:
                     logger.info("native keyword scorer unavailable; using Python fallback")
                     return None
             lib = ctypes.CDLL(str(_LIB_PATH))
+            if _abi_version(lib) != _ABI_VERSION:
+                # stale library with a different exported ABI: calling it
+                # with current marshalling could segfault — rebuild once,
+                # else fall back to Python
+                lib = None
+                if _build():
+                    lib = ctypes.CDLL(str(_LIB_PATH))
+                    if _abi_version(lib) != _ABI_VERSION:
+                        lib = None
+                if lib is None:
+                    _load_failed = True
+                    logger.warning(
+                        "native keyword scorer ABI mismatch; using Python fallback"
+                    )
+                    return None
             lib.keyword_scores.restype = ctypes.c_int
             lib.keyword_scores.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
