@@ -24,6 +24,16 @@ def main() -> int:
     parser.add_argument("--out", help="write the full JSON report here")
     args = parser.parse_args()
 
+    if args.base_url and args.in_process:
+        parser.error("--base-url and --in-process are mutually exclusive")
+    if args.base_url and args.ingest:
+        parser.error(
+            "--ingest only works with --in-process (a live server ingests "
+            "via POST /api/documents/upload)"
+        )
+    if not args.base_url and not args.in_process:
+        parser.error("choose a target: --in-process or --base-url URL")
+
     if args.base_url:
         from omni_recall_tpu.eval.clients import HttpApiClient
 

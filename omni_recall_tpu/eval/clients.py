@@ -59,8 +59,12 @@ class HttpApiClient:
             raise TransientApiError(
                 exc.read().decode("utf-8", "replace"), status=exc.code
             ) from exc
-        except TimeoutError as exc:
-            raise TransientApiError("timeout", status=None) from exc
+        except (TimeoutError, urllib.error.URLError, OSError) as exc:
+            # URLError wraps connection-phase failures (connect timeout,
+            # ECONNREFUSED, DNS) that are NOT TimeoutError — they must
+            # classify as transient or the harness's x3 retry
+            # (eval.page.ts:550-582 parity) never fires for them
+            raise TransientApiError(f"timeout/connect: {exc}", status=None) from exc
 
     def search_recall(self, question: str, top_k: int) -> dict:
         return self._request("POST", "/api/recall/search", {"query": question, "topK": top_k})

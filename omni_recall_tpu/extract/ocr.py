@@ -13,6 +13,7 @@ raises). The HTTP transport is injectable for tests."""
 
 from __future__ import annotations
 
+import http.client
 import json
 import logging
 
@@ -90,6 +91,9 @@ class DocumentIntelligenceOcrTextExtractor:
                 "OCR polling timed out after %d attempts", self.options.max_poll_attempts
             )
             return ""
-        except (OSError, ValueError, KeyError) as exc:
+        except (OSError, ValueError, KeyError, http.client.HTTPException) as exc:
+            # HTTPException covers BadStatusLine/IncompleteRead etc., which
+            # urllib raises for malformed responses and which are NOT
+            # OSError subclasses — the never-raises contract must hold
             logger.warning("OCR extraction failed: %s", exc)
             return ""

@@ -164,9 +164,20 @@ def _parse_tounicode(stream: bytes) -> dict[int, str]:
     return mapping
 
 
+# Cap per-stream inflation: a deflate bomb in a tiny upload could otherwise
+# expand to gigabytes and OOM the server before any except clause runs
+# ("malformed input must not crash ingestion"). 64 MiB decompressed per
+# stream is far beyond any real text content stream.
+_MAX_STREAM_BYTES = 64 * 1024 * 1024
+
+
 def _decompress(stream: bytes) -> bytes:
     try:
-        return zlib.decompress(stream)
+        d = zlib.decompressobj()
+        out = d.decompress(stream, _MAX_STREAM_BYTES)
+        if d.unconsumed_tail:
+            return out  # bomb/oversized: keep the capped prefix
+        return out
     except zlib.error:
         return stream  # uncompressed or unsupported filter; try as-is
 
@@ -255,7 +266,13 @@ class PdfTextExtractor:
             text = ""
         if len(text) >= self.min_chars:
             return text
-        ocr_text = self.ocr.extract_text(data)
+        try:
+            ocr_text = self.ocr.extract_text(data)
+        except Exception:
+            # the OCR extractor documents a never-raises contract, but a
+            # flaky endpoint must still not fail the upload — fall back to
+            # whatever the parser produced
+            ocr_text = ""
         # Prefer whichever attempt produced content (reference: OCR result is
         # returned when the parsed text is too short, PdfPigTextExtractor.cs:33-40)
         return ocr_text if ocr_text.strip() else text

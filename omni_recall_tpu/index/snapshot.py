@@ -4,10 +4,13 @@ The reference delegates durability to Cosmos/Blob and loses the in-memory
 store on restart (SURVEY.md §5 "checkpoint/resume — none in-app"). The TPU
 rebuild makes persistence first-class: a snapshot directory holds
 
-- ``meta.json`` — documents + chunk metadata (ids, content, timestamps,
-  insertion seq) in wire-friendly JSON,
-- ``embeddings.npz`` — all chunk embeddings as one flat f32 array plus
-  offsets (ragged-safe: chunks may have missing or odd-dimension vectors).
+- ``snapshot.npz`` — ONE atomically-renamed archive holding the JSON
+  metadata (documents + chunk ids/content/timestamps/insertion seq) and all
+  chunk embeddings as a flat f64 array plus offsets (ragged-safe: chunks
+  may have missing or odd-dimension vectors). f64 keeps the oracle/host
+  paths' float64 scoring bit-identical across a restore; the single file
+  makes a crash mid-save unable to desynchronize meta from embeddings.
+  (The legacy meta.json + embeddings.npz layout is still loadable.)
 
 ``load_snapshot`` rebuilds the host store with identical seq ordering, so a
 restored device index reproduces bit-identical rankings (rows are appended
@@ -16,7 +19,9 @@ in (created_at, seq) order). Raw blobs are the raw-document store's concern
 
 from __future__ import annotations
 
+import contextlib
 import json
+import os
 from datetime import datetime
 from pathlib import Path
 
@@ -39,24 +44,31 @@ def save_snapshot(store: InMemoryIngestionStore, path: str | Path) -> None:
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
 
-    documents = store.list_documents(2**31 - 1)
-    chunks: list[ChunkRecord] = []
-    for doc in documents:
-        chunks.extend(store.get_chunks_by_document_id(doc.id))
+    # one consistent read: the store's lock (when present) makes the
+    # documents and their chunk lists a single atomic view — without it a
+    # concurrent delete between list_documents and get_chunks leaves a
+    # ghost document with chunkCount > 0 but no chunks in the snapshot
+    lock = getattr(store, "_lock", None) or contextlib.nullcontext()
+    with lock:
+        documents = store.list_documents(2**31 - 1)
+        chunks: list[ChunkRecord] = []
+        for doc in documents:
+            chunks.extend(store.get_chunks_by_document_id(doc.id))
     chunks.sort(key=lambda c: c.seq)
 
     flat: list[np.ndarray] = []
     offsets = np.zeros(len(chunks) + 1, dtype=np.int64)
     for i, chunk in enumerate(chunks):
-        vec = np.asarray(chunk.embedding or [], dtype=np.float32)
+        # f64: the oracle/host-scan paths score the RAW embedding values in
+        # float64, so an f32 round-trip would shift post-restore scores in
+        # the low bits (near-ties could swap rank across a restart)
+        vec = np.asarray(chunk.embedding or [], dtype=np.float64)
         flat.append(vec)
         offsets[i + 1] = offsets[i] + vec.size
-    emb_flat = np.concatenate(flat) if flat else np.zeros(0, dtype=np.float32)
+    emb_flat = np.concatenate(flat) if flat else np.zeros(0, dtype=np.float64)
     has_emb = np.array([c.embedding is not None for c in chunks], dtype=bool)
 
-    np.savez_compressed(
-        path / "embeddings.npz", emb_flat=emb_flat, offsets=offsets, has_emb=has_emb
-    )
+    emb_arrays = {"emb_flat": emb_flat, "offsets": offsets, "has_emb": has_emb}
     meta = {
         "version": FORMAT_VERSION,
         "documents": [
@@ -77,15 +89,36 @@ def save_snapshot(store: InMemoryIngestionStore, path: str | Path) -> None:
             for c in chunks
         ],
     }
-    (path / "meta.json").write_text(json.dumps(meta), encoding="utf-8")
+    # ONE archive + ONE atomic rename: meta and embeddings can never
+    # desynchronize, and a crash mid-save leaves the previous good
+    # snapshot untouched (the old two-file layout could pair a new npz
+    # with an old meta.json whose offsets index a different chunk list)
+    tmp = path / f".snapshot.{os.getpid()}.tmp.npz"
+    np.savez_compressed(
+        tmp,
+        meta_json=np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        ),
+        **emb_arrays,
+    )
+    os.replace(tmp, path / "snapshot.npz")
+    # clean up a legacy two-file snapshot so stale halves can't be loaded
+    for legacy in ("meta.json", "embeddings.npz"):
+        with contextlib.suppress(OSError):
+            (path / legacy).unlink()
 
 
 def load_snapshot(path: str | Path) -> InMemoryIngestionStore:
     path = Path(path)
-    meta = json.loads((path / "meta.json").read_text(encoding="utf-8"))
+    bundle = path / "snapshot.npz"
+    if bundle.is_file():
+        arrays = np.load(bundle)
+        meta = json.loads(bytes(arrays["meta_json"].tobytes()).decode("utf-8"))
+    else:  # legacy two-file layout (pre-atomic-save snapshots)
+        meta = json.loads((path / "meta.json").read_text(encoding="utf-8"))
+        arrays = np.load(path / "embeddings.npz")
     if meta.get("version") != FORMAT_VERSION:
         raise ValueError(f"Unsupported snapshot version: {meta.get('version')}")
-    arrays = np.load(path / "embeddings.npz")
     emb_flat, offsets, has_emb = arrays["emb_flat"], arrays["offsets"], arrays["has_emb"]
 
     store = InMemoryIngestionStore()

@@ -32,6 +32,11 @@ class CoalescingSearchExecutor:
         self.window_s = window_ms / 1000.0
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
+        # guards the closed-flag check + enqueue as one atomic step: without
+        # it a search() could pass the check, lose the CPU, and enqueue
+        # AFTER close()'s sentinel — its future would never resolve and the
+        # caller would block forever
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True, name="search-coalescer")
         self._thread.start()
 
@@ -43,15 +48,19 @@ class CoalescingSearchExecutor:
         now: datetime | None = None,
     ):
         """Blocking search; batched transparently with concurrent callers."""
-        if self._closed:
-            raise RuntimeError("executor is closed")
         future: Future = Future()
-        self._queue.put(((query, query_embedding, top_k), now, future))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("executor is closed")
+            self._queue.put(((query, query_embedding, top_k), now, future))
         return future.result()
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(None)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
         self._thread.join(timeout=5)
 
     # -- dispatcher --
@@ -93,9 +102,18 @@ class CoalescingSearchExecutor:
             requests = [req for req, _, _ in group]
             try:
                 results = self.engine.search_batch(requests, now=now)
+                if len(results) != len(group):
+                    raise RuntimeError(
+                        f"search_batch returned {len(results)} results for "
+                        f"{len(group)} requests"
+                    )
             except Exception as exc:
                 for _, _, future in group:
                     future.set_exception(exc)
                 continue
+            # set_result never raises for unresolved futures, and every
+            # future is resolved exactly once above or here — an exception
+            # escaping _flush would kill the only dispatcher thread and
+            # hang every later caller
             for (_, _, future), hits in zip(group, results):
                 future.set_result(hits)

@@ -98,3 +98,15 @@ def test_unmapped_cid_codes_are_dropped_not_garbled():
     )
     pdf = _pdf([content, font, _stream_obj(cmap)])
     assert extract_pdf_text(pdf) == "AA"
+
+
+def test_decompression_bomb_is_capped():
+    """A deflate bomb inside a stream must not expand unboundedly."""
+    import zlib
+
+    from omni_recall_tpu.extract.pdf import _MAX_STREAM_BYTES, _decompress
+
+    bomb = zlib.compress(b"\x00" * (_MAX_STREAM_BYTES + (64 << 20)), 9)
+    assert len(bomb) < 1 << 20  # tiny on the wire
+    out = _decompress(bomb)
+    assert len(out) <= _MAX_STREAM_BYTES

@@ -94,3 +94,37 @@ def test_snapshot_new_ingests_after_restore_get_fresh_seqs(tmp_path):
     ])
     fresh = [c for c in restored.get_recent_chunks(1) if c.id == "new:0000"]
     assert fresh and fresh[0].seq == max_seq + 1
+
+
+def test_snapshot_preserves_float64_embeddings(tmp_path):
+    """The oracle/host paths score raw embeddings in float64 — a snapshot
+    round-trip must return the exact values, not f32-rounded ones."""
+    from omni_recall_tpu.index.records import ChunkRecord, DocumentRecord
+    from omni_recall_tpu.index.snapshot import load_snapshot, save_snapshot
+    from omni_recall_tpu.index.store import InMemoryIngestionStore
+
+    store = InMemoryIngestionStore()
+    store.upsert_document(DocumentRecord(id="d1", file_name="a.txt"))
+    vec = [0.1234567890123456789, -1.0000000000000002, 3.141592653589793]
+    store.upsert_chunks([ChunkRecord(
+        id="d1:0", document_id="d1", chunk_index=0, content="x",
+        embedding=vec,
+    )])
+    save_snapshot(store, tmp_path)
+    restored = load_snapshot(tmp_path)
+    got = restored.get_chunks_by_document_id("d1")[0].embedding
+    assert got == vec  # exact, not f32-rounded
+
+
+def test_snapshot_single_atomic_file(tmp_path):
+    """The snapshot is ONE archive (atomic rename): no split meta/npz pair
+    that a crash could desynchronize."""
+    from omni_recall_tpu.index.records import DocumentRecord
+    from omni_recall_tpu.index.snapshot import save_snapshot
+    from omni_recall_tpu.index.store import InMemoryIngestionStore
+
+    store = InMemoryIngestionStore()
+    store.upsert_document(DocumentRecord(id="d1", file_name="a.txt"))
+    save_snapshot(store, tmp_path)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["snapshot.npz"]
