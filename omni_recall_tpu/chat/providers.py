@@ -80,7 +80,13 @@ class GeminiChatClient:
                     "POST", url, {"Content-Type": "application/json"}, payload, self.timeout
                 )
             except Exception as exc:
-                raise HttpRequestError(str(exc)) from exc
+                # transport-level failure (DNS/connect/reset): try the next
+                # model in the chain like an HTTP-status failover — aborting
+                # here would skip reachable fallback models; if every model
+                # fails the router still sees a transient HttpRequestError
+                last_exception = HttpRequestError(str(exc))
+                last_exception.__cause__ = exc
+                continue
             body = resp.body.decode("utf-8", errors="replace")
 
             if resp.status == 429:

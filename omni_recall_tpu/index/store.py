@@ -48,13 +48,18 @@ class InMemoryIngestionStore:
                     self._seq += 1
                 by_doc.setdefault(chunk.document_id, []).append(chunk)
             for doc_id, doc_chunks in by_doc.items():
-                merged = {c.id: c for c in self._chunks.get(doc_id, [])}
+                # REPLACE the document's whole chunk list (reference
+                # semantics, InMemoryIngestionStore.cs:17-25): stale chunks
+                # absent from the new list are dropped. Chunks re-upserted
+                # under the same id keep their original seq so the
+                # (created_at, seq) index ordering is stable across reindex.
+                prior_seq = {c.id: c.seq for c in self._chunks.get(doc_id, [])}
                 for c in doc_chunks:
-                    prior = merged.get(c.id)
-                    if prior is not None:
-                        c.seq = prior.seq
-                    merged[c.id] = c
-                self._chunks[doc_id] = sorted(merged.values(), key=lambda c: c.chunk_index)
+                    if c.id in prior_seq:
+                        c.seq = prior_seq[c.id]
+                self._chunks[doc_id] = sorted(
+                    doc_chunks, key=lambda c: c.chunk_index
+                )
 
     def get_document(self, document_id: str) -> DocumentRecord | None:
         with self._lock:
@@ -124,15 +129,26 @@ class LocalFileRawDocumentStore:
 
     def save(self, file_name: str, content: str, content_hash: str) -> str:
         now = datetime.now(timezone.utc)
-        safe_name = file_name.strip().lower().replace(" ", "-")
+        # the filename is CLIENT-SUPPLIED (multipart upload): strip any
+        # directory components and dot-segments or '../../../etc/x' writes
+        # outside the storage root (path traversal)
+        base = file_name.replace("\\", "/").rsplit("/", 1)[-1]
+        safe_name = base.strip().lower().replace(" ", "-").replace("..", "_")
+        if not safe_name or safe_name in (".", "_"):
+            safe_name = "upload"
         rel = f"raw/{now:%Y/%m/%d}/{content_hash[:12]}-{safe_name}"
-        target = self._root / rel
+        target = (self._root / rel).resolve()
+        root = self._root.resolve()
+        if not target.is_relative_to(root):
+            raise ValueError(f"unsafe raw-document path: {file_name!r}")
         target.parent.mkdir(parents=True, exist_ok=True)
         target.write_text(content, encoding="utf-8")
         return rel
 
     def get(self, path: str) -> str | None:
-        target = self._root / path
+        target = (self._root / path).resolve()
+        if not target.is_relative_to(self._root.resolve()):
+            return None  # stored paths are internal, but stay contained
         if not target.is_file():
             return None
         return target.read_text(encoding="utf-8")

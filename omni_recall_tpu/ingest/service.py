@@ -106,6 +106,21 @@ class DocumentIngestionService:
         embeddings = self._embed_texts(chunk_texts, context_id=file_name, operation="ingest")
 
         with self._append_lock:
+            # re-check the dedupe under the lock: two concurrent uploads of
+            # identical content both pass the pre-embedding check (the
+            # window spans the slow embed call); the loser returns the
+            # winner's document instead of creating a duplicate
+            existing = self._find_existing_by_hash(content_hash)
+            if existing is not None:
+                logger.info(
+                    "Deduplicated ingest for %s after concurrent upload; "
+                    "returning existing document %s.", file_name, existing.id,
+                )
+                return UploadDocumentResponse(
+                    existing.id, existing.file_name, existing.source_type,
+                    existing.blob_path, existing.chunk_count,
+                    existing.content_hash, existing.created_at_utc,
+                )
             created_at = datetime.now(timezone.utc)
             chunks = [
                 ChunkRecord(
@@ -224,6 +239,16 @@ class DocumentIngestionService:
             )
 
         with self._append_lock:
+            # re-check under the lock: a concurrent DELETE during the slow
+            # embed phase must win — upserting now would resurrect the
+            # deleted document's chunks as permanent orphans (no
+            # DocumentRecord -> undeletable via the API)
+            if self.store.get_document(document_id) is None:
+                logger.info(
+                    "Document %s was deleted during reindex; discarding "
+                    "re-embedded chunks.", document_id,
+                )
+                return None
             self.store.upsert_chunks(updated)
             if self.engine is not None:
                 self.engine.on_chunks_upserted(updated, new=False)

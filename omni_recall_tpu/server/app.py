@@ -201,7 +201,12 @@ class OmniRecallApp(WsgiApp):
             for o in (config.cors.allowed_origins_csv or "").split(",")
             if o.strip()
         ]
-        super().__init__(router, allowed_origins=origins)
+        # body cap at the WSGI layer (before buffering): upload limit plus
+        # multipart framing slack; mirrors Kestrel MaxRequestBodySize
+        super().__init__(
+            router, allowed_origins=origins,
+            max_body_bytes=max(1, config.ingestion.max_upload_bytes) + (64 << 10),
+        )
 
     # -- documents (DocumentEndpoints.cs) --
 
@@ -225,6 +230,11 @@ class OmniRecallApp(WsgiApp):
             )
 
         extension = os.path.splitext(file.filename)[1].lower()
+        if not extension and file.filename.startswith("."):
+            # dotfiles: Path.GetExtension(".txt") returns ".txt" in the
+            # reference (DocumentEndpoints.cs allowlist accepts them);
+            # splitext treats the name as extensionless
+            extension = file.filename.lower()
         if extension not in ALLOWED_EXTENSIONS:
             return Response(415, b"", {})
 
@@ -284,8 +294,11 @@ class OmniRecallApp(WsgiApp):
             payload = request.json() or {}
         except ValueError:
             return Response.error("Invalid JSON body.")
+        if not isinstance(payload, dict):
+            # model-binding parity: a non-object body is a 400, not a 500
+            return Response.error("Request body must be a JSON object.")
         query = payload.get("query") or ""
-        if not query.strip():
+        if not isinstance(query, str) or not query.strip():
             return Response.error("Query is required.")
         top_k = _parse_top_k(payload.get("topK", 5))
         if top_k is None:
@@ -300,8 +313,10 @@ class OmniRecallApp(WsgiApp):
             payload = request.json() or {}
         except ValueError:
             return Response.error("Invalid JSON body.")
+        if not isinstance(payload, dict):
+            return Response.error("Request body must be a JSON object.")
         prompt = payload.get("prompt") or ""
-        if not prompt.strip():
+        if not isinstance(prompt, str) or not prompt.strip():
             return Response.error("Prompt is required.")
         top_k = _parse_top_k(payload.get("topK", 5))
         if top_k is None:

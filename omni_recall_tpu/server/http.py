@@ -119,9 +119,15 @@ class Router:
         self._routes: list[tuple[str, re.Pattern[str], Handler]] = []
 
     def add(self, method: str, pattern: str, handler: Handler) -> None:
-        regex = re.compile(
-            "^" + re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", pattern.rstrip("/")) + "/?$"
+        # literal segments are regex-escaped: an unescaped '.' in e.g.
+        # '/swagger/v1/swagger.json' would match any character
+        parts = re.split(r"(\{\w+\})", pattern.rstrip("/"))
+        built = "".join(
+            re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", p)
+            if re.fullmatch(r"\{\w+\}", p) else re.escape(p)
+            for p in parts
         )
+        regex = re.compile("^" + built + "/?$")
         self._routes.append((method.upper(), regex, handler))
 
     def match(self, method: str, path: str) -> tuple[Handler | None, dict[str, str], bool]:
@@ -180,9 +186,18 @@ def parse_multipart(content_type: str, body: bytes) -> tuple[dict[str, str], lis
 class WsgiApp:
     """Router + CORS + global exception handling as a WSGI callable."""
 
-    def __init__(self, router: Router, allowed_origins: list[str] | None = None) -> None:
+    def __init__(
+        self,
+        router: Router,
+        allowed_origins: list[str] | None = None,
+        max_body_bytes: int | None = None,
+    ) -> None:
         self.router = router
         self.allowed_origins = [o.lower() for o in (allowed_origins or [])]
+        # enforced BEFORE the body is buffered (the reference's equivalent
+        # is Kestrel's MaxRequestBodySize): without it a huge Content-Length
+        # is read fully into memory before any route-level 413 check runs
+        self.max_body_bytes = max_body_bytes
 
     def _cors_headers(self, request: Request) -> dict[str, str]:
         origin = request.headers.get("origin")
@@ -219,7 +234,11 @@ class WsgiApp:
                     500,
                 )
         duration_ms = (time.monotonic() - start) * 1000.0
-        response.headers.update(self._cors_headers(request))
+        cors = self._cors_headers(request)
+        response.headers.update(cors)
+        if self.allowed_origins:
+            # shared caches must not serve one origin's ACAO to another
+            response.headers.setdefault("Vary", "Origin")
         response.headers.setdefault("X-Response-Time-Ms", f"{duration_ms:.2f}")
         logger.info(
             "%s %s -> %d (%.2f ms)",
@@ -234,6 +253,17 @@ class WsgiApp:
             length = int(environ.get("CONTENT_LENGTH") or 0)
         except ValueError:
             length = 0
+        if self.max_body_bytes is not None and length > self.max_body_bytes:
+            payload = json.dumps({
+                "title": "Payload too large",
+                "detail": "Request body exceeds the configured limit.",
+                "status": 413,
+            }).encode("utf-8")
+            start_response("413 Payload Too Large", [
+                ("Content-Type", "application/problem+json"),
+                ("Content-Length", str(len(payload))),
+            ])
+            return [payload]
         body = environ["wsgi.input"].read(length) if length > 0 else b""
         headers = {
             key[5:].replace("_", "-").lower(): value

@@ -275,3 +275,65 @@ def test_pdf_upload_extracts_text():
     doc_id = resp.json()["documentId"]
     chunks = client.get(f"/api/documents/{doc_id}/chunks").json()
     assert "alpha beta gamma" in chunks[0]["snippet"]
+
+
+def test_dotfile_upload_accepted():
+    """Path.GetExtension('.md') == '.md' in the reference: dotfiles whose
+    whole name is an allowed extension must upload, not 415."""
+    app, client = _app(DEFAULT_OVERRIDES)
+    resp = client.upload("/api/documents/upload", filename=".md", data=b"hello dot")
+    assert resp.status == 201, resp.body
+
+
+def test_non_object_json_bodies_return_400():
+    app, client = _app(DEFAULT_OVERRIDES)
+    for body in ([1, 2], "hi", 5):
+        assert client.post("/api/recall/search", json_body=body).status == 400
+        assert client.post("/api/chat", json_body=body).status == 400
+    # non-string query/prompt -> 400, not 500
+    assert client.post("/api/recall/search", json_body={"query": 5}).status == 400
+    assert client.post("/api/chat", json_body={"prompt": ["x"]}).status == 400
+
+
+def test_route_literals_are_regex_escaped():
+    app, client = _app(DEFAULT_OVERRIDES)
+    assert client.get("/swagger/v1/swagger.json").status == 200
+    assert client.get("/swagger/v1/swaggerXjson").status == 404
+
+
+def test_wsgi_body_cap_rejects_before_reading():
+    """A huge Content-Length must 413 at the WSGI layer WITHOUT buffering
+    the body (the reference's Kestrel MaxRequestBodySize equivalent)."""
+    app, _client = _app(DEFAULT_OVERRIDES)
+
+    class ExplodingInput:
+        def read(self, n):
+            raise AssertionError("body must not be read")
+
+    status_box = {}
+
+    def start_response(status, headers):
+        status_box["status"] = status
+
+    out = app({
+        "REQUEST_METHOD": "POST",
+        "PATH_INFO": "/api/documents/upload",
+        "QUERY_STRING": "",
+        "CONTENT_LENGTH": str(8 << 30),
+        "CONTENT_TYPE": "multipart/form-data; boundary=b",
+        "wsgi.input": ExplodingInput(),
+    }, start_response)
+    assert status_box["status"].startswith("413"), status_box
+    assert b"Payload too large" in b"".join(out)
+
+
+def test_raw_store_path_traversal_contained(tmp_path):
+    from omni_recall_tpu.index.store import LocalFileRawDocumentStore
+
+    store = LocalFileRawDocumentStore(tmp_path)
+    rel = store.save("../../../../etc/passwd.md", "content", "a" * 16)
+    target = (tmp_path / rel).resolve()
+    assert target.is_relative_to(tmp_path.resolve())
+    assert target.is_file()
+    # reads are contained too
+    assert store.get("../../etc/passwd") is None

@@ -152,7 +152,12 @@ def test_parity_after_delete():
 def test_parity_after_reindex_style_embedding_update():
     rng = random.Random(9)
     store, engine, oracle_engine, vocab = _build(60, rng)
-    chunks = store.get_recent_chunks(10)
+    # true reindex semantics: a document's WHOLE chunk list is re-upserted
+    # (upsert_chunks REPLACES per document, InMemoryIngestionStore.cs:17-25
+    # — a partial list would drop the document's other chunks)
+    doc_id = store.list_documents(10**6)[0].id
+    chunks = store.get_chunks_by_document_id(doc_id)
+    assert chunks
     for c in chunks:
         c.embedding = hash_embedder.embed_text(c.content + " updated", DIM)
     store.upsert_chunks(chunks)

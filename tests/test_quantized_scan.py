@@ -119,8 +119,11 @@ def test_quantized_updates_and_deletes_stay_in_sync():
     engine.on_chunks_upserted(chunks, new=True)
     engine.search("warmup", hash_embedder.embed_text("warmup", DIM), 3, now=NOW)
 
-    # in-place embedding update (reindex path) after first device sync
-    updated = store.get_recent_chunks(5)
+    # in-place embedding update (reindex path) after first device sync —
+    # a document's WHOLE chunk list, matching upsert_chunks' per-document
+    # replace semantics (InMemoryIngestionStore.cs:17-25)
+    doc_id = store.get_recent_chunks(1)[0].document_id
+    updated = store.get_chunks_by_document_id(doc_id)
     for c in updated:
         c.embedding = hash_embedder.embed_text(c.content + " v2", DIM)
     store.upsert_chunks(updated)

@@ -189,13 +189,22 @@ def test_rebuild_does_not_drop_concurrently_appended_chunks():
     def ingest_loop():
         start.wait()
         for i in range(100, 160):
+            # each append is its own document: upsert_chunks REPLACES a
+            # document's whole chunk list (reference semantics), so
+            # incremental same-doc appends are not a legal store pattern —
+            # the real ingest service always upserts a full document
+            doc_id = f"late_{i}"
             c = ChunkRecord(
-                id=f"d:{i:04d}", document_id="d", chunk_index=i,
+                id=f"{doc_id}:0000", document_id=doc_id, chunk_index=0,
                 content=f"late chunk {i}",
                 embedding=hash_embedder.embed_text(f"late {i}", DIM),
                 created_at_utc=T0 + timedelta(minutes=i),
             )
             with engine.mutation_lock:
+                store.upsert_document(DocumentRecord(
+                    id=doc_id, file_name=f"{doc_id}.txt",
+                    created_at_utc=c.created_at_utc,
+                ))
                 store.upsert_chunks([c])
                 engine.on_chunks_upserted([c], new=True)
             appended.append(c.id)

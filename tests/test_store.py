@@ -27,10 +27,12 @@ def test_upsert_replaces_chunks_sorted_by_index(store):
     store.upsert_chunks([_chunk("doc_1", 1, T0), _chunk("doc_1", 0, T0)])
     chunks = store.get_chunks_by_document_id("doc_1")
     assert [c.chunk_index for c in chunks] == [0, 1]
-    # upsert same ids replaces in place
+    # upsert REPLACES the document's whole chunk list (reference:
+    # InMemoryIngestionStore.cs:17-25 assigns the new list outright) —
+    # chunks absent from the new list are dropped
     store.upsert_chunks([_chunk("doc_1", 0, T0, content="updated")])
     chunks = store.get_chunks_by_document_id("doc_1")
-    assert len(chunks) == 2
+    assert len(chunks) == 1
     assert chunks[0].content == "updated"
 
 
