@@ -12,12 +12,28 @@ Behavior-compatible with the reference chunker
 
 from __future__ import annotations
 
+import re
+
+# C# char.IsWhiteSpace set: space separators (Zs), line/paragraph
+# separators, and the BCL extras \t \n \v \f \r U+0085 — but NOT the
+# information separators U+001C..U+001F that Python's str.split() also
+# treats as whitespace. PDF-extracted text commonly carries those control
+# chars, and splitting on them would shift every later chunk boundary.
+_CSHARP_WS = re.compile(
+    "[\t\n\v\f\r \u0085\u00a0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+"
+)
+
+
+def _split_words(text: str) -> list[str]:
+    return [w for w in _CSHARP_WS.split(text) if w]
+
 
 def chunk_text(text: str, chunk_size_words: int, chunk_overlap_words: int) -> list[str]:
-    if not text or not text.strip():
+    if not text:
         return []
 
-    words = text.split()
+    words = _split_words(text)
     if not words:
         return []
 

@@ -16,11 +16,16 @@ from typing import Any
 
 
 def iso_utc(dt: datetime) -> str:
-    """Serialize a datetime the way System.Text.Json renders UTC DateTime."""
+    """Serialize a datetime the way System.Text.Json renders UTC DateTime:
+    trailing zeros of the fractional seconds are trimmed and the fraction
+    is omitted entirely when zero ("...T00:00:00Z", not ".000000Z")."""
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
     dt = dt.astimezone(timezone.utc)
-    return dt.isoformat(timespec="microseconds").replace("+00:00", "Z")
+    out = dt.isoformat(timespec="microseconds").replace("+00:00", "")
+    if "." in out:
+        out = out.rstrip("0").rstrip(".")
+    return out + "Z"
 
 
 def _camel(name: str) -> str:

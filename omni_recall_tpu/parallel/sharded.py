@@ -55,7 +55,9 @@ class ShardedScorer:
         self._fns: dict[tuple, object] = {}
 
     def row_sharding(self, ndim: int) -> NamedSharding:
-        return NamedSharding(self.mesh, P("shards", *([None] * (ndim - 1))))
+        from omni_recall_tpu.parallel.mesh import row_sharding
+
+        return row_sharding(self.mesh, ndim)  # one source for the layout
 
     # -- local shard bodies --
 
@@ -77,13 +79,11 @@ class ShardedScorer:
                 vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
                 idxs = jnp.pad(idxs, ((0, 0), (0, pad)), constant_values=-1 - int(1e9))
             # entry m doubles as the shard boundary: the (m+1)-th local value
-            # bounds every unemitted local row; mark it bound-only
-            vals_b = vals
+            # bounds every unemitted local row; mark it bound-only (-2 is
+            # the non-candidate sentinel, also applied to padded entries)
             idxs_b = idxs.at[:, k_local - 1].set(-2) if k == k_local else idxs
-            gi = jnp.where(idxs_b >= 0, idxs_b, -2)
-            out_v = vals_b
-            out_i = jnp.where(gi >= 0, gi, -2)
-            return _globalize_and_merge(out_v, out_i, row_offset, m)
+            out_i = jnp.where(idxs_b >= 0, idxs_b, -2)
+            return _globalize_and_merge(vals, out_i, row_offset, m)
 
         return local_fn
 

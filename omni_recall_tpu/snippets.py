@@ -16,6 +16,17 @@ PREVIEW_SNIPPET_LEN = 220
 
 def build_snippet(content: str, max_length: int) -> str:
     normalized = content.replace("\n", " ").replace("\r", " ").strip()
-    if len(normalized) <= max_length:
+    # length is counted in UTF-16 code units (C# string.Length): non-BMP
+    # characters (emoji, rare CJK) count as 2. Truncation backs off one
+    # unit rather than splitting a surrogate pair (C# substring would emit
+    # a lone surrogate that JSON-encodes as U+FFFD — producing a valid
+    # prefix instead is the only deliberate deviation).
+    units = len(normalized.encode("utf-16-le")) // 2
+    if units <= max_length:
         return normalized
-    return normalized[:max_length] + "..."
+    cut = normalized.encode("utf-16-le")[: max_length * 2]
+    try:
+        prefix = cut.decode("utf-16-le")
+    except UnicodeDecodeError:
+        prefix = cut[:-2].decode("utf-16-le")
+    return prefix + "..."

@@ -51,3 +51,37 @@ def test_last_partial_window_included():
     words = [f"w{i}" for i in range(5)]
     chunks = chunk_text(" ".join(words), 2, 0)
     assert chunks == ["w0 w1", "w2 w3", "w4"]
+
+
+def test_information_separators_are_not_word_breaks():
+    """C# char.IsWhiteSpace excludes U+001C..U+001F (Python's str.split
+    treats them as whitespace): they must not shift chunk boundaries."""
+    from omni_recall_tpu.chunking import _split_words
+
+    assert _split_words("a\x1cb c") == ["a\x1cb", "c"]
+    assert chunk_text("\x1c", 120, 24) == ["\x1c"]
+
+
+def test_snippet_counts_utf16_units():
+    from omni_recall_tpu.snippets import build_snippet
+
+    emoji = "\U0001F600" * 100  # 200 UTF-16 units
+    out = build_snippet(emoji, 180)
+    assert out.endswith("...")
+    # truncated to <= 180 units without a split surrogate pair
+    assert len(out[:-3].encode("utf-16-le")) // 2 <= 180
+    out.encode("utf-8")  # no lone surrogates
+
+
+def test_iso_utc_trims_like_system_text_json():
+    from datetime import datetime, timezone
+
+    from omni_recall_tpu.contracts import iso_utc
+
+    assert iso_utc(datetime(2026, 8, 1, tzinfo=timezone.utc)) == "2026-08-01T00:00:00Z"
+    assert iso_utc(
+        datetime(2026, 8, 1, 0, 0, 0, 500000, tzinfo=timezone.utc)
+    ) == "2026-08-01T00:00:00.5Z"
+    assert iso_utc(
+        datetime(2026, 8, 1, 0, 0, 0, 123456, tzinfo=timezone.utc)
+    ) == "2026-08-01T00:00:00.123456Z"
