@@ -477,7 +477,28 @@ def main() -> None:
         lat_scan_s, lat_qps = full_scan_s, full_qps
         per_scan, qps = full_scan_s, full_qps
 
+    # keyword-only scan (the serving path for embedding-less queries — the
+    # whole workload under the default Embeddings:Provider=None): bloom +
+    # recency only, no emb read (emb/r_scale args are DCE'd by XLA)
+    kw_only_stats = {}
+    if dtype == "int8":
+        def kw_one(q, kw_w, emb_unused, bloom, add_row, r_scale_unused, interp):
+            kw_w8 = pallas_scorer.quantize_kw_weights(kw_w)
+            kw_bias = jnp.zeros((q.shape[0], 1), dtype=jnp.float32)
+            return pallas_scorer.block_topt_kw_only(
+                bloom, kw_w8, kw_bias, add_row, t=t_block, sub=sub,
+                interpret=interp,
+            )
+        kw_scan_s, kw_qps = time_megastep(
+            make_megastep(kw_one, with_bloom=True), b if interpret else bt
+        )
+        kw_only_stats = {
+            "kw_only_scan_ms": round(kw_scan_s * 1000.0, 3),
+            "kw_only_scan_qps": round(kw_qps, 1),
+        }
+
     details = {
+        **kw_only_stats,
         "n_chunks": n, "dim": d, "batch_throughput": bt, "batch_latency": b,
         "bloom_bits": bits,
         "top_m": m, "dtype": dtype, "scan_ms": round(per_scan * 1000.0, 3),

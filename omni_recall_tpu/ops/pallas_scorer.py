@@ -241,6 +241,109 @@ def _make_topt_kernel_int8_coarse(t1: int, c: int, sub: int):
     return kernel
 
 
+def _make_topt_kernel_kw_only(t1: int, c: int, sub: int):
+    """Bloom-only scan for keyword-only queries (empty query embedding):
+    their cosine term is EXACTLY 0 (RecallSearchService.cs:70-71), so
+    skipping the [B,d]x[d,C] matmul and the emb stream is lossless — scan
+    work drops from 2N(d + bits) to 2N*bits ops and the HBM stream from
+    N(d + W) to N*W bytes. The default out-of-box config
+    (Embeddings:Provider=None) serves EVERY query through this kernel."""
+
+    def kernel(bloom_ref, kw_w_ref, kw_b_ref, add_row_ref, vals_ref, idxs_ref):
+        words = bloom_ref[:].astype(jnp.int32)  # [C, W]
+        bits = jnp.concatenate(
+            [((words >> b) & 1) for b in range(8)], axis=1
+        ).astype(jnp.int8)  # [C, W*8]
+        kwd = jax.lax.dot_general(
+            kw_w_ref[:], bits,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # [B, C]
+        kw = jnp.minimum(kwd * (1.0 / 127.0) + kw_b_ref[:], 1.0)
+        scores = KEYWORD_WEIGHT * kw + add_row_ref[:] + PALLAS_CERT_EPS_INT8
+        _extract_topt(scores, c, sub, t1, vals_ref, idxs_ref)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("t", "sub", "interpret"))
+def block_topt_kw_only(
+    bloom: jax.Array,        # u8 [N, W]
+    kw_weights8: jax.Array,  # i8 [B, bits] (ceil-quantized)
+    kw_bias: jax.Array,      # f32 [B, 1]
+    add_row: jax.Array,      # f32 [1, N] (0.1*rec + valid/window mask; NO
+                             # cosine error term — cosine is exactly 0)
+    t: int,
+    sub: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Keyword-only scan. Same output contract as block_topt_int8."""
+    n, w = bloom.shape
+    b = kw_weights8.shape[0]
+    c = _pick_block(n, 1)
+    if c == 0:
+        raise ValueError(f"row count {n} not divisible by a supported block")
+    sub = min(sub, c)
+    t1 = min(t + 1, sub)
+    n_sub = c // sub
+    nblocks = n // c
+
+    kernel = pl.pallas_call(
+        _make_topt_kernel_kw_only(t1, c, sub),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((c, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, w * 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, n_sub * t1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, n_sub * t1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * b * w * 8,
+            bytes_accessed=n * w + b * nblocks * n_sub * t1 * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    vals, idxs = kernel(bloom, kw_weights8, kw_bias, add_row)
+    vals = jnp.transpose(vals, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
+    idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
+    return vals, idxs
+
+
+@functools.partial(jax.jit, static_argnames=("m", "t", "sub", "interpret"))
+def score_topm_kw_only(
+    bloom: jax.Array,
+    created: jax.Array,
+    valid: jax.Array,
+    kw_weights: jax.Array,   # f32[B, bits]
+    kw_bias: jax.Array,      # f32[B]
+    now_days: jax.Array,
+    window_start: jax.Array,
+    m: int,
+    t: int = 8,
+    sub: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Keyword-only scan entry: sound upper bounds for queries WITHOUT an
+    embedding (their cosine is exactly 0, so no emb read, no quantization
+    error term — the add_row is tighter than the hybrid kernels')."""
+    add_row = make_add_row(created, valid, now_days, window_start)
+    kw_w8 = quantize_kw_weights(kw_weights)
+    vals, idxs = block_topt_kw_only(
+        bloom, kw_w8, kw_bias[:, None], add_row,
+        t=t, sub=sub, interpret=interpret,
+    )
+    return _merge_topm(vals, idxs, m)
+
+
 @functools.partial(jax.jit, static_argnames=("t", "sub", "interpret", "block"))
 def block_topt_int8_coarse(
     emb8: jax.Array,        # i8 [N, d]

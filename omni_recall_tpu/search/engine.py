@@ -120,6 +120,7 @@ class RecallEngine:
             "host_fallbacks_total": 0,    # queries finished by the host scan
             "rescore_pairs_total": 0,       # (query,row) pairs exact-rescored
             "rescore_pairs_saved_total": 0, # pairs skipped by the 2-phase prune
+            "kw_only_resolved_total": 0,    # resolved by the keyword-only scan
         }
         # Adaptive prepass gate: on corpora with near-tie score distributions
         # the coarse certificate keeps failing and the prepass only adds
@@ -376,6 +377,39 @@ class RecallEngine:
                 interpret=interpret,
             )
         return coarse
+
+    def _select_kw_scorer(self, m: int, n_rows_padded: int):
+        """Keyword-only scan (bloom + recency, no emb read) for queries
+        with no embedding. Works for every scan_dtype (the bloom planes are
+        always u8); single-device only for now — the sharded loop keeps its
+        existing modes."""
+        if not (
+            self.options.exact
+            and self.options.backend == "pallas"
+            and self.device_index is not None
+            and self._sharded_scorer is None
+        ):
+            return None
+
+        import jax as _jax
+
+        from omni_recall_tpu.ops import pallas_scorer
+
+        c = pallas_scorer._pick_block(n_rows_padded, 1)
+        if c == 0:
+            return None
+        layout = _coarse_layout(n_rows_padded, m, c)
+        if layout is None:
+            return None
+        sub, t = layout
+        interpret = _jax.default_backend() != "tpu"
+
+        def kw_only(dev, w, bias, now_days, r0, m):
+            return pallas_scorer.score_topm_kw_only(
+                dev.bloom, dev.created, dev.valid, w, bias, now_days, r0,
+                m=m, t=t, sub=sub, interpret=interpret,
+            )
+        return kw_only
 
     def _exact_hits(
         self,
@@ -890,6 +924,30 @@ class RecallEngine:
                     if meta[int(r)] is not None
                 ]
             return unresolved
+
+        # Keyword-only prepass (exact profile): queries WITHOUT an embedding
+        # have cosine exactly 0 (RecallSearchService.cs:70-71), so a
+        # bloom+recency-only kernel produces the same sound bounds at
+        # ~bits/(d+bits) of the fused scan cost with no emb stream. This is
+        # the primary serving path of the default Embeddings:Provider=None
+        # config. Certificate failures continue into the full fused loop.
+        if self.options.exact:
+            kw_only = [
+                i for i, r in enumerate(results)
+                if r is None and not bool(np.any(q[i]))
+            ]
+            kw_scorer = (
+                self._select_kw_scorer(m, int(dev.emb.shape[0]))
+                if kw_only else None
+            )
+            if kw_scorer is not None and kw_only:
+                k_vals, k_idxs = kw_scorer(dev, w_dev, bias_dev, now_dev, r0_dev, m)
+                unresolved = rescore_and_certify(
+                    kw_only, np.asarray(k_vals), np.asarray(k_idxs), m
+                )
+                self.stats["kw_only_resolved_total"] += (
+                    len(kw_only) - len(unresolved)
+                )
 
         # Coarse prepass (exact profile): cosine-only scan with a sound
         # per-query keyword cap. Resolves nearly all embedding-backed queries

@@ -244,3 +244,42 @@ def test_sharded_coarse_mode_matches_oracle():
         assert [h.score for h in got] == [h.score for h in want]
 
 
+
+
+def test_kw_only_prepass_matches_oracle_and_resolves():
+    """Keyword-only queries (no embedding) are served by the bloom-only
+    scan: results identical to the oracle on any corpus (ties escalate),
+    and a unique term at k=1 certifies on device without the fused kernel."""
+    rng = np.random.default_rng(21)
+    # parity on the tie-heavy corpus (certificate escalates, stays exact)
+    engine, oracle_engine, contents = _build_engine(rng, 200)
+    for trial in range(4):
+        term = contents[int(rng.integers(len(contents)))].split()[0]
+        hits = engine.search(term, None, 5, now=NOW)
+        expected = oracle_engine.search(term, None, 5, now=NOW)
+        assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected], term
+
+    # resolution on a discriminative corpus: disjoint contents, wide bloom
+    store = InMemoryIngestionStore()
+    engine2 = RecallEngine(store, options=EngineOptions(
+        backend="pallas", embedding_dim=DIM, capacity_block=256,
+        candidate_m=8, bloom_bits=1024, recent_window=0, scan_dtype="int8",
+    ))
+    oracle2 = RecallEngine(store, None, EngineOptions(backend="oracle", recent_window=0))
+    store.upsert_document(DocumentRecord(id="d", file_name="d.txt", created_at_utc=T0))
+    recs = [
+        ChunkRecord(
+            id=f"d:{i:04d}", document_id="d", chunk_index=i,
+            content=f"zq{i}unique wfill{i}", embedding=None,
+            created_at_utc=T0 + timedelta(minutes=i),
+        )
+        for i in range(96)
+    ]
+    store.upsert_chunks(recs)
+    engine2.on_chunks_upserted(recs, new=True)
+    hits = engine2.search("zq42unique", None, 1, now=NOW)
+    expected = oracle2.search("zq42unique", None, 1, now=NOW)
+    assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
+    assert hits[0].chunk.id == "d:0042"
+    assert engine2.stats["kw_only_resolved_total"] == 1, engine2.stats
+    assert engine2.last_escalations == 0
