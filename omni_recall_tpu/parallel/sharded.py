@@ -87,6 +87,28 @@ class ShardedScorer:
 
         return local_fn
 
+    def _local_kw_only(self, m, t, sub):
+        """Bloom+recency-only local body for embedding-less queries (their
+        cosine is exactly 0) — no emb operand at all."""
+        interpret = self.interpret
+
+        def local_fn(bloom, created, valid, kw_w, kw_b, now_days, window_start):
+            n_local = bloom.shape[0]
+            shard = jax.lax.axis_index("shards")
+            row_offset = (shard * n_local).astype(jnp.int32)
+            add_row = pallas_scorer.make_add_row(
+                created, valid, now_days, window_start, row_offset=row_offset
+            )
+            kw_w8 = pallas_scorer.quantize_kw_weights(kw_w)
+            vals, idxs = pallas_scorer.block_topt_kw_only(
+                bloom, kw_w8, kw_b[:, None], add_row,
+                t=t, sub=sub, interpret=interpret,
+            )
+            out_v, out_i = pallas_scorer._merge_topm(vals, idxs, m)
+            return _globalize_and_merge(out_v, out_i, row_offset, m)
+
+        return local_fn
+
     def _local_pallas(self, m, t, sub, int8: bool, coarse: bool = False):
         interpret = self.interpret
 
@@ -158,7 +180,10 @@ class ShardedScorer:
             row = P("shards", None)
             vec = P("shards")
             rep = P()
-            if mode in ("pallas_int8", "pallas_int8_coarse"):
+            if mode == "pallas_kw_only":
+                local = self._local_kw_only(m, t, sub)
+                in_specs = (row, vec, vec, rep, rep, rep, rep)
+            elif mode in ("pallas_int8", "pallas_int8_coarse"):
                 local = self._local_pallas(
                     m, t, sub, int8=True, coarse=mode.endswith("_coarse")
                 )
@@ -175,6 +200,8 @@ class ShardedScorer:
                     in_specs=in_specs, out_specs=(rep, rep), check_vma=False,
                 )
             )
+        if mode == "pallas_kw_only":
+            return fn(bloom, created, valid, kw_w, kw_b, now_days, window_start)
         if mode in ("pallas_int8", "pallas_int8_coarse"):
             return fn(emb, scale, err, bloom, created, valid, q, kw_w, kw_b,
                       now_days, window_start)

@@ -381,19 +381,37 @@ class RecallEngine:
     def _select_kw_scorer(self, m: int, n_rows_padded: int):
         """Keyword-only scan (bloom + recency, no emb read) for queries
         with no embedding. Works for every scan_dtype (the bloom planes are
-        always u8); single-device only for now — the sharded loop keeps its
-        existing modes."""
+        always u8), single-device and sharded."""
         if not (
             self.options.exact
             and self.options.backend == "pallas"
             and self.device_index is not None
-            and self._sharded_scorer is None
         ):
             return None
 
         import jax as _jax
 
         from omni_recall_tpu.ops import pallas_scorer
+
+        if self._sharded_scorer is not None:
+            ss = self._sharded_scorer
+            n_local = ss.local_rows(n_rows_padded)
+            c = pallas_scorer._pick_block(n_local, 1)
+            if c == 0:
+                return None
+            layout = _coarse_layout(n_local, m, c)
+            if layout is None:
+                return None
+            sub, t = layout
+
+            def sharded_kw(dev, w, bias, now_days, r0, m):
+                return ss.score_topm(
+                    dev.emb, dev.bloom, dev.created, dev.valid,
+                    None, w, bias, now_days, r0, m=m,
+                    mode="pallas_kw_only", t=t, sub=sub,
+                    scale=dev.scale, err=dev.err,
+                )
+            return sharded_kw
 
         c = pallas_scorer._pick_block(n_rows_padded, 1)
         if c == 0:

@@ -283,3 +283,20 @@ def test_kw_only_prepass_matches_oracle_and_resolves():
     assert hits[0].chunk.id == "d:0042"
     assert engine2.stats["kw_only_resolved_total"] == 1, engine2.stats
     assert engine2.last_escalations == 0
+
+
+def test_sharded_kw_only_mode_matches_oracle():
+    import jax
+
+    from omni_recall_tpu.parallel.mesh import shards_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    rng = np.random.default_rng(6)
+    mesh = shards_mesh(devices=jax.devices()[:4])
+    engine, oracle_engine, contents = _build_engine(rng, 1024, mesh=mesh)
+    for qtext in [contents[7].split()[0], "kernel", "tpu recall"]:
+        got = engine.search(qtext, None, 5, now=NOW)  # keyword-only
+        want = oracle_engine.search(qtext, None, 5, now=NOW)
+        assert [h.chunk.id for h in got] == [h.chunk.id for h in want], qtext
+        assert [h.score for h in got] == [h.score for h in want]
