@@ -246,7 +246,15 @@ def _coerce(value: Any, target_type: Any) -> Any:
     if target_type is bool:
         if isinstance(value, bool):
             return value
-        return str(value).strip().lower() in ("1", "true", "yes", "on")
+        token = str(value).strip().lower()
+        if token in ("1", "true", "yes", "on"):
+            return True
+        if token in ("0", "false", "no", "off"):
+            return False
+        # fail fast like ASP.NET options binding: a typo ('enabled',
+        # 'ture') silently coercing to False could flip safety-critical
+        # flags such as Engine:Exact
+        raise ValueError(f"invalid boolean config value: {value!r}")
     if target_type is int:
         return int(value)
     if target_type is float:
@@ -268,9 +276,12 @@ _TYPE_NAMES: dict[str, Any] = {
 
 
 def _apply(section_obj: Any, key: str, value: Any) -> None:
-    attr = _pascal_to_snake(key)
+    # case-insensitive key match (ASP.NET IConfiguration binds keys
+    # case-insensitively; an exact-case requirement silently drops
+    # mis-cased but valid settings)
+    attr = _pascal_to_snake(key).lower()
     for f in fields(section_obj):
-        if f.name == attr:
+        if f.name.lower() == attr:
             # With `from __future__ import annotations` field types are
             # strings; resolve the handful we use.
             base = f.type if isinstance(f.type, type) else _TYPE_NAMES.get(str(f.type))
@@ -298,10 +309,12 @@ def load_config(
     if settings_file is None:
         candidate = Path(os.environ.get("OMNI_SETTINGS_FILE", "appsettings.json"))
         settings_file = candidate if candidate.is_file() else None
+    section_lookup = {k.lower(): v for k, v in _SECTION_NAMES.items()}
+
     if settings_file is not None:
         data = json.loads(Path(settings_file).read_text(encoding="utf-8"))
         for section, values in data.items():
-            attr = _SECTION_NAMES.get(section)
+            attr = section_lookup.get(section.lower())
             if attr is None or not isinstance(values, dict):
                 continue
             section_obj = getattr(cfg, attr)
@@ -313,7 +326,7 @@ def load_config(
         parts = raw_key.split("__")
         if len(parts) != 3 or parts[0] != ENV_PREFIX:
             continue
-        attr = _SECTION_NAMES.get(parts[1])
+        attr = section_lookup.get(parts[1].lower())
         if attr is None:
             continue
         _apply(getattr(cfg, attr), parts[2], value)
@@ -322,7 +335,7 @@ def load_config(
         parts = flat_key.replace("__", ":").split(":")
         if len(parts) != 2:
             continue
-        attr = _SECTION_NAMES.get(parts[0])
+        attr = section_lookup.get(parts[0].lower())
         if attr is None:
             continue
         _apply(getattr(cfg, attr), parts[1], value)

@@ -118,7 +118,7 @@ def generate_cases(client) -> list[EvalCase]:
         lambda topic, f: f'Rewrite the "{topic}" section from {f} with stronger, specific wording.',
     ]
     cases: list[EvalCase] = []
-    for doc in documents[:10]:
+    for doc in documents[:8]:  # eval.page.ts:193
         file_name = doc["fileName"]
         chunks = client.get_document_chunks(doc["documentId"])
         candidates = sorted(
@@ -141,7 +141,7 @@ def generate_cases(client) -> list[EvalCase]:
             if len(doc_cases) >= 4:
                 break
         cases.extend(doc_cases)
-    return cases
+    return cases[:20]  # global cap, eval.page.ts:206
 
 
 class EvalHarness:
@@ -240,22 +240,28 @@ class EvalHarness:
             groups.setdefault(key, []).append(case)
 
         results: list[EvalResult] = []
-        for group in groups.values():
+        group_list = list(groups.values())
+        for gi, group in enumerate(group_list):
             probes = []
             for case in group:
                 start = time.monotonic()
                 probe = self._run_recall_probe(case)
+                probe["probe_start"] = start
                 probe["duration_ms"] = int((time.monotonic() - start) * 1000)
                 probes.append(probe)
                 if self.probe_delay_s:
                     self.sleep(self.probe_delay_s)
             chat = self._run_batch_chat(group)
             for probe in probes:
-                results.append(self._result(probe, chat, probe["duration_ms"]))
-            if not chat["available"] and self.unavailable_delay_s:
-                self.sleep(self.unavailable_delay_s)
-            elif self.group_delay_s:
-                self.sleep(self.group_delay_s)
+                # durationMs spans from the case's probe start through the
+                # batch-chat stage (eval.page.ts:162 stamps at run start)
+                total_ms = int((time.monotonic() - probe["probe_start"]) * 1000)
+                results.append(self._result(probe, chat, total_ms))
+            if gi < len(group_list) - 1:  # between groups only (:166)
+                if not chat["available"] and self.unavailable_delay_s:
+                    self.sleep(self.unavailable_delay_s)
+                elif self.group_delay_s:
+                    self.sleep(self.group_delay_s)
 
         n = len(results) or 1
         summary = {
@@ -275,12 +281,20 @@ class EvalHarness:
 
 def load_cases(path: str) -> list[EvalCase]:
     raw = json.loads(open(path, encoding="utf-8").read())
-    return [
-        EvalCase(
-            question=c["question"],
+    cases = []
+    for i, c in enumerate(raw):
+        # parseCase parity (eval.page.ts:450-452): non-numeric topK
+        # defaults to 5, blank questions are DROPPED (not error-counted)
+        question = str(c.get("question") or "")
+        if not question.strip():
+            continue
+        top_k = c.get("topK", c.get("top_k"))
+        if not isinstance(top_k, (int, float)) or isinstance(top_k, bool):
+            top_k = 5
+        cases.append(EvalCase(
+            question=question,
             expected_file=c.get("expectedFile", c.get("expected_file", "")),
-            top_k=int(c.get("topK", c.get("top_k", 5))),
+            top_k=int(top_k),
             id=c.get("id", f"case-{i}"),
-        )
-        for i, c in enumerate(raw)
-    ]
+        ))
+    return cases

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from omni_recall_tpu.index.records import ChunkRecord
-from omni_recall_tpu.ops import hashing
+from omni_recall_tpu.ops import hashing, oracle
 
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 _EPOCH70 = datetime(1970, 1, 1, tzinfo=timezone.utc)
@@ -259,7 +259,7 @@ class DeviceIndex:
         start = self._n
         self._ensure_capacity(start + len(chunks))
         self.bloom[start : start + len(chunks)] = hashing.chunk_signatures_batch(
-            [c.content.lower() for c in chunks],
+            [oracle.lower_invariant(c.content) for c in chunks],
             self.bloom_bits, self.ngram, self.bloom_hashes,
         )
         # batch-normalize the common case (correct-dimension embeddings);

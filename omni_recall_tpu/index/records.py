@@ -48,7 +48,9 @@ class ChunkRecord:
             # surrogatepass matches ops/hashing.py's gram encoding: lone
             # surrogates (surrogateescape-decoded input) must not raise
             # mid-append (index state is mutated row by row)
-            self._lower_utf8 = self.content.lower().encode(
+            from omni_recall_tpu.ops.oracle import lower_invariant
+
+            self._lower_utf8 = lower_invariant(self.content).encode(
                 "utf-8", errors="surrogatepass"
             )
         return self._lower_utf8

@@ -52,9 +52,36 @@ def cosine_similarity(a: Sequence[float] | None, b: Sequence[float] | None) -> f
     return dot / (math.sqrt(norm_a) * math.sqrt(norm_b))
 
 
+def lower_invariant(s: str) -> str:
+    """Per-character simple lowercase — .NET ToLowerInvariant semantics
+    (RecallSearchService.cs lowercases query terms and content with it).
+    Python's full-case str.lower() differs in two ways that break substring
+    parity: U+0130 'I-dot' lowers to TWO characters (i + combining dot)
+    instead of .NET's plain 'i', and final-sigma context mapping produces
+    'ς' where .NET always yields 'σ'. Per-character mapping is context-free
+    (fixes sigma) and the explicit table covers the multi-char expansions.
+
+    EVERY content/query lowering in the pipeline (oracle, arena, bloom
+    builders, engine host paths) must use THIS function, or keyword
+    substring matching silently disagrees between stages."""
+    if s.isascii():  # hot path: ASCII content never needs the slow walk
+        return s.lower()
+    out = []
+    for ch in s:
+        low = ch.lower()
+        if len(low) != 1:
+            low = _LOWER_MULTI.get(ch, ch)
+        out.append(low)
+    return "".join(out)
+
+
+# full-case lowercase expansions that .NET's simple mapping collapses
+_LOWER_MULTI = {"\u0130": "i"}
+
+
 def query_terms(query: str) -> list[str]:
     """Distinct lowercased terms with the stop-word fallback rule (:95-108)."""
-    raw_terms = list(dict.fromkeys(t.lower() for t in query.split()))
+    raw_terms = list(dict.fromkeys(lower_invariant(t) for t in query.split()))
     if not raw_terms:
         return []
     terms = [t for t in raw_terms if t not in STOP_WORDS]
@@ -67,7 +94,7 @@ def keyword_score(query: str, content: str) -> float:
     terms = query_terms(query)
     if not terms:
         return 0.0
-    content_lower = content.lower()
+    content_lower = lower_invariant(content)
     matches = sum(1 for t in terms if t in content_lower)
     return matches / len(terms)
 

@@ -481,7 +481,7 @@ class RecallEngine:
                 for i, c in enumerate(flat_chunks):
                     terms = term_lists[owner[i]]
                     if terms and c.content.strip():
-                        kw[i] = oracle.keyword_score_terms(terms, c.content.lower())
+                        kw[i] = oracle.keyword_score_terms(terms, oracle.lower_invariant(c.content))
 
         # cosine: one flattened block for rows whose embedding matches their
         # query's dimension; everything else is 0 by reference semantics
@@ -687,7 +687,7 @@ class RecallEngine:
                         m = meta[r]
                         if m is not None and terms and m.content.strip():
                             kw[i] = oracle.keyword_score_terms(
-                                terms, m.content.lower()
+                                terms, oracle.lower_invariant(m.content)
                             )
 
             # cosine: raw f32 products, f64 accumulation (== oracle.cosine)

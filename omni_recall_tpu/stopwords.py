@@ -1,6 +1,6 @@
 """Stop-word set used by the hybrid keyword scorer.
 
-Mirrors the 29-entry ordinal set in the reference
+Mirrors the 28-entry ordinal set in the reference
 (src/OmniRecall.Api/Services/RecallSearchService.cs:13-18).
 """
 
