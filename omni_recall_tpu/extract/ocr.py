@@ -91,7 +91,10 @@ class DocumentIntelligenceOcrTextExtractor:
                 "OCR polling timed out after %d attempts", self.options.max_poll_attempts
             )
             return ""
-        except (OSError, ValueError, KeyError, http.client.HTTPException) as exc:
+        except (OSError, ValueError, KeyError, AttributeError,
+                http.client.HTTPException) as exc:
+            # AttributeError: a poll body of 'null'/array makes doc.get blow
+            # up — the never-raises contract must still hold
             # HTTPException covers BadStatusLine/IncompleteRead etc., which
             # urllib raises for malformed responses and which are NOT
             # OSError subclasses — the never-raises contract must hold

@@ -222,59 +222,93 @@ class GeminiEmbeddingClient:
         self.output_dim = output_dim
 
     def _candidate_models(self) -> list[str]:
+        """BuildModelCandidates parity (GeminiEmbeddingClient.cs:103-129):
+        configured model is trimmed and its 'models/' prefix stripped
+        (NormalizeModel), and the default chain dedupes case-insensitively."""
         configured = (self.options.embedding_model or "").strip()
+        if configured.lower().startswith("models/"):
+            configured = configured[len("models/"):]
         chain = ([configured] if configured else []) + _DEFAULT_MODEL_CHAIN
-        return list(dict.fromkeys(chain))
+        out: list[str] = []
+        seen: set[str] = set()
+        for model in chain:
+            if model.lower() not in seen:
+                seen.add(model.lower())
+                out.append(model)
+        return out
 
     def embed(self, text: str) -> EmbeddingResult:
-        if not self.options.api_key:
+        import urllib.parse
+
+        # GeminiEmbeddingClient.cs:17-22: local EMPTY (no network call) for
+        # blank input or a missing/whitespace API key
+        if not text or not text.strip():
             return EmbeddingResult(
-                [], EmbeddingStatus.NOT_SUPPORTED, message="Gemini API key is not configured."
+                [], EmbeddingStatus.EMPTY, message="Input text is empty."
             )
-        last: EmbeddingResult | None = None
+        if not self.options.api_key or not self.options.api_key.strip():
+            return EmbeddingResult(
+                [], EmbeddingStatus.EMPTY, message="Gemini API key missing."
+            )
         for model in self._candidate_models():
-            body: dict = {"content": {"parts": [{"text": text}]}}
-            # legacy models reject the field; send it only where supported
+            body: dict = {
+                "model": f"models/{model}",
+                "content": {"parts": [{"text": text}]},
+            }
+            # extension: legacy models reject the field; send only where supported
             if self.output_dim and model not in _NO_OUTPUT_DIM_MODELS:
                 body["outputDimensionality"] = self.output_dim
             payload = json.dumps(body).encode("utf-8")
-            url = f"{self.options.base_url}/models/{model}:embedContent?key={self.options.api_key}"
+            key = urllib.parse.quote(self.options.api_key, safe="")  # Uri.EscapeDataString
+            url = f"{self.options.base_url}/models/{model}:embedContent?key={key}"
             try:
                 resp = self.transport(
                     "POST", url, {"Content-Type": "application/json"}, payload, self.timeout
                 )
-            except Exception as exc:  # network failure: never raise
-                last = EmbeddingResult([], EmbeddingStatus.ERROR, model=model, message=str(exc))
+            except Exception:  # transport failure: try next model (:93-96)
                 continue
             if resp.status == 429:
                 return EmbeddingResult(
                     [], EmbeddingStatus.RATE_LIMITED, model=model, message="Rate limited."
                 )
             if resp.status == 404:
-                last = EmbeddingResult(
-                    [], EmbeddingStatus.ERROR, model=model, message="Model not found."
-                )
-                continue
+                continue  # model unavailable: try next (:54-58)
             if resp.status in (401, 403):
                 return EmbeddingResult(
                     [], EmbeddingStatus.ERROR, model=model,
-                    message=f"Embedding request unauthorized ({resp.status}).",
+                    message=f"Auth rejected: {resp.status}",
                 )
             if resp.status >= 400:
-                last = EmbeddingResult(
-                    [], EmbeddingStatus.ERROR, model=model, message=f"HTTP {resp.status}."
+                # any other failure stops the chain (:66-74)
+                return EmbeddingResult(
+                    [], EmbeddingStatus.ERROR, model=model, message=f"HTTP {resp.status}"
                 )
-                continue
             try:
                 data = json.loads(resp.body.decode("utf-8"))
-                values = data.get("embedding", {}).get("values")
-                if not values:
-                    return EmbeddingResult(
-                        [], EmbeddingStatus.EMPTY, model=model, message="No embedding values."
-                    )
+            except ValueError:
+                continue  # malformed body: treat like a transport failure
+            embedding = data.get("embedding") if isinstance(data, dict) else None
+            if not isinstance(embedding, dict):
                 return EmbeddingResult(
-                    [float(v) for v in values], EmbeddingStatus.SUCCESS, model=model
+                    [], EmbeddingStatus.EMPTY, model=model,
+                    message="Missing embedding property.",
                 )
-            except (ValueError, KeyError, TypeError) as exc:
-                last = EmbeddingResult([], EmbeddingStatus.ERROR, model=model, message=str(exc))
-        return last or EmbeddingResult([], EmbeddingStatus.ERROR, message="No candidate models.")
+            values = embedding.get("values")
+            if not isinstance(values, list):
+                return EmbeddingResult(
+                    [], EmbeddingStatus.EMPTY, model=model,
+                    message="Missing embedding values.",
+                )
+            floats = []
+            for v in values:
+                try:
+                    floats.append(float(v))
+                except (TypeError, ValueError):
+                    pass  # TryGetSingle parity: skip non-numeric entries
+            status = EmbeddingStatus.SUCCESS if floats else EmbeddingStatus.EMPTY
+            return EmbeddingResult(floats, status, model=model)
+        # chain exhausted (:99-100)
+        return EmbeddingResult(
+            [], EmbeddingStatus.NOT_SUPPORTED,
+            message="No compatible Gemini embedding model.",
+        )

@@ -94,6 +94,11 @@ def ub_scores(
         kw_weights, bits,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # HIGHEST like the cosine dot above: the TPU default runs bf16,
+        # whose ~1e-3 weight-rounding undershoot exceeds CERT_EPS=1e-4 and
+        # would make this "sound upper bound" unsound (the Pallas kernel's
+        # eps derivation covers exactly this; here exact f32 is cheap)
+        precision=jax.lax.Precision.HIGHEST,
     )  # [B, n]
     kw = jnp.minimum(kw + kw_bias[:, None], 1.0)
 

@@ -165,12 +165,39 @@ def test_embedding_403_is_error():
     client = GeminiEmbeddingClient(GeminiOptions(api_key="k"), t)
     result = client.embed("text")
     assert result.status == EmbeddingStatus.ERROR
-    assert "unauthorized" in result.message
+    assert "Auth rejected: 403" == result.message  # GeminiEmbeddingClient.cs:60-64
 
 
-def test_embedding_no_key_not_supported():
+def test_embedding_no_key_is_empty():
+    """GeminiEmbeddingClient.cs:21-22: missing/whitespace key -> EMPTY
+    locally, no network call (was NOT_SUPPORTED — a parity deviation)."""
     client = GeminiEmbeddingClient(GeminiOptions(api_key=""), ScriptedTransport([]))
-    assert client.embed("x").status == EmbeddingStatus.NOT_SUPPORTED
+    assert client.embed("x").status == EmbeddingStatus.EMPTY
+    client = GeminiEmbeddingClient(GeminiOptions(api_key="  "), ScriptedTransport([]))
+    assert client.embed("x").status == EmbeddingStatus.EMPTY
+    # blank input text is also local EMPTY (:17-18)
+    client = GeminiEmbeddingClient(GeminiOptions(api_key="k"), ScriptedTransport([]))
+    assert client.embed("   ").status == EmbeddingStatus.EMPTY
+
+
+def test_embedding_404_chain_exhaustion_not_supported():
+    """All models 404 -> NOT_SUPPORTED 'No compatible...' (:99-100)."""
+    t = ScriptedTransport([(404, "")] * 8)
+    client = GeminiEmbeddingClient(GeminiOptions(api_key="k"), t)
+    result = client.embed("text")
+    assert result.status == EmbeddingStatus.NOT_SUPPORTED
+
+
+def test_embedding_model_normalization():
+    """NormalizeModel strips the 'models/' prefix; dedup is
+    case-insensitive (:103-129)."""
+    client = GeminiEmbeddingClient(
+        GeminiOptions(api_key="k", embedding_model="models/Gemini-Embedding-001"),
+        ScriptedTransport([]),
+    )
+    models = client._candidate_models()
+    assert models[0] == "Gemini-Embedding-001"
+    assert len([m for m in models if m.lower() == "gemini-embedding-001"]) == 1
 
 
 def test_embedding_output_dimensionality_sent_when_configured():
