@@ -5,7 +5,7 @@ NEW vs the reference, whose chat providers are all remote HTTPS
 (GeminiChatClient.cs / GitHubModelsChatClient.cs). With
 Embeddings:Provider=Local this makes the whole stack self-contained on the
 device: no API key, no network. Selected with Ai:Provider=Local; quality is
-whatever the configured checkpoint was trained to do (Ai:Local:Checkpoint,
+whatever the configured checkpoint was trained to do (Ai:LocalCheckpoint,
 models/decoder.py save_params format, e.g. from tools/train_chat_demo.py) —
 the seed-0 default is an UNTRAINED model and is only useful for smoke tests
 and as a template for fine-tuning.
@@ -15,7 +15,7 @@ Serving mechanics (the TPU-relevant part):
   fixed number of steps per call, so jit compiles once per (bucket, steps)
   pair and every later call reuses the compiled prefill+scan executable,
 - generation is deterministic greedy by default (temperature 0) so answers
-  are reproducible; sampling is opt-in via Ai:Local:Temperature.
+  are reproducible; sampling is opt-in via Ai:LocalTemperature.
 """
 
 from __future__ import annotations
@@ -85,8 +85,19 @@ class LocalDecoderChatClient:
         covers the common case (one compile per (bucket, steps) pair)."""
         def _warm():
             try:
+                # compile WITHOUT the instance lock (generate is pure and
+                # the jit cache is thread-safe): a first request for a
+                # different bucket must not block behind this compile
                 max_prompt = "x" * (self.cfg.max_len - self.max_new_tokens - 1)
-                self.complete(AiChatRequest(max_prompt))
+                toks = self._dec.encode_text(
+                    max_prompt,
+                    max_bytes=self.cfg.max_len - self.max_new_tokens - 1,
+                )
+                prompt = self._dec.pad_left_batch([toks], self._bucket_for(len(toks)))
+                self._dec.generate(
+                    self.params, prompt, self.cfg, self.max_new_tokens,
+                    self._jax.random.PRNGKey(0), temperature=self.temperature,
+                )
             except Exception as exc:  # compile/generation problems surface
                 logger.warning("Local decoder warmup failed: %s", exc)
 
@@ -102,7 +113,13 @@ class LocalDecoderChatClient:
         )
         bucket = self._bucket_for(len(toks))
         prompt = self._dec.pad_left_batch([toks], bucket)
-        key = self._jax.random.PRNGKey(abs(hash(request.prompt)) % (1 << 31))
+        # stable across processes (built-in hash() is salted per process,
+        # which would make temperature>0 sampling non-reproducible)
+        from omni_recall_tpu.ops.hashing import fnv1a
+
+        key = self._jax.random.PRNGKey(
+            fnv1a(request.prompt.encode("utf-8", "surrogatepass")) % (1 << 31)
+        )
         with self._lock:
             out = self._dec.generate(
                 self.params, prompt, self.cfg, self.max_new_tokens, key,

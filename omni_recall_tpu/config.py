@@ -49,6 +49,9 @@ class AiOptions:
     local_checkpoint: str = ""  # models/decoder.py save_params .npz
     local_max_new_tokens: int = 128
     local_temperature: float = 0.0  # 0 = deterministic greedy
+    # compile the decode executable in a background thread at startup;
+    # disable in tests/lightweight configs that never chat
+    local_warmup: bool = True
 
 
 @dataclass

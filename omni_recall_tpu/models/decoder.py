@@ -367,7 +367,11 @@ def lm_loss(params: dict, token_ids: jax.Array, cfg: DecoderConfig) -> jax.Array
     """Next-token cross-entropy over non-PAD targets."""
     logits = forward(params, token_ids[:, :-1], cfg)
     targets = token_ids[:, 1:]
-    mask = targets != PAD
+    # exclude positions whose INPUT is PAD too: a left-padded row's last
+    # PAD position targets BOS, but its fully-masked attention softmax
+    # degenerates to uniform over ALL keys (including future answer
+    # tokens) — training that term backpropagates acausal leakage
+    mask = (targets != PAD) & (token_ids[:, :-1] != PAD)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[:, :, None], axis=-1)[:, :, 0]
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)

@@ -224,7 +224,11 @@ def save_params(path: str, params: dict, cfg: EncoderConfig) -> None:
     flat["__config__"] = np.frombuffer(
         json.dumps(cfg.__dict__).encode("utf-8"), dtype=np.uint8
     )
-    np.savez(path, **flat)
+    # write through a file object: np.savez(str_path) appends '.npz' when
+    # missing, so saving to '/tmp/ckpt' would create '/tmp/ckpt.npz' while
+    # load_params('/tmp/ckpt') fails — the exact path must round-trip
+    with open(path, "wb") as fh:
+        np.savez(fh, **flat)
 
 
 def load_checkpoint(path: str, cfg_cls):

@@ -149,7 +149,8 @@ class OmniRecallApp(WsgiApp):
                 max_new_tokens=config.ai.local_max_new_tokens,
                 temperature=config.ai.local_temperature,
             )
-            local_client.warmup_async()  # compile overlaps server startup
+            if getattr(config.ai, "local_warmup", True):
+                local_client.warmup_async()  # compile overlaps server startup
             remote_chain = AiChatRouter(
                 GeminiChatClient(config.gemini),
                 GitHubModelsChatClient(config.github_models),

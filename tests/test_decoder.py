@@ -257,6 +257,7 @@ def test_health_local_mode_skips_remote_ai_probes():
     cfg = load_config(settings_file=None, env={}, overrides={
         "Ai:Provider": "Local",
         "Ai:LocalMaxNewTokens": "4",
+        "Ai:LocalWarmup": "false",
         "Embeddings:Provider": "Hash",
         "Engine:Backend": "oracle",
     })
@@ -277,6 +278,7 @@ def test_health_local_mode_keeps_gemini_probe_for_embeddings():
     cfg = load_config(settings_file=None, env={}, overrides={
         "Ai:Provider": "Local",
         "Ai:LocalMaxNewTokens": "4",
+        "Ai:LocalWarmup": "false",
         "Embeddings:Provider": "Gemini",
         "Engine:Backend": "oracle",
     })
@@ -355,6 +357,7 @@ def test_app_wires_local_provider(tmp_path):
     cfg = load_config(overrides={
         "Ai:Provider": "Local",
         "Ai:LocalMaxNewTokens": "4",
+        "Ai:LocalWarmup": "false",
         "Embeddings:Provider": "Hash",
         "Engine:Backend": "oracle",
     })

@@ -38,15 +38,11 @@ def main() -> None:
         d_model=d, n_layers=n_layers, n_heads=n_heads, d_ff=d_ff,
         max_len=prompt_len + steps,
     )
-    n_params = sum(
-        int(np.prod(p.shape))
-        for p in jax.tree.leaves(decoder.init_params(jax.random.PRNGKey(0), cfg))
-    )
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model: d={d} L={n_layers} H={n_heads} ff={d_ff} "
           f"({n_params / 1e6:.0f}M params), B={b}, prompt={prompt_len}, "
           f"decode={steps}, backend={jax.default_backend()}", flush=True)
-
-    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
     wdtype = os.environ.get("OMNI_DECODE_WDTYPE", "float32")
     if wdtype != "float32":
         params = jax.tree.map(lambda p: p.astype(jnp.dtype(wdtype)), params)
