@@ -283,6 +283,12 @@ def block_topt_kw_only(
     c = _pick_block(n, 1)
     if c == 0:
         raise ValueError(f"row count {n} not divisible by a supported block")
+    if w < 128 and c > 1024:
+        # narrow bloom planes (< 128 lanes) pad each of the 8 decode planes
+        # to full lanes in VMEM; at block 2048 the scoped allocation blows
+        # the 16 MB limit (measured: bits=512/B=1536 OOMs at 18.2 MB while
+        # bits=1024 fits). Halving the block restores ample slack.
+        c = 1024
     sub = min(sub, c)
     t1 = min(t + 1, sub)
     n_sub = c // sub
