@@ -25,8 +25,11 @@ still fall through to OCR/empty, like a PdfPig parse failure would.
 
 from __future__ import annotations
 
+import logging
 import re
 import zlib
+
+logger = logging.getLogger(__name__)
 
 
 class NoOpOcrTextExtractor:
@@ -176,7 +179,12 @@ def _decompress(stream: bytes) -> bytes:
         d = zlib.decompressobj()
         out = d.decompress(stream, _MAX_STREAM_BYTES)
         if d.unconsumed_tail:
-            return out  # bomb/oversized: keep the capped prefix
+            # bomb/oversized: keep the capped prefix, but make the silent
+            # truncation of an oversized-but-legitimate stream observable
+            logger.warning(
+                "PDF content stream exceeded the %d-byte decompression cap; "
+                "text beyond the cap is dropped", _MAX_STREAM_BYTES,
+            )
         return out
     except zlib.error:
         return stream  # uncompressed or unsupported filter; try as-is

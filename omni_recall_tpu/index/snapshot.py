@@ -111,15 +111,23 @@ def save_snapshot(store: InMemoryIngestionStore, path: str | Path) -> None:
 def load_snapshot(path: str | Path) -> InMemoryIngestionStore:
     path = Path(path)
     bundle = path / "snapshot.npz"
+    # context-manage the NpzFile: np.load keeps the underlying file handle
+    # open for the process lifetime otherwise (a later save_snapshot's
+    # os.replace works on Linux but the stale handle would linger)
     if bundle.is_file():
-        arrays = np.load(bundle)
-        meta = json.loads(bytes(arrays["meta_json"].tobytes()).decode("utf-8"))
+        with np.load(bundle) as arrays:
+            meta = json.loads(bytes(arrays["meta_json"].tobytes()).decode("utf-8"))
+            emb_flat, offsets, has_emb = (
+                arrays["emb_flat"], arrays["offsets"], arrays["has_emb"]
+            )
     else:  # legacy two-file layout (pre-atomic-save snapshots)
         meta = json.loads((path / "meta.json").read_text(encoding="utf-8"))
-        arrays = np.load(path / "embeddings.npz")
+        with np.load(path / "embeddings.npz") as arrays:
+            emb_flat, offsets, has_emb = (
+                arrays["emb_flat"], arrays["offsets"], arrays["has_emb"]
+            )
     if meta.get("version") != FORMAT_VERSION:
         raise ValueError(f"Unsupported snapshot version: {meta.get('version')}")
-    emb_flat, offsets, has_emb = arrays["emb_flat"], arrays["offsets"], arrays["has_emb"]
 
     store = InMemoryIngestionStore()
     for d in meta["documents"]:

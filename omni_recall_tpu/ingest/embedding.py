@@ -286,7 +286,13 @@ class GeminiEmbeddingClient:
             try:
                 data = json.loads(resp.body.decode("utf-8"))
             except ValueError:
-                continue  # malformed body: treat like a transport failure
+                # DELIBERATE DEVIATION from GeminiEmbeddingClient.cs:84-86:
+                # the reference's JsonDocument.Parse exception on a malformed
+                # 200 body is NOT caught by its HttpRequestException/
+                # TaskCanceledException filter and would propagate; this
+                # client keeps the never-raise contract and treats it like a
+                # transport failure (continue down the model chain)
+                continue
             embedding = data.get("embedding") if isinstance(data, dict) else None
             if not isinstance(embedding, dict):
                 return EmbeddingResult(

@@ -325,6 +325,14 @@ def generate(params: dict, prompt_ids: jax.Array, cfg: DecoderConfig,
     continues to n_steps (static shape); tokens after a row's EOS are
     forced to PAD so the host-side detokenizer needs no length handling."""
     b, lp = prompt_ids.shape
+    if lp + n_steps > cfg.max_len:
+        # fail loudly: out of range, dynamic_update_slice would silently
+        # clamp into the last cache slot and corrupt generation (in-repo
+        # callers guard via _bucket_for, but the API must not fail silently)
+        raise ValueError(
+            f"prompt length {lp} + n_steps {n_steps} exceeds "
+            f"cfg.max_len {cfg.max_len}"
+        )
     logits0, cache = prefill(params, prompt_ids, cfg)
     # cache-key validity: left-PAD prompt positions never become attendable;
     # generated positions are real tokens (post-EOS PADs are masked per-row)

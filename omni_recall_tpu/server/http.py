@@ -259,10 +259,23 @@ class WsgiApp:
                 "detail": "Request body exceeds the configured limit.",
                 "status": 413,
             }).encode("utf-8")
-            start_response("413 Payload Too Large", [
+            # the early return still needs CORS/Vary headers or a browser
+            # SPA that trips the cap gets a CORS-blocked response it cannot
+            # read (every other error path goes through handle())
+            wsgi_headers = [
                 ("Content-Type", "application/problem+json"),
                 ("Content-Length", str(len(payload))),
-            ])
+            ]
+            origin = environ.get("HTTP_ORIGIN")
+            if origin and origin.lower() in self.allowed_origins:
+                wsgi_headers += [
+                    ("Access-Control-Allow-Origin", origin),
+                    ("Access-Control-Allow-Headers", "*"),
+                    ("Access-Control-Allow-Methods", "*"),
+                ]
+            if self.allowed_origins:
+                wsgi_headers.append(("Vary", "Origin"))
+            start_response("413 Payload Too Large", wsgi_headers)
             return [payload]
         body = environ["wsgi.input"].read(length) if length > 0 else b""
         headers = {
