@@ -196,6 +196,16 @@ class EngineOptions:
     rescore_prune: bool = True
     # phase-1 width of the two-phase rescore (clamped up to the request's k)
     rescore_phase1: int = 32
+    # device-assisted exact rescore (pallas + int8 + exact only): re-score
+    # the scan's top-m candidate rows on device with two-plane residual-int8
+    # cosine + bloom keyword + recency — sound upper bounds ~50x tighter
+    # than the scan's (ops/refine.py) — so the host float64 rescore prunes
+    # to ~k pairs per query instead of ~33. Costs a second int8 copy of the
+    # index in HBM (+d bytes/row).
+    refine: bool = True
+    # phase-1 width when refined device bounds are available (the bounds are
+    # within ~1e-4 of truth, so barely more than k candidates can survive)
+    rescore_phase1_refined: int = 12
     # coarse prepass (pallas + int8 + exact only): first scan computes
     # cosine + recency with the keyword term bounded per query by
     # 0.2*min(1, sum_w + bias); the certificate still guarantees exactness

@@ -91,6 +91,11 @@ class DeviceArrays:
     valid: jax.Array
     scale: jax.Array | None = None  # int8: per-row dequant scale
     err: jax.Array | None = None    # int8: per-row quantization error norm
+    # residual int8 plane for the device-assisted exact rescore
+    # (ops/refine.py): emb ~= emb*scale + emb2*scale2, ||resid|| <= err2
+    emb2: jax.Array | None = None
+    scale2: jax.Array | None = None
+    err2: jax.Array | None = None
 
 
 class DeviceIndex:
@@ -104,6 +109,7 @@ class DeviceIndex:
         bloom_hashes: int = 1,
         mesh=None,
         scan_dtype: str = "f32",  # f32 | bf16 | int8 device storage
+        refine: bool = False,     # keep a residual int8 plane (ops/refine.py)
     ) -> None:
         if bloom_bits % 8 != 0:
             raise ValueError("bloom_bits must be a multiple of 8")
@@ -112,6 +118,7 @@ class DeviceIndex:
         self.dim = dim
         self.mesh = mesh
         self.scan_dtype = scan_dtype
+        self.refine = bool(refine) and scan_dtype == "int8"
         capacity_block = max(128, capacity_block)
         if mesh is not None:
             # even row sharding: capacity must divide by the shard count
@@ -478,10 +485,22 @@ class DeviceIndex:
         return jax.device_put(host, NamedSharding(self.mesh, spec))
 
     def _convert_emb(self, emb_slab: np.ndarray) -> dict[str, np.ndarray]:
-        """Host f32 rows -> device scan format (+ int8 scale/err sidecars)."""
+        """Host f32 rows -> device scan format (+ int8 scale/err sidecars;
+        + the residual refine plane when enabled)."""
         if self.scan_dtype == "int8":
-            from omni_recall_tpu.ops.quantize import quantize_rows_int8
+            from omni_recall_tpu.ops.quantize import (
+                quantize_rows_int8,
+                quantize_rows_int8_residual,
+            )
 
+            if self.refine:
+                q, scale, err, q2, scale2, err2 = quantize_rows_int8_residual(
+                    emb_slab
+                )
+                return {
+                    "emb": q, "scale": scale, "err": err,
+                    "emb2": q2, "scale2": scale2, "err2": err2,
+                }
             q, scale, err = quantize_rows_int8(emb_slab)
             return {"emb": q, "scale": scale, "err": err}
         if self.scan_dtype == "bf16":
@@ -506,6 +525,9 @@ class DeviceIndex:
                 valid=self._put(self.valid),
                 scale=self._put(converted["scale"]) if "scale" in converted else None,
                 err=self._put(converted["err"]) if "err" in converted else None,
+                emb2=self._put(converted["emb2"]) if "emb2" in converted else None,
+                scale2=self._put(converted["scale2"]) if "scale2" in converted else None,
+                err2=self._put(converted["err2"]) if "err2" in converted else None,
             )
             self._device_cap = self._cap
             self._dirty_blocks.clear()
@@ -533,6 +555,18 @@ class DeviceIndex:
                     err=(
                         _set_slab(dev.err, jnp.asarray(converted["err"]), start)
                         if dev.err is not None else None
+                    ),
+                    emb2=(
+                        _set_slab(dev.emb2, jnp.asarray(converted["emb2"]), start)
+                        if dev.emb2 is not None else None
+                    ),
+                    scale2=(
+                        _set_slab(dev.scale2, jnp.asarray(converted["scale2"]), start)
+                        if dev.scale2 is not None else None
+                    ),
+                    err2=(
+                        _set_slab(dev.err2, jnp.asarray(converted["err2"]), start)
+                        if dev.err2 is not None else None
                     ),
                 )
             self._device = dev

@@ -88,6 +88,7 @@ class RecallEngine:
                 bloom_hashes=self.options.bloom_hashes,
                 mesh=mesh,
                 scan_dtype=self.options.scan_dtype if self.options.backend == "pallas" else "f32",
+                refine=getattr(self.options, "refine", False) and mesh is None,
             )
         self.device_index = device_index
         self.mesh = mesh if mesh is not None else (
@@ -156,6 +157,29 @@ class RecallEngine:
             if self.device_index is not None:
                 self.device_index.delete_document(document_id)
 
+    # refine gathers [B, m, d] int8 rows x2; beyond this m the gather
+    # bytes rival the scan itself and the escalation path is rare anyway
+    _REFINE_MAX_M = 2048
+
+    def _refine_call(self, dev, q_dev, w_dev, bias_dev, now_dev, vals_d, idxs_d, m):
+        """Dispatch the device-assisted rescore over the scan's candidate
+        rows (ops/refine.py) and return the [B, m] refined-bound device
+        array, or None when unavailable (no residual plane / sharded index /
+        oversized m). Chained onto the scan dispatch — no host sync."""
+        if (
+            dev.emb2 is None
+            or self._sharded_scorer is not None
+            or m > self._REFINE_MAX_M
+        ):
+            return None
+        from omni_recall_tpu.ops import refine as _refine
+
+        return _refine.refine_ub_from_scan(
+            dev.emb, dev.scale, dev.emb2, dev.scale2, dev.err2,
+            dev.bloom, dev.created, dev.valid,
+            q_dev, w_dev, bias_dev, now_dev, vals_d, idxs_d,
+        )
+
     def rebuild_index(self) -> None:
         """Shadow rebuild + atomic swap (BASELINE.json config 3): construct a
         fresh device index from the store's current chunks (compacting
@@ -179,6 +203,7 @@ class RecallEngine:
                 bloom_hashes=old.bloom_hashes,
                 mesh=old.mesh,
                 scan_dtype=old.scan_dtype,
+                refine=old.refine,
             )
             chunks: list[ChunkRecord] = []
             for doc in self.store.list_documents(2**31 - 1):
@@ -568,6 +593,7 @@ class RecallEngine:
         dix=None,
         ub_lists: list[np.ndarray] | None = None,
         ks: list[int] | None = None,
+        phase1: int | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Vectorized exact rescore over device-index ROW indices: returns,
         per query, (rows_sorted, scores_sorted) ordered by the full ranking
@@ -600,7 +626,8 @@ class RecallEngine:
         assert dix is not None
 
         if ub_lists is not None and ks is not None:
-            phase1 = getattr(self.options, "rescore_phase1", self._RESCORE_PHASE1)
+            if phase1 is None:
+                phase1 = getattr(self.options, "rescore_phase1", self._RESCORE_PHASE1)
             p1s = [
                 min(len(rows), max(phase1, ks[qi]))
                 for qi, rows in enumerate(row_lists)
@@ -820,14 +847,54 @@ class RecallEngine:
         window: int,
         now: datetime,
     ) -> list[list[SearchHit]]:
+        return self._finalize_device_batch(
+            self._dispatch_device_batch(requests, window, now)
+        )
+
+    def search_batches_pipelined(
+        self,
+        batches: list[list[tuple[str, list[float] | None, int]]],
+        now: datetime | None = None,
+    ) -> list[list[list[SearchHit]]]:
+        """Pipelined serving executor: dispatch EVERY batch's device scans
+        before finalizing any batch, so the host-side exact rescore (and the
+        candidate readback transport) of batch i overlaps the device scan of
+        batches i+1... jax dispatch is asynchronous, so the scans queue on
+        the device back-to-back; per-batch round-trip latency — severe on
+        the dev tunnel, present as queueing delay in any serving deployment
+        — is pipelined instead of paid serially. Semantically identical to
+        calling search_batch per batch: same certificates, same concurrent-
+        mutation handling (each batch snapshots the index at ITS dispatch)."""
+        now = now or datetime.now(timezone.utc)
+        window = self.options.recent_window
+        if self.options.backend == "oracle" or self.device_index is None:
+            return [self.search_batch(reqs, now=now) for reqs in batches]
+        ctxs = []
+        for reqs in batches:
+            self.stats["searches_total"] += len(reqs)
+            ctxs.append(self._dispatch_device_batch(reqs, window, now))
+        return [self._finalize_device_batch(ctx) for ctx in ctxs]
+
+    def _dispatch_device_batch(
+        self,
+        requests: list[tuple[str, list[float] | None, int]],
+        window: int,
+        now: datetime,
+    ) -> dict:
+        """Phase 1 of a device-batch search: snapshot the index, build the
+        query operands, and dispatch the prepass scans (+ device refine)
+        asynchronously. Returns a context consumed by
+        _finalize_device_batch; no device readback happens here."""
         import jax.numpy as jnp
 
         dix = self.device_index
         assert dix is not None
-        n = dix.n_rows
         b = len(requests)
-        if n == 0 or dix.n_valid == 0:
-            return [[] for _ in requests]
+        ctx: dict = {"requests": requests, "window": window, "now": now, "dix": dix}
+        if b == 0 or dix.n_rows == 0 or dix.n_valid == 0:
+            ctx["empty"] = True
+            return ctx
+        ctx["empty"] = False
 
         ks = [max(1, k) for _, _, k in requests]
         q = np.zeros((b, dix.dim), dtype=np.float32)
@@ -862,9 +929,74 @@ class RecallEngine:
         bias_dev = jnp.asarray(biases)
         now_dev = jnp.float32(to_days(now))
         r0_dev = jnp.int32(r0)
+        m = min(max(self.options.candidate_m, max(ks)), window_rows)
+
+        ctx.update(
+            ks=ks, q=q, host_only=host_only, r0=r0, window_rows=window_rows,
+            upd_seq0=upd_seq0, dev=dev, q_dev=q_dev, w_dev=w_dev,
+            bias_dev=bias_dev, now_dev=now_dev, r0_dev=r0_dev, m=m,
+            kw_scan=None, coarse_scan=None,
+        )
+        if not self.options.exact:
+            return ctx
+        host_set = set(host_only)
+
+        # Keyword-only prepass (exact profile): queries WITHOUT an embedding
+        # have cosine exactly 0 (RecallSearchService.cs:70-71), so a
+        # bloom+recency-only kernel produces the same sound bounds at
+        # ~bits/(d+bits) of the fused scan cost with no emb stream. This is
+        # the primary serving path of the default Embeddings:Provider=None
+        # config. Certificate failures continue into the full fused loop.
+        kw_only = [
+            i for i in range(b)
+            if i not in host_set and not bool(np.any(q[i]))
+        ]
+        if kw_only:
+            kw_scorer = self._select_kw_scorer(m, int(dev.emb.shape[0]))
+            if kw_scorer is not None:
+                k_vals, k_idxs = kw_scorer(dev, w_dev, bias_dev, now_dev, r0_dev, m)
+                k_ref = self._refine_call(
+                    dev, q_dev, w_dev, bias_dev, now_dev, k_vals, k_idxs, m
+                )
+                ctx["kw_scan"] = (kw_only, k_vals, k_idxs, k_ref)
+
+        # Coarse prepass (exact profile): cosine-only scan with a sound
+        # per-query keyword cap. Resolves nearly all embedding-backed queries
+        # at ~(d)/(d+bits) of the full scan cost; certificate failures (and
+        # keyword-only queries, whose coarse bound is vacuous) continue into
+        # the full fused loop in the finalize phase.
+        prepass = [
+            i for i in range(b)
+            if i not in host_set and bool(np.any(q[i]))
+        ]
+        if prepass and not self._coarse_gate_open():
+            # closed gate: still advance the clock so the gate re-opens
+            # after the skip horizon (re-probe), per _coarse_gate_record
+            self._coarse_query_count += len(prepass)
+            prepass = []
+        if prepass:
+            coarse = self._select_coarse_scorer(m, int(dev.emb.shape[0]))
+            if coarse is not None:
+                c_vals, c_idxs = coarse(dev, q_dev, w_dev, bias_dev, now_dev, r0_dev, m)
+                c_ref = self._refine_call(
+                    dev, q_dev, w_dev, bias_dev, now_dev, c_vals, c_idxs, m
+                )
+                ctx["coarse_scan"] = (prepass, c_vals, c_idxs, c_ref)
+        return ctx
+
+    def _finalize_device_batch(self, ctx: dict) -> list[list[SearchHit]]:
+        requests = ctx["requests"]
+        if ctx["empty"]:
+            return [[] for _ in requests]
+        window, now, dix = ctx["window"], ctx["now"], ctx["dix"]
+        ks, q, host_only = ctx["ks"], ctx["q"], ctx["host_only"]
+        window_rows, upd_seq0 = ctx["window_rows"], ctx["upd_seq0"]
+        dev = ctx["dev"]
+        q_dev, w_dev, bias_dev = ctx["q_dev"], ctx["w_dev"], ctx["bias_dev"]
+        now_dev, r0_dev, m = ctx["now_dev"], ctx["r0_dev"], ctx["m"]
+        b = len(requests)
 
         results: list[list[SearchHit] | None] = [None] * b
-        m = min(max(self.options.candidate_m, max(ks)), window_rows)
         self.last_escalations = 0
 
         def oracle_fill(indices):
@@ -878,13 +1010,20 @@ class RecallEngine:
 
         meta = dix.meta
 
-        def rescore_and_certify(pending, all_vals, all_idxs, m):
+        def rescore_and_certify(pending, all_vals, all_idxs, m, all_ref=None):
             """Exact-rescore pending queries' candidates; fill results where
             the certificate passes (or the scan itself proves total coverage:
             boundary == -inf means the excluded set was empty IN THE
             SNAPSHOT — never inferred from a separately-read row count,
             which a concurrent append can make stale). Returns the
-            still-unresolved indices."""
+            still-unresolved indices.
+
+            ``all_ref`` (optional [B, m]) carries the device-refined sound
+            bounds (ops/refine.py), aligned with all_idxs[:, :m]. Candidates
+            are then re-sorted by min(scan bound, refined bound) and the
+            two-phase prune runs at the narrow refined phase-1 width — the
+            refined bounds are within ~1e-4 of truth, so barely more than
+            the requested k candidates survive the prune."""
             row_lists, ub_lists = [], []
             for i in pending:
                 vals, idxs = all_vals[i], all_idxs[i]
@@ -892,6 +1031,9 @@ class RecallEngine:
                 rows = idxs[:m][live]
                 ubs = vals[:m][live]  # descending (top_k order) — the
                 # two-phase prune in _exact_rescore_rows relies on it
+                if all_ref is not None:
+                    # min of two sound upper bounds is a sound upper bound
+                    ubs = np.minimum(ubs, all_ref[i][live])
                 keep = rows >= 0
                 rows, ubs = rows[keep], ubs[keep]
                 if len(rows):
@@ -904,6 +1046,11 @@ class RecallEngine:
                     keep = dix.valid[rows]
                     if not keep.all():
                         rows, ubs = rows[keep], ubs[keep]
+                if all_ref is not None and len(rows):
+                    # restore the descending-ub invariant under the
+                    # tightened bounds (stable: preserves scan order on ties)
+                    order = np.argsort(-ubs, kind="stable")
+                    rows, ubs = rows[order], ubs[order]
                 row_lists.append(rows.astype(np.int64))
                 ub_lists.append(ubs)
             prune = self.options.rescore_prune
@@ -912,6 +1059,10 @@ class RecallEngine:
                 row_lists, now, dix=dix,
                 ub_lists=ub_lists if prune else None,
                 ks=[ks[i] for i in pending] if prune else None,
+                phase1=(
+                    getattr(self.options, "rescore_phase1_refined", None)
+                    if all_ref is not None else None
+                ),
             )
             if dix.update_seq != upd_seq0:
                 # embeddings were updated in place (reindex) after the
@@ -943,55 +1094,28 @@ class RecallEngine:
                 ]
             return unresolved
 
-        # Keyword-only prepass (exact profile): queries WITHOUT an embedding
-        # have cosine exactly 0 (RecallSearchService.cs:70-71), so a
-        # bloom+recency-only kernel produces the same sound bounds at
-        # ~bits/(d+bits) of the fused scan cost with no emb stream. This is
-        # the primary serving path of the default Embeddings:Provider=None
-        # config. Certificate failures continue into the full fused loop.
-        if self.options.exact:
-            kw_only = [
-                i for i, r in enumerate(results)
-                if r is None and not bool(np.any(q[i]))
-            ]
-            kw_scorer = (
-                self._select_kw_scorer(m, int(dev.emb.shape[0]))
-                if kw_only else None
+        # Keyword-only prepass results (dispatched in _dispatch_device_batch)
+        if ctx["kw_scan"] is not None:
+            kw_only, k_vals, k_idxs, k_ref = ctx["kw_scan"]
+            unresolved = rescore_and_certify(
+                kw_only, np.asarray(k_vals), np.asarray(k_idxs), m,
+                all_ref=np.asarray(k_ref) if k_ref is not None else None,
             )
-            if kw_scorer is not None and kw_only:
-                k_vals, k_idxs = kw_scorer(dev, w_dev, bias_dev, now_dev, r0_dev, m)
-                unresolved = rescore_and_certify(
-                    kw_only, np.asarray(k_vals), np.asarray(k_idxs), m
-                )
-                self.stats["kw_only_resolved_total"] += (
-                    len(kw_only) - len(unresolved)
-                )
+            self.stats["kw_only_resolved_total"] += (
+                len(kw_only) - len(unresolved)
+            )
 
-        # Coarse prepass (exact profile): cosine-only scan with a sound
-        # per-query keyword cap. Resolves nearly all embedding-backed queries
-        # at ~(d)/(d+bits) of the full scan cost; certificate failures (and
-        # keyword-only queries, whose coarse bound is vacuous) continue into
-        # the full fused loop below.
+        # Coarse prepass results (dispatched in _dispatch_device_batch)
         self.last_coarse_resolved = 0
-        if self.options.exact:
-            prepass = [
-                i for i, r in enumerate(results)
-                if r is None and bool(np.any(q[i]))
-            ]
-            if prepass and not self._coarse_gate_open():
-                # closed gate: still advance the clock so the gate re-opens
-                # after the skip horizon (re-probe), per _coarse_gate_record
-                self._coarse_query_count += len(prepass)
-                prepass = []
-            coarse = self._select_coarse_scorer(m, int(dev.emb.shape[0])) if prepass else None
-            if coarse is not None and prepass:
-                c_vals, c_idxs = coarse(dev, q_dev, w_dev, bias_dev, now_dev, r0_dev, m)
-                unresolved = rescore_and_certify(
-                    prepass, np.asarray(c_vals), np.asarray(c_idxs), m
-                )
-                self.last_coarse_resolved = len(prepass) - len(unresolved)
-                self.stats["coarse_resolved_total"] += self.last_coarse_resolved
-                self._coarse_gate_record(self.last_coarse_resolved, len(prepass))
+        if ctx["coarse_scan"] is not None:
+            prepass, c_vals, c_idxs, c_ref = ctx["coarse_scan"]
+            unresolved = rescore_and_certify(
+                prepass, np.asarray(c_vals), np.asarray(c_idxs), m,
+                all_ref=np.asarray(c_ref) if c_ref is not None else None,
+            )
+            self.last_coarse_resolved = len(prepass) - len(unresolved)
+            self.stats["coarse_resolved_total"] += self.last_coarse_resolved
+            self._coarse_gate_record(self.last_coarse_resolved, len(prepass))
 
         while any(r is None for r in results):
             pending = [i for i, r in enumerate(results) if r is None]
@@ -1001,8 +1125,15 @@ class RecallEngine:
                 oracle_fill(pending)
                 break
             all_vals, all_idxs = scorer(dev, q_dev, w_dev, bias_dev, now_dev, r0_dev, m)
+            all_ref = (
+                self._refine_call(
+                    dev, q_dev, w_dev, bias_dev, now_dev, all_vals, all_idxs, m
+                )
+                if self.options.exact else None
+            )
             all_vals = np.asarray(all_vals)
             all_idxs = np.asarray(all_idxs)
+            all_ref = np.asarray(all_ref) if all_ref is not None else None
 
             if not self.options.exact:
                 # approximate profile: rank by the device upper bound
@@ -1017,7 +1148,9 @@ class RecallEngine:
                     results[i] = hits[: ks[i]]
                 break
 
-            unresolved = rescore_and_certify(pending, all_vals, all_idxs, m)
+            unresolved = rescore_and_certify(
+                pending, all_vals, all_idxs, m, all_ref=all_ref
+            )
             if m >= window_rows and not full_coverage:
                 # partial-coverage scorer exhausted: exact host scan
                 oracle_fill(unresolved)
