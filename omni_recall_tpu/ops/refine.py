@@ -52,6 +52,8 @@ scores every chunk on the host).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -87,6 +89,51 @@ def refine_ub_from_scan(
         q, kw_w8, kw_bias, now_days,
         idxs_full[:, :-1], vals_full[:, :-1],
     )
+
+
+@functools.partial(jax.jit, static_argnames=("t_out",))
+def refine_select_from_scan(
+    emb1, scale1, emb2, scale2, err2, bloom, created, valid,
+    q, kw_weights, kw_bias, now_days, vals_full, idxs_full,
+    t_out: int = 32,
+):
+    """Refine + device-side candidate selection in one dispatch.
+
+    Computes the refined bounds for the scan's m candidates, co-sorts the
+    candidate rows by min(scan bound, refined bound) ON DEVICE, and returns
+    only the compact top-t_out slice plus a single certificate bound:
+
+        (rows [B, k], ubs [B, k], bound [B]),  k = min(t_out, m)
+        bound = max(scan boundary,  (t_out+1)-th best refined bound)
+
+    ``bound`` is a sound upper bound on EVERY row not in the returned
+    slice — scan-excluded rows are under the scan boundary (vals_full[:, m])
+    and dropped candidates are under the (t_out+1)-th sorted bound — so the
+    engine's certificate check ``exact kth > bound`` retains its exact
+    semantics while the readback shrinks from 3x[B, m+1] to ~3x[B, 32]
+    (the dominant per-batch transport cost at serving batch sizes).
+    bound == -inf still means the returned slice covers the whole snapshot
+    (nothing live was excluded anywhere)."""
+    from omni_recall_tpu.ops.merge import top_k_with_payload
+    from omni_recall_tpu.ops.pallas_scorer import quantize_kw_weights
+
+    kw_w8 = quantize_kw_weights(kw_weights)
+    rows = idxs_full[:, :-1]
+    vals = vals_full[:, :-1]
+    refined = refine_ub(
+        emb1, scale1, emb2, scale2, err2, bloom, created, valid,
+        q, kw_w8, kw_bias, now_days, rows, vals,
+    )
+    ubs = jnp.minimum(vals, refined)  # min of sound bounds is sound
+    b, m = ubs.shape
+    k = min(t_out, m)
+    top_v, top_i = top_k_with_payload(ubs, rows, min(t_out + 1, m))
+    tail = (
+        top_v[:, k] if top_v.shape[1] > k
+        else jnp.full((b,), -jnp.inf, dtype=top_v.dtype)
+    )
+    bound = jnp.maximum(vals_full[:, -1], tail)
+    return top_i[:, :k], top_v[:, :k], bound
 
 
 def quantize_queries_int8_residual(q: jax.Array):

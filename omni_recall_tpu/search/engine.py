@@ -180,6 +180,34 @@ class RecallEngine:
             q_dev, w_dev, bias_dev, now_dev, vals_d, idxs_d,
         )
 
+    def _refine_select_call(self, dev, q_dev, w_dev, bias_dev, now_dev,
+                            vals_d, idxs_d, m, max_k):
+        """Compact refine + device-side selection (ops/refine.py
+        refine_select_from_scan): returns (rows, ubs, bound) device arrays
+        or None when refine is unavailable. Shrinks the per-batch readback
+        from 3x[B, m+1] to ~3x[B, 32] — the dominant transport cost."""
+        if (
+            dev.emb2 is None
+            or self._sharded_scorer is not None
+            or m > self._REFINE_MAX_M
+        ):
+            return None
+        from omni_recall_tpu.ops import refine as _refine
+
+        # t_out must cover the largest requested k with phase-2 headroom;
+        # round up to a power of two to bound the jit-shape variety
+        t_out = max(
+            32, getattr(self.options, "rescore_phase1_refined", 12) + 4,
+            max_k + 8,
+        )
+        t_out = 1 << (t_out - 1).bit_length()
+        return _refine.refine_select_from_scan(
+            dev.emb, dev.scale, dev.emb2, dev.scale2, dev.err2,
+            dev.bloom, dev.created, dev.valid,
+            q_dev, w_dev, bias_dev, now_dev, vals_d, idxs_d,
+            t_out=t_out,
+        )
+
     def rebuild_index(self) -> None:
         """Shadow rebuild + atomic swap (BASELINE.json config 3): construct a
         fresh device index from the store's current chunks (compacting
@@ -955,10 +983,17 @@ class RecallEngine:
             kw_scorer = self._select_kw_scorer(m, int(dev.emb.shape[0]))
             if kw_scorer is not None:
                 k_vals, k_idxs = kw_scorer(dev, w_dev, bias_dev, now_dev, r0_dev, m)
-                k_ref = self._refine_call(
-                    dev, q_dev, w_dev, bias_dev, now_dev, k_vals, k_idxs, m
+                sel = self._refine_select_call(
+                    dev, q_dev, w_dev, bias_dev, now_dev, k_vals, k_idxs,
+                    m, max(ks),
                 )
-                ctx["kw_scan"] = (kw_only, k_vals, k_idxs, k_ref)
+                if sel is not None:
+                    ctx["kw_scan"] = ("compact", kw_only, *sel)
+                else:
+                    k_ref = self._refine_call(
+                        dev, q_dev, w_dev, bias_dev, now_dev, k_vals, k_idxs, m
+                    )
+                    ctx["kw_scan"] = ("full", kw_only, k_vals, k_idxs, k_ref)
 
         # Coarse prepass (exact profile): cosine-only scan with a sound
         # per-query keyword cap. Resolves nearly all embedding-backed queries
@@ -978,10 +1013,17 @@ class RecallEngine:
             coarse = self._select_coarse_scorer(m, int(dev.emb.shape[0]))
             if coarse is not None:
                 c_vals, c_idxs = coarse(dev, q_dev, w_dev, bias_dev, now_dev, r0_dev, m)
-                c_ref = self._refine_call(
-                    dev, q_dev, w_dev, bias_dev, now_dev, c_vals, c_idxs, m
+                sel = self._refine_select_call(
+                    dev, q_dev, w_dev, bias_dev, now_dev, c_vals, c_idxs,
+                    m, max(ks),
                 )
-                ctx["coarse_scan"] = (prepass, c_vals, c_idxs, c_ref)
+                if sel is not None:
+                    ctx["coarse_scan"] = ("compact", prepass, *sel)
+                else:
+                    c_ref = self._refine_call(
+                        dev, q_dev, w_dev, bias_dev, now_dev, c_vals, c_idxs, m
+                    )
+                    ctx["coarse_scan"] = ("full", prepass, c_vals, c_idxs, c_ref)
         return ctx
 
     def _finalize_device_batch(self, ctx: dict) -> list[list[SearchHit]]:
@@ -1094,13 +1136,72 @@ class RecallEngine:
                 ]
             return unresolved
 
+        def rescore_and_certify_compact(pending, rows_a, ubs_a, bounds_a):
+            """Certify from the compact device selection (ops/refine.py
+            refine_select_from_scan): candidate rows arrive pre-sorted by
+            their refined bound, and ``bounds_a[i]`` is the single sound
+            bound over EVERY row not in the slice (scan-excluded rows AND
+            device-dropped candidates), so the certificate check is
+            unchanged: exact kth > bound => globally exact. bound == -inf
+            means the slice covers the whole snapshot."""
+            row_lists, ub_lists = [], []
+            for i in pending:
+                rows, ubs = rows_a[i], ubs_a[i]
+                live = (ubs > -np.inf) & (rows >= 0)
+                rows, ubs = rows[live], ubs[live]
+                if len(rows):
+                    keep = dix.valid[rows]  # concurrent-delete tombstones
+                    if not keep.all():
+                        rows, ubs = rows[keep], ubs[keep]
+                row_lists.append(rows.astype(np.int64))
+                ub_lists.append(ubs)
+            prune = self.options.rescore_prune
+            ranked = self._exact_rescore_rows(
+                [(requests[i][0], requests[i][1]) for i in pending],
+                row_lists, now, dix=dix,
+                ub_lists=ub_lists if prune else None,
+                ks=[ks[i] for i in pending] if prune else None,
+                phase1=getattr(self.options, "rescore_phase1_refined", None),
+            )
+            if dix.update_seq != upd_seq0:
+                oracle_fill(pending)  # reindex race: same as the full path
+                return []
+            unresolved = []
+            for pi, i in enumerate(pending):
+                k = ks[i]
+                boundary = bounds_a[i]  # device arrays cover the full batch
+                rows_sorted, scores_sorted = ranked[pi]
+                if boundary == -np.inf:
+                    pass  # slice covered the whole snapshot: accept
+                else:
+                    kth = scores_sorted[k - 1] if len(scores_sorted) >= k else -np.inf
+                    if not kth > boundary:
+                        unresolved.append(i)
+                        continue
+                results[i] = [
+                    SearchHit(meta[int(r)], float(s))
+                    for r, s in zip(rows_sorted[:k], scores_sorted[:k])
+                    if meta[int(r)] is not None
+                ]
+            return unresolved
+
+        def consume_prepass(scan):
+            tag, pending = scan[0], scan[1]
+            if tag == "compact":
+                rows_d, ubs_d, bound_d = scan[2], scan[3], scan[4]
+                return pending, rescore_and_certify_compact(
+                    pending, np.asarray(rows_d), np.asarray(ubs_d),
+                    np.asarray(bound_d),
+                )
+            vals_d, idxs_d, ref_d = scan[2], scan[3], scan[4]
+            return pending, rescore_and_certify(
+                pending, np.asarray(vals_d), np.asarray(idxs_d), m,
+                all_ref=np.asarray(ref_d) if ref_d is not None else None,
+            )
+
         # Keyword-only prepass results (dispatched in _dispatch_device_batch)
         if ctx["kw_scan"] is not None:
-            kw_only, k_vals, k_idxs, k_ref = ctx["kw_scan"]
-            unresolved = rescore_and_certify(
-                kw_only, np.asarray(k_vals), np.asarray(k_idxs), m,
-                all_ref=np.asarray(k_ref) if k_ref is not None else None,
-            )
+            kw_only, unresolved = consume_prepass(ctx["kw_scan"])
             self.stats["kw_only_resolved_total"] += (
                 len(kw_only) - len(unresolved)
             )
@@ -1108,11 +1209,7 @@ class RecallEngine:
         # Coarse prepass results (dispatched in _dispatch_device_batch)
         self.last_coarse_resolved = 0
         if ctx["coarse_scan"] is not None:
-            prepass, c_vals, c_idxs, c_ref = ctx["coarse_scan"]
-            unresolved = rescore_and_certify(
-                prepass, np.asarray(c_vals), np.asarray(c_idxs), m,
-                all_ref=np.asarray(c_ref) if c_ref is not None else None,
-            )
+            prepass, unresolved = consume_prepass(ctx["coarse_scan"])
             self.last_coarse_resolved = len(prepass) - len(unresolved)
             self.stats["coarse_resolved_total"] += self.last_coarse_resolved
             self._coarse_gate_record(self.last_coarse_resolved, len(prepass))
