@@ -127,6 +127,11 @@ class OcrOptions:
 class StorageOptions:
     provider: str = "InMemory"  # InMemory | LocalDisk
     root: str = ".omni_recall_data"
+    # when set, the server restores the store + device index from
+    # <snapshot_dir>/snapshot.npz at startup (device-slab fast path when the
+    # archive carries matching derived arrays) and POST /api/snapshot saves
+    # one atomically (index/snapshot.py)
+    snapshot_dir: str = ""
 
 
 @dataclass

@@ -168,6 +168,9 @@ class DeviceIndex:
         self._rows_by_doc: dict[str, list[int]] = {}
 
         self._device: DeviceArrays | None = None
+        # one-shot pre-quantized device planes injected by load_slabs
+        # (snapshot fast restore); consumed by the next full upload
+        self._preconverted: dict[str, np.ndarray] | None = None
         # dirty tracking is per capacity-block: a single [lo, hi) interval
         # would collapse one low-row update + one tail append into a sync of
         # every block in between (GBs of H2D for a handful of changed rows)
@@ -391,6 +394,75 @@ class DeviceIndex:
         self._count_valid_added(0, n)
         self._mark_dirty(0, n)
 
+    def load_slabs(
+        self,
+        meta: list[ChunkRecord],
+        *,
+        emb_norm: np.ndarray,      # f32 [n, d] normalized (or zero) rows
+        raw_emb: np.ndarray,       # f32 [n, d] raw mirror (exact rescore)
+        raw_norm_sq: np.ndarray,   # f64 [n]
+        bloom: np.ndarray,         # u8 [n, W]
+        created: np.ndarray,       # f32 [n] days
+        created_us: np.ndarray,    # i64 [n] exact micros
+        created_ts: np.ndarray,    # f64 [n] timestamp() mirror
+        seqs: np.ndarray,          # i64 [n]
+        lower_arena: bytes,        # concatenated lowercased UTF-8 contents
+        lower_off: np.ndarray,     # i64 [n + 1]
+        converted: dict[str, np.ndarray] | None = None,
+    ) -> None:
+        """Snapshot fast-restore injection (index/snapshot.py): installs
+        EVERY host mirror from persisted arrays — no hashing, normalization,
+        quantization or per-chunk python work. ``converted`` carries the
+        pre-quantized device planes (matching _convert_emb's output keys);
+        the first device upload consumes them instead of re-quantizing.
+
+        CONTRACT: arrays must be mutually consistent and derived with this
+        index's exact parameters (the snapshot layer verifies a random
+        sample bit-for-bit before calling, and falls back to the rebuild
+        path otherwise). Rows must be in (created_at, seq) order; the index
+        must be empty."""
+        n = len(meta)
+        with self._lock:
+            if self._n != 0:
+                raise ValueError("load_slabs requires an empty index")
+            if not (
+                n == emb_norm.shape[0] == bloom.shape[0] == created.shape[0]
+                == raw_emb.shape[0] == seqs.shape[0]
+            ):
+                raise ValueError("load_slabs arrays must have matching rows")
+            if bloom.shape[1] != self.bloom_bits // 8:
+                raise ValueError("bloom width mismatch")
+            self._ensure_capacity(n)
+            self.emb[:n] = emb_norm
+            self.bloom[:n] = bloom
+            self.created[:n] = created
+            self.valid[:n] = True
+            self.raw_emb[:n] = raw_emb
+            self.raw_norm_sq[:n] = raw_norm_sq
+            self.created_us[:n] = created_us
+            self.created_ts[:n] = created_ts
+            self.seqs[:n] = seqs
+            self._arena = bytearray(lower_arena)
+            self.content_off[: n + 1] = lower_off
+            self.meta.extend(meta)
+            self._row_by_chunk_id.update(
+                {c.id: row for row, c in enumerate(meta)}
+            )
+            for row, c in enumerate(meta):
+                self._rows_by_doc.setdefault(c.document_id, []).append(row)
+            self._n = n
+            self._n_valid = n
+            self._count_valid_added(0, n)
+            self._mark_dirty(0, n)
+            if converted is not None:
+                # pad to capacity so the one-shot preconverted upload aligns
+                # with the full-capacity device buffers
+                pad = self._cap - n
+                self._preconverted = {
+                    k: np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+                    for k, v in converted.items()
+                }
+
     def update_embedding(self, chunk_id: str, embedding: list[float] | None) -> bool:
         with self._lock:
             return self._update_embedding_locked(chunk_id, embedding)
@@ -517,7 +589,12 @@ class DeviceIndex:
 
     def _device_arrays_locked(self) -> DeviceArrays:
         if self._device is None or self._device_cap != self._cap:
-            converted = self._convert_emb(self.emb)
+            pre = self._preconverted
+            if pre is not None and pre["emb"].shape[0] == self._cap:
+                converted = pre  # snapshot restore: skip re-quantization
+            else:
+                converted = self._convert_emb(self.emb)
+            self._preconverted = None
             self._device = DeviceArrays(
                 emb=self._put(converted["emb"]),
                 bloom=self._put(self.bloom),

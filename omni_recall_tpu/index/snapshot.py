@@ -2,15 +2,29 @@
 
 The reference delegates durability to Cosmos/Blob and loses the in-memory
 store on restart (SURVEY.md §5 "checkpoint/resume — none in-app"). The TPU
-rebuild makes persistence first-class: a snapshot directory holds
+rebuild makes persistence first-class: ONE atomically-renamed archive
+(``snapshot.npz``) holds the store AND, optionally, the device index's
+derived arrays, so a restore is an array upload instead of a re-derivation.
 
-- ``snapshot.npz`` — ONE atomically-renamed archive holding the JSON
-  metadata (documents + chunk ids/content/timestamps/insertion seq) and all
-  chunk embeddings as a flat f64 array plus offsets (ragged-safe: chunks
-  may have missing or odd-dimension vectors). f64 keeps the oracle/host
-  paths' float64 scoring bit-identical across a restore; the single file
-  makes a crash mid-save unable to desynchronize meta from embeddings.
-  (The legacy meta.json + embeddings.npz layout is still loadable.)
+Format v2 (columnar):
+- ``meta_json`` — documents + version + per-chunk string dictionaries.
+- chunk columns — ids/contents as byte arenas + offsets, doc index,
+  chunk index, seq, exact integer-microsecond timestamps, and all chunk
+  embeddings as a flat f64 array + offsets (ragged-safe). f64 keeps the
+  oracle/host float64 scoring bit-identical across a restore; restored
+  records hold zero-copy views into the flat array.
+- optional device slabs (``save_snapshot(..., device_index=...)``) — the
+  bloom planes, int8 quantization planes (+ the residual refine plane) and
+  recency/tie-break columns, in store seq order, with the producing
+  parameters. Restoring them (``restore_engine``) skips bloom hashing and
+  re-quantization entirely: the 10M-chunk restore drops from ~18 minutes of
+  re-derivation to array I/O + upload. A sampled integrity check re-derives
+  K random rows (signature + quantization, bit-compared) and falls back to
+  the full rebuild on any mismatch, so a stale/foreign slab can never
+  produce an unsound index.
+
+The legacy v1 layouts (single-archive JSON-chunks and the two-file
+meta.json + embeddings.npz) are still loadable.
 
 ``load_snapshot`` rebuilds the host store with identical seq ordering, so a
 restored device index reproduces bit-identical rankings (rows are appended
@@ -21,8 +35,9 @@ from __future__ import annotations
 
 import contextlib
 import json
+import logging
 import os
-from datetime import datetime
+from datetime import datetime, timedelta, timezone
 from pathlib import Path
 
 import numpy as np
@@ -31,7 +46,15 @@ from omni_recall_tpu.contracts import iso_utc
 from omni_recall_tpu.index.records import ChunkRecord, DocumentRecord
 from omni_recall_tpu.index.store import InMemoryIngestionStore
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+# bumped when the signature/quantization derivation changes incompatibly —
+# slabs from another derivation version fall back to the full rebuild
+SLAB_VERSION = 1
+
+_EPOCH70 = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_INTEGRITY_SAMPLE = 64
+
+logger = logging.getLogger(__name__)
 
 
 def _parse_dt(value: str | None) -> datetime | None:
@@ -40,10 +63,7 @@ def _parse_dt(value: str | None) -> datetime | None:
     return datetime.fromisoformat(value.replace("Z", "+00:00"))
 
 
-def save_snapshot(store: InMemoryIngestionStore, path: str | Path) -> None:
-    path = Path(path)
-    path.mkdir(parents=True, exist_ok=True)
-
+def _collect(store: InMemoryIngestionStore):
     # one consistent read: the store's lock (when present) makes the
     # documents and their chunk lists a single atomic view — without it a
     # concurrent delete between list_documents and get_chunks leaves a
@@ -55,20 +75,71 @@ def save_snapshot(store: InMemoryIngestionStore, path: str | Path) -> None:
         for doc in documents:
             chunks.extend(store.get_chunks_by_document_id(doc.id))
     chunks.sort(key=lambda c: c.seq)
+    return documents, chunks
+
+
+def _byte_arena(items: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    off = np.zeros(len(items) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in items], out=off[1:])
+    return np.frombuffer(b"".join(items), dtype=np.uint8), off
+
+
+def save_snapshot(
+    store: InMemoryIngestionStore,
+    path: str | Path,
+    device_index=None,
+) -> None:
+    """Write ``snapshot.npz`` atomically. When ``device_index`` is given and
+    covers every live chunk, its derived arrays are embedded so a matching
+    engine restores without re-deriving (see restore_engine)."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    documents, chunks = _collect(store)
+    n = len(chunks)
+
+    ids_arena, ids_off = _byte_arena([c.id.encode("utf-8") for c in chunks])
+    contents_arena, contents_off = _byte_arena(
+        [c.content.encode("utf-8", errors="surrogatepass") for c in chunks]
+    )
+    doc_order = {d.id: i for i, d in enumerate(documents)}
+    doc_idx = np.asarray([doc_order[c.document_id] for c in chunks], dtype=np.int32)
+    chunk_index = np.asarray([c.chunk_index for c in chunks], dtype=np.int32)
+    seq = np.asarray([c.seq for c in chunks], dtype=np.int64)
+    has_created = np.asarray([c.created_at_utc is not None for c in chunks], dtype=bool)
+    created_us = np.asarray(
+        [
+            _to_us(c.created_at_utc) if c.created_at_utc is not None else 0
+            for c in chunks
+        ],
+        dtype=np.int64,
+    )
+    # string dictionaries for the (practically constant) cosmos-shape fields
+    pk_values = sorted({c.partition_key for c in chunks}) or ["user:default"]
+    type_values = sorted({c.type for c in chunks}) or ["chunk"]
+    pk_idx = np.asarray(
+        [pk_values.index(c.partition_key) for c in chunks], dtype=np.int16
+    )
+    type_idx = np.asarray(
+        [type_values.index(c.type) for c in chunks], dtype=np.int16
+    )
 
     flat: list[np.ndarray] = []
-    offsets = np.zeros(len(chunks) + 1, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    has_emb = np.zeros(n, dtype=bool)
     for i, chunk in enumerate(chunks):
         # f64: the oracle/host-scan paths score the RAW embedding values in
         # float64, so an f32 round-trip would shift post-restore scores in
         # the low bits (near-ties could swap rank across a restart)
-        vec = np.asarray(chunk.embedding or [], dtype=np.float64)
+        e = chunk.embedding
+        has_emb[i] = e is not None
+        vec = (
+            np.asarray(e, dtype=np.float64)
+            if e is not None else np.zeros(0, dtype=np.float64)
+        )
         flat.append(vec)
         offsets[i + 1] = offsets[i] + vec.size
     emb_flat = np.concatenate(flat) if flat else np.zeros(0, dtype=np.float64)
-    has_emb = np.array([c.embedding is not None for c in chunks], dtype=bool)
 
-    emb_arrays = {"emb_flat": emb_flat, "offsets": offsets, "has_emb": has_emb}
     meta = {
         "version": FORMAT_VERSION,
         "documents": [
@@ -80,26 +151,34 @@ def save_snapshot(store: InMemoryIngestionStore, path: str | Path) -> None:
             }
             for d in documents
         ],
-        "chunks": [
-            {
-                "id": c.id, "documentId": c.document_id, "chunkIndex": c.chunk_index,
-                "content": c.content, "seq": c.seq,
-                "createdAtUtc": iso_utc(c.created_at_utc) if c.created_at_utc else None,
-            }
-            for c in chunks
-        ],
+        "pk_values": pk_values,
+        "type_values": type_values,
+        "n_chunks": n,
     }
-    # ONE archive + ONE atomic rename: meta and embeddings can never
-    # desynchronize, and a crash mid-save leaves the previous good
-    # snapshot untouched (the old two-file layout could pair a new npz
-    # with an old meta.json whose offsets index a different chunk list)
+
+    arrays = {
+        "ids_arena": ids_arena, "ids_off": ids_off,
+        "contents_arena": contents_arena, "contents_off": contents_off,
+        "doc_idx": doc_idx, "chunk_index": chunk_index, "seq": seq,
+        "has_created": has_created, "created_us": created_us,
+        "pk_idx": pk_idx, "type_idx": type_idx,
+        "emb_flat": emb_flat, "offsets": offsets, "has_emb": has_emb,
+    }
+
+    slabs = _gather_slabs(device_index, chunks) if device_index is not None else None
+    if slabs is not None:
+        meta["slabs"] = slabs.pop("params")
+        arrays.update({f"slab_{k}": v for k, v in slabs.items()})
+
+    # ONE archive + ONE atomic rename: meta and arrays can never
+    # desynchronize, and a crash mid-save leaves the previous good snapshot
+    # untouched. Uncompressed: f64 embeddings and int8 planes barely
+    # compress, and zlib over multi-GB slabs would dominate the save.
     tmp = path / f".snapshot.{os.getpid()}.tmp.npz"
-    np.savez_compressed(
+    np.savez(
         tmp,
-        meta_json=np.frombuffer(
-            json.dumps(meta).encode("utf-8"), dtype=np.uint8
-        ),
-        **emb_arrays,
+        meta_json=np.frombuffer(json.dumps(meta).encode("utf-8"), dtype=np.uint8),
+        **arrays,
     )
     os.replace(tmp, path / "snapshot.npz")
     # clean up a legacy two-file snapshot so stale halves can't be loaded
@@ -108,27 +187,161 @@ def save_snapshot(store: InMemoryIngestionStore, path: str | Path) -> None:
             (path / legacy).unlink()
 
 
+def _to_us(dt: datetime) -> int:
+    from omni_recall_tpu.index.device_index import to_micros
+
+    return to_micros(dt)
+
+
+def _gather_slabs(dix, chunks: list[ChunkRecord]) -> dict | None:
+    """Derived arrays for the store's live chunks, in seq order, from the
+    device index's host mirrors. Returns None (slabs omitted, restore falls
+    back to rebuild) when the index doesn't cover the chunk list exactly."""
+    from omni_recall_tpu.ops.quantize import (
+        quantize_rows_int8,
+        quantize_rows_int8_residual,
+    )
+
+    if dix.scan_dtype != "int8":
+        return None  # f32/bf16 restores re-upload the mirrors anyway
+    with dix._lock:
+        rows = []
+        for c in chunks:
+            r = dix._row_by_chunk_id.get(c.id)
+            if r is None or not dix.valid[r]:
+                return None
+            rows.append(r)
+        rows = np.asarray(rows, dtype=np.int64)
+        emb_norm = dix.emb[rows]
+        bloom = dix.bloom[rows]
+        created = dix.created[rows]
+        created_ts = dix.created_ts[rows]
+        lower = [
+            bytes(dix._arena[dix.content_off[r] : dix.content_off[r + 1]])
+            for r in rows
+        ]
+    lower_arena, lower_off = _byte_arena(lower)
+    out = {
+        "emb_norm": emb_norm, "bloom": bloom,
+        "created": created, "created_ts": created_ts,
+        "lower_arena": lower_arena, "lower_off": lower_off,
+    }
+    if dix.refine:
+        q1, s1, e1, q2, s2, e2 = quantize_rows_int8_residual(emb_norm)
+        out.update(q1=q1, s1=s1, e1=e1, q2=q2, s2=s2, e2=e2)
+    else:
+        q1, s1, e1 = quantize_rows_int8(emb_norm)
+        out.update(q1=q1, s1=s1, e1=e1)
+    out["params"] = {
+        "slab_version": SLAB_VERSION,
+        "dim": dix.dim, "bloom_bits": dix.bloom_bits, "ngram": dix.ngram,
+        "bloom_hashes": dix.bloom_hashes, "scan_dtype": dix.scan_dtype,
+        "refine": dix.refine,
+    }
+    return out
+
+
 def load_snapshot(path: str | Path) -> InMemoryIngestionStore:
+    store, _ = load_snapshot_full(path)
+    return store
+
+
+def load_snapshot_full(path: str | Path):
+    """Returns (store, aux). ``aux`` is None for legacy snapshots; for v2 it
+    carries the raw arrays (chunk list in seq order, flat f64 embeddings,
+    slab arrays when present) that restore_engine uses for the fast path."""
     path = Path(path)
     bundle = path / "snapshot.npz"
     # context-manage the NpzFile: np.load keeps the underlying file handle
-    # open for the process lifetime otherwise (a later save_snapshot's
-    # os.replace works on Linux but the stale handle would linger)
+    # open for the process lifetime otherwise
     if bundle.is_file():
-        with np.load(bundle) as arrays:
-            meta = json.loads(bytes(arrays["meta_json"].tobytes()).decode("utf-8"))
-            emb_flat, offsets, has_emb = (
-                arrays["emb_flat"], arrays["offsets"], arrays["has_emb"]
-            )
+        with np.load(bundle) as npz:
+            meta = json.loads(bytes(npz["meta_json"].tobytes()).decode("utf-8"))
+            arrays = {k: npz[k] for k in npz.files if k != "meta_json"}
     else:  # legacy two-file layout (pre-atomic-save snapshots)
         meta = json.loads((path / "meta.json").read_text(encoding="utf-8"))
-        with np.load(path / "embeddings.npz") as arrays:
-            emb_flat, offsets, has_emb = (
-                arrays["emb_flat"], arrays["offsets"], arrays["has_emb"]
-            )
-    if meta.get("version") != FORMAT_VERSION:
-        raise ValueError(f"Unsupported snapshot version: {meta.get('version')}")
+        with np.load(path / "embeddings.npz") as npz:
+            arrays = {k: npz[k] for k in npz.files}
+    version = meta.get("version")
+    if version == 1:
+        return _load_v1(meta, arrays), None
+    if version != FORMAT_VERSION:
+        raise ValueError(f"Unsupported snapshot version: {version}")
 
+    documents = [
+        DocumentRecord(
+            id=d["id"], file_name=d["fileName"], source_type=d["sourceType"],
+            blob_path=d["blobPath"], content_hash=d["contentHash"],
+            chunk_count=d["chunkCount"], created_at_utc=_parse_dt(d["createdAtUtc"]),
+        )
+        for d in meta["documents"]
+    ]
+    n = int(meta["n_chunks"])
+    ids_b = arrays["ids_arena"].tobytes()
+    ids_off = arrays["ids_off"]
+    contents_b = arrays["contents_arena"].tobytes()
+    contents_off = arrays["contents_off"]
+    doc_idx = arrays["doc_idx"]
+    chunk_index = arrays["chunk_index"]
+    seq = arrays["seq"]
+    has_created = arrays["has_created"]
+    created_us = arrays["created_us"]
+    pk_values = meta["pk_values"]
+    type_values = meta["type_values"]
+    pk_idx = arrays["pk_idx"]
+    type_idx = arrays["type_idx"]
+    emb_flat, offsets, has_emb = (
+        arrays["emb_flat"], arrays["offsets"], arrays["has_emb"],
+    )
+
+    doc_ids = [d.id for d in documents]
+    chunks: list[ChunkRecord] = []
+    chunks_by_doc: dict[str, list[ChunkRecord]] = {d.id: [] for d in documents}
+    for i in range(n):
+        cid = ids_b[ids_off[i] : ids_off[i + 1]].decode("utf-8")
+        content = contents_b[contents_off[i] : contents_off[i + 1]].decode(
+            "utf-8", errors="surrogatepass"
+        )
+        # exact integer-microsecond reconstruction (timedelta arithmetic:
+        # no float rounding, unlike fromtimestamp)
+        created = (
+            _EPOCH70 + timedelta(microseconds=int(created_us[i]))
+            if has_created[i] else None
+        )
+        doc_id = doc_ids[doc_idx[i]]
+        rec = ChunkRecord(
+            id=cid, document_id=doc_id, chunk_index=int(chunk_index[i]),
+            content=content,
+            # zero-copy f64 view: python-list conversion at 1M+ chunks costs
+            # tens of seconds; every consumer handles array sequences
+            embedding=emb_flat[offsets[i] : offsets[i + 1]] if has_emb[i] else None,
+            created_at_utc=created,
+            partition_key=pk_values[pk_idx[i]],
+            type=type_values[type_idx[i]],
+            seq=int(seq[i]),
+        )
+        chunks.append(rec)
+        chunks_by_doc.setdefault(doc_id, []).append(rec)
+
+    store = InMemoryIngestionStore()
+    store.bulk_restore(documents, chunks_by_doc, next_seq=int(seq.max()) + 1 if n else 0)
+
+    aux = {
+        "meta": meta,
+        "chunks": chunks,  # seq order (save order)
+        "emb_flat": emb_flat, "offsets": offsets, "has_emb": has_emb,
+        "seq": seq, "created_us": created_us, "has_created": has_created,
+        "slabs": (
+            {k[5:]: v for k, v in arrays.items() if k.startswith("slab_")}
+            | {"params": meta["slabs"]}
+            if "slabs" in meta else None
+        ),
+    }
+    return store, aux
+
+
+def _load_v1(meta: dict, arrays: dict) -> InMemoryIngestionStore:
+    emb_flat, offsets, has_emb = arrays["emb_flat"], arrays["offsets"], arrays["has_emb"]
     store = InMemoryIngestionStore()
     for d in meta["documents"]:
         store.upsert_document(
@@ -155,10 +368,134 @@ def load_snapshot(path: str | Path) -> InMemoryIngestionStore:
     return store
 
 
-def restore_engine(store: InMemoryIngestionStore, engine) -> None:
-    """Rebuild the device index from a restored store, preserving row order."""
+def restore_engine(store: InMemoryIngestionStore, engine, aux=None) -> None:
+    """Rebuild the device index from a restored store, preserving row order.
+
+    With ``aux`` from load_snapshot_full (v2 + slabs + matching engine
+    parameters + passing integrity sample), the index is bulk-loaded from
+    the persisted derived arrays — no bloom hashing, no re-quantization, no
+    per-chunk python append. Any mismatch falls back to the exact rebuild."""
+    if aux is not None and aux.get("slabs") is not None:
+        if _try_restore_slabs(store, engine, aux):
+            return
+        logger.warning(
+            "snapshot slabs unusable (parameter/integrity mismatch); "
+            "falling back to full index rebuild"
+        )
     chunks: list[ChunkRecord] = []
     for doc in store.list_documents(2**31 - 1):
         chunks.extend(store.get_chunks_by_document_id(doc.id))
     chunks.sort(key=lambda c: c.seq)
     engine.on_chunks_upserted(chunks, new=True)
+
+
+def _try_restore_slabs(store, engine, aux) -> bool:
+    from omni_recall_tpu.ops import hashing
+    from omni_recall_tpu.ops.quantize import (
+        quantize_rows_int8,
+        quantize_rows_int8_residual,
+    )
+
+    dix = engine.device_index
+    if dix is None or dix.n_rows != 0:
+        return False
+    slabs = aux["slabs"]
+    p = slabs["params"]
+    if (
+        p.get("slab_version") != SLAB_VERSION
+        or p.get("dim") != dix.dim
+        or p.get("bloom_bits") != dix.bloom_bits
+        or p.get("ngram") != dix.ngram
+        or p.get("bloom_hashes") != dix.bloom_hashes
+        or p.get("scan_dtype") != dix.scan_dtype
+        or bool(p.get("refine")) != dix.refine
+    ):
+        return False
+    chunks = aux["chunks"]
+    n = len(chunks)
+    if n == 0:
+        return True  # nothing to load
+    if slabs["q1"].shape[0] != n:
+        return False
+    emb_flat, offsets, has_emb = aux["emb_flat"], aux["offsets"], aux["has_emb"]
+
+    # vectorized host mirrors, bit-identical to DeviceIndex._normalize /
+    # _append_locked's batch path: f32 cast -> f64 norm -> f64 divide -> f32
+    sizes = np.diff(offsets)
+    uniform = bool(np.all(sizes[has_emb] == dix.dim)) if has_emb.any() else True
+    if not uniform:
+        return False  # mixed-dimension embeddings: rare, use the rebuild
+    raw_emb = np.zeros((n, dix.dim), dtype=np.float32)
+    raw_norm_sq = np.zeros(n, dtype=np.float64)
+    emb_norm = np.zeros((n, dix.dim), dtype=np.float32)
+    if has_emb.any():
+        rows = np.nonzero(has_emb)[0]
+        # emb-less chunks occupy zero-size segments, so emb_flat is exactly
+        # the concatenation of the embedded rows' (uniform-dim) vectors
+        a = emb_flat.astype(np.float32).reshape(len(rows), dix.dim)
+        # _normalize computes the norm from the f32-cast values
+        nsq = np.sum((a * a).astype(np.float64), axis=1)
+        ok = nsq > 0.0
+        normed = np.zeros_like(a)
+        normed[ok] = (a[ok].astype(np.float64) / np.sqrt(nsq[ok])[:, None]).astype(
+            np.float32
+        )
+        raw_emb[rows] = a
+        raw_norm_sq[rows] = nsq
+        emb_norm[rows] = normed
+
+    # integrity sample: re-derive K rows and bit-compare against the slabs —
+    # a stale or foreign slab archive must never produce an unsound index
+    rng = np.random.default_rng(0)
+    sample = rng.choice(n, size=min(_INTEGRITY_SAMPLE, n), replace=False)
+    from omni_recall_tpu.ops.oracle import lower_invariant
+
+    sig = hashing.chunk_signatures_batch(
+        [lower_invariant(chunks[i].content) for i in sample],
+        dix.bloom_bits, dix.ngram, dix.bloom_hashes,
+    )
+    if not np.array_equal(sig, slabs["bloom"][sample]):
+        return False
+    if dix.refine:
+        q1, s1, e1, q2, s2, e2 = quantize_rows_int8_residual(emb_norm[sample])
+        if not (
+            np.array_equal(q1, slabs["q1"][sample])
+            and np.array_equal(s1, slabs["s1"][sample])
+            and np.array_equal(e1, slabs["e1"][sample])
+            and np.array_equal(q2, slabs["q2"][sample])
+            and np.array_equal(s2, slabs["s2"][sample])
+            and np.array_equal(e2, slabs["e2"][sample])
+        ):
+            return False
+        converted = {
+            "emb": slabs["q1"], "scale": slabs["s1"], "err": slabs["e1"],
+            "emb2": slabs["q2"], "scale2": slabs["s2"], "err2": slabs["e2"],
+        }
+    else:
+        q1, s1, e1 = quantize_rows_int8(emb_norm[sample])
+        if not (
+            np.array_equal(q1, slabs["q1"][sample])
+            and np.array_equal(s1, slabs["s1"][sample])
+            and np.array_equal(e1, slabs["e1"][sample])
+        ):
+            return False
+        converted = {
+            "emb": slabs["q1"], "scale": slabs["s1"], "err": slabs["e1"],
+        }
+
+    # device mirror wants to_micros(None) (datetime.min) for missing stamps
+    created_us = np.where(
+        aux["has_created"], aux["created_us"], _to_us(None)
+    ).astype(np.int64)
+
+    dix.load_slabs(
+        chunks,
+        emb_norm=emb_norm, raw_emb=raw_emb, raw_norm_sq=raw_norm_sq,
+        bloom=slabs["bloom"], created=slabs["created"],
+        created_us=created_us, created_ts=slabs["created_ts"],
+        seqs=np.asarray(aux["seq"], dtype=np.int64),
+        lower_arena=slabs["lower_arena"].tobytes(),
+        lower_off=np.asarray(slabs["lower_off"], dtype=np.int64),
+        converted=converted,
+    )
+    return True

@@ -61,6 +61,20 @@ class InMemoryIngestionStore:
                     doc_chunks, key=lambda c: c.chunk_index
                 )
 
+    def bulk_restore(
+        self,
+        documents: list[DocumentRecord],
+        chunks_by_doc: dict[str, list[ChunkRecord]],
+        next_seq: int,
+    ) -> None:
+        """Snapshot-restore injection (index/snapshot.py): installs the
+        record maps directly, bypassing per-document upserts. Chunk lists
+        must already be in chunk_index order with their original seqs."""
+        with self._lock:
+            self._documents = {d.id: d for d in documents}
+            self._chunks = dict(chunks_by_doc)
+            self._seq = next_seq
+
     def get_document(self, document_id: str) -> DocumentRecord | None:
         with self._lock:
             return self._documents.get(document_id)

@@ -118,6 +118,34 @@ class OmniRecallApp(WsgiApp):
                 "scan. Align the two settings.",
                 config.embeddings.dim, config.engine.embedding_dim,
             )
+        # snapshot restore (new TPU scope: the reference loses its in-memory
+        # store on restart, SURVEY.md §5): load the archived store and
+        # device index before any service wiring. The device-slab fast path
+        # skips bloom hashing + re-quantization entirely; a failed restore
+        # logs and boots empty (serving must come up regardless).
+        self.snapshot_dir = (config.storage.snapshot_dir or "").strip() or None
+        if self.snapshot_dir:
+            try:
+                from omni_recall_tpu.index import snapshot as snap
+
+                p = Path(self.snapshot_dir)
+                if (p / "snapshot.npz").is_file() or (p / "meta.json").is_file():
+                    restored, aux = snap.load_snapshot_full(p)
+                    with restored._lock:
+                        self.store.bulk_restore(
+                            list(restored._documents.values()),
+                            restored._chunks, restored._seq,
+                        )
+                    snap.restore_engine(self.store, self.engine, aux=aux)
+                    logging.getLogger(__name__).info(
+                        "restored snapshot from %s (%d documents)",
+                        p, len(self.store.list_documents(2**31 - 1)),
+                    )
+            except Exception:
+                logging.getLogger(__name__).exception(
+                    "snapshot restore from %s failed; starting empty",
+                    self.snapshot_dir,
+                )
         self.search_executor = None
         if config.engine.coalesce_window_ms > 0 and config.engine.backend != "oracle":
             from omni_recall_tpu.search.coalesce import CoalescingSearchExecutor
@@ -194,6 +222,7 @@ class OmniRecallApp(WsgiApp):
         router.add("POST", "/api/chat", self._complete_chat)
         router.add("GET", "/health", self._health)
         router.add("GET", "/metrics", self._metrics)
+        router.add("POST", "/api/snapshot", self._save_snapshot)
         router.add("GET", "/swagger/v1/swagger.json", self._swagger)
         router.add("GET", "/swagger", self._swagger_ui)
         router.add("GET", "/", self._index)
@@ -334,6 +363,35 @@ class OmniRecallApp(WsgiApp):
         report = self.health_service.probe()
         status_code = 503 if report.status == "unhealthy" else 200
         return Response.json(report, status_code)
+
+    def _save_snapshot(self, request: Request) -> Response:
+        """POST /api/snapshot — persist the store + device-index slabs
+        atomically to Storage:SnapshotDir (new TPU scope: first-class
+        checkpoint/resume, SURVEY.md §5). Holds the engine mutation lock so
+        the store view and the gathered slabs are one consistent state; a
+        restart with the same config restores via the slab fast path."""
+        if not self.snapshot_dir:
+            return Response.problem(
+                "Snapshots not configured",
+                "Set Storage:SnapshotDir to enable snapshot persistence.",
+                409,
+            )
+        from omni_recall_tpu.index import snapshot as snap
+
+        with self.engine.mutation_lock:
+            snap.save_snapshot(
+                self.store, self.snapshot_dir,
+                device_index=self.engine.device_index,
+            )
+        docs = self.store.list_documents(2**31 - 1)
+        return Response.json(
+            {
+                "path": str(Path(self.snapshot_dir) / "snapshot.npz"),
+                "documents": len(docs),
+                "chunks": sum(d.chunk_count for d in docs),
+            },
+            200,
+        )
 
     def _metrics(self, request: Request) -> Response:
         """Prometheus text exposition of the engine/index counters (new

@@ -113,7 +113,9 @@ def test_snapshot_preserves_float64_embeddings(tmp_path):
     save_snapshot(store, tmp_path)
     restored = load_snapshot(tmp_path)
     got = restored.get_chunks_by_document_id("d1")[0].embedding
-    assert got == vec  # exact, not f32-rounded
+    # v2 returns zero-copy f64 array views; values must be exact, not
+    # f32-rounded
+    assert list(got) == vec
 
 
 def test_snapshot_single_atomic_file(tmp_path):
@@ -128,3 +130,131 @@ def test_snapshot_single_atomic_file(tmp_path):
     save_snapshot(store, tmp_path)
     names = sorted(p.name for p in tmp_path.iterdir())
     assert names == ["snapshot.npz"]
+
+
+def _int8_engine():
+    return RecallEngine(
+        InMemoryIngestionStore(),
+        options=EngineOptions(
+            backend="pallas", embedding_dim=DIM, recent_window=0,
+            candidate_m=16, bloom_bits=256, scan_dtype="int8",
+            capacity_block=512, refine=True,
+        ),
+    )
+
+
+def _queries(rng, vocab, n=12):
+    reqs = []
+    for i in range(n):
+        emb = hash_embedder.embed_text(f"q{i}", DIM) if i % 3 else None
+        reqs.append((" ".join(rng.choices(vocab, k=2)), emb, 5))
+    return reqs
+
+
+def test_slab_snapshot_fast_restore_bit_identical(tmp_path):
+    """v2 slab restore (no re-hash/re-quantize) must reproduce bit-identical
+    search results vs a full rebuild, and must actually take the fast path
+    (preconverted planes consumed, not re-derived)."""
+    rng = random.Random(5)
+    store, vocab = _build_store(rng)
+
+    src = _int8_engine()
+    src.store = store
+    chunks = []
+    for doc in store.list_documents(1 << 30):
+        chunks.extend(store.get_chunks_by_document_id(doc.id))
+    chunks.sort(key=lambda c: c.seq)
+    src.device_index.append(chunks)
+
+    from omni_recall_tpu.index.snapshot import load_snapshot_full
+
+    save_snapshot(store, tmp_path / "s", device_index=src.device_index)
+    restored_store, aux = load_snapshot_full(tmp_path / "s")
+    assert aux is not None and aux["slabs"] is not None
+
+    fast = _int8_engine()
+    fast.store = restored_store
+    restore_engine(restored_store, fast, aux=aux)
+    # fast path taken: pre-quantized planes are staged for the first upload
+    assert fast.device_index._preconverted is not None
+    assert fast.device_index.n_rows == len(chunks)
+
+    slow = _int8_engine()
+    slow.store = restored_store
+    restore_engine(restored_store, slow)  # rebuild path (hash + quantize)
+
+    reqs = _queries(rng, vocab)
+    out_src = src.search_batch(reqs, now=NOW)
+    out_fast = fast.search_batch(reqs, now=NOW)
+    out_slow = slow.search_batch(reqs, now=NOW)
+    for hs, hf, hl in zip(out_src, out_fast, out_slow):
+        assert [h.chunk.id for h in hs] == [h.chunk.id for h in hf]
+        assert [h.score for h in hs] == [h.score for h in hf]
+        assert [h.chunk.id for h in hf] == [h.chunk.id for h in hl]
+        assert [h.score for h in hf] == [h.score for h in hl]
+
+    # host mirrors bit-identical to the rebuilt index (exact-rescore inputs)
+    import numpy as np
+
+    df, dl = fast.device_index, slow.device_index
+    n = dl.n_rows
+    assert np.array_equal(df.emb[:n], dl.emb[:n])
+    assert np.array_equal(df.bloom[:n], dl.bloom[:n])
+    assert np.array_equal(df.raw_emb[:n], dl.raw_emb[:n])
+    assert np.array_equal(df.raw_norm_sq[:n], dl.raw_norm_sq[:n])
+    assert np.array_equal(df.created_us[:n], dl.created_us[:n])
+    assert bytes(df._arena) == bytes(dl._arena)
+
+
+def test_slab_restore_rejects_tampered_or_mismatched(tmp_path):
+    """A corrupted slab or mismatched engine parameters must fall back to
+    the rebuild path (never an unsound index)."""
+    import numpy as np
+
+    from omni_recall_tpu.index.snapshot import load_snapshot_full
+
+    rng = random.Random(6)
+    store, vocab = _build_store(rng)
+    src = _int8_engine()
+    src.store = store
+    chunks = []
+    for doc in store.list_documents(1 << 30):
+        chunks.extend(store.get_chunks_by_document_id(doc.id))
+    chunks.sort(key=lambda c: c.seq)
+    src.device_index.append(chunks)
+    save_snapshot(store, tmp_path / "s", device_index=src.device_index)
+
+    restored_store, aux = load_snapshot_full(tmp_path / "s")
+    # tamper: flip a bloom byte -> integrity sample must reject
+    aux_bad = dict(aux)
+    aux_bad["slabs"] = dict(aux["slabs"])
+    bad_bloom = np.array(aux["slabs"]["bloom"])
+    bad_bloom[3, 0] ^= 0xFF
+    aux_bad["slabs"]["bloom"] = bad_bloom
+    eng = _int8_engine()
+    eng.store = restored_store
+    restore_engine(restored_store, eng, aux=aux_bad)
+    assert eng.device_index._preconverted is None  # rebuild path used
+    assert eng.device_index.n_rows == len(chunks)
+
+    # mismatched params (different bloom width) -> fallback, still correct
+    eng2 = RecallEngine(
+        InMemoryIngestionStore(),
+        options=EngineOptions(
+            backend="pallas", embedding_dim=DIM, recent_window=0,
+            candidate_m=16, bloom_bits=512, scan_dtype="int8",
+            capacity_block=512, refine=True,
+        ),
+    )
+    eng2.store = restored_store
+    restore_engine(restored_store, eng2, aux=aux)
+    assert eng2.device_index._preconverted is None
+    assert eng2.device_index.n_rows == len(chunks)
+
+    reqs = _queries(rng, vocab)
+    out_src = src.search_batch(reqs, now=NOW)
+    for eng_x in (eng, eng2):
+        out_x = eng_x.search_batch(reqs, now=NOW)
+        for hs, hx in zip(out_src, out_x):
+            assert [h.chunk.id for h in hs] == [h.chunk.id for h in hx]
+            assert [h.score for h in hs] == [h.score for h in hx]
