@@ -83,6 +83,43 @@ def _set_slab(dev: jax.Array, slab: jax.Array, start: jax.Array) -> jax.Array:
     return jax.lax.dynamic_update_slice_in_dim(dev, slab, start, axis=0)
 
 
+@partial(jax.jit, static_argnames=("refine",), donate_argnums=(0,))
+def _device_quantize(x: jax.Array, refine: bool) -> dict[str, jax.Array]:
+    """int8 (+residual) quantization ON DEVICE for large full uploads: the
+    host quantizer (ops/quantize.py) streams multiple f64 passes over the
+    whole matrix — ~10s per 65k rows on a burstable 1-core host — while the
+    device does it in milliseconds; uploading f32 rows once at H2D rates is
+    far cheaper.
+
+    Soundness of the f32-evaluated error norms (the host version uses exact
+    f64 + round-up): the residual elements carry <= u*|x| ~ 6e-8 absolute
+    representation error and the f32 norm accumulates gamma_d ~ d*u ~ 5e-5
+    relative error, so err * (1 + 1e-4) + 3e-7 is >= the true residual norm
+    — the same construction (and constants) as the device-side query
+    quantizer, ops/refine.py quantize_queries_int8_residual. A slightly
+    larger stored bound only loosens the scan's upper bound (exactness is
+    preserved via the certificate); it never understates the error."""
+
+    def plane(v):
+        am = jnp.max(jnp.abs(v), axis=1, keepdims=True)
+        s = am / 127.0
+        safe = jnp.where(s > 0, s, 1.0)
+        q = jnp.clip(jnp.round(v / safe), -127, 127).astype(jnp.int8)
+        return q, s
+
+    def errn(r):
+        return jnp.linalg.norm(r, axis=1) * (1.0 + 1e-4) + 3e-7
+
+    q1, s1 = plane(x)
+    r1 = x - q1.astype(jnp.float32) * s1
+    out = {"emb": q1, "scale": s1[:, 0], "err": errn(r1)}
+    if refine:
+        q2, s2 = plane(r1)
+        r2 = r1 - q2.astype(jnp.float32) * s2
+        out.update(emb2=q2, scale2=s2[:, 0], err2=errn(r2))
+    return out
+
+
 @dataclass
 class DeviceArrays:
     emb: jax.Array            # f32 | bf16 | int8 rows, per scan_dtype
@@ -201,23 +238,38 @@ class DeviceIndex:
         new_cap = ((needed + self.capacity_block - 1) // self.capacity_block) * self.capacity_block
         grow = new_cap - self._cap
 
-        def pad(a: np.ndarray) -> np.ndarray:
-            pad_width = [(0, grow)] + [(0, 0)] * (a.ndim - 1)
-            return np.pad(a, pad_width)
+        if self._n == 0:
+            # empty index (bulk/rebuild hot path): fresh zero allocations are
+            # calloc'd lazily by the OS — np.pad would eagerly WRITE zeros
+            # over the full capacity (hundreds of MB of memory traffic)
+            self.emb = np.zeros((new_cap, self.dim), dtype=np.float32)
+            self.bloom = np.zeros((new_cap, self.bloom_bits // 8), dtype=np.uint8)
+            self.created = np.zeros(new_cap, dtype=np.float32)
+            self.valid = np.zeros(new_cap, dtype=bool)
+            self.raw_emb = np.zeros((new_cap, self.dim), dtype=np.float32)
+            self.raw_norm_sq = np.zeros(new_cap, dtype=np.float64)
+            self.created_us = np.full(new_cap, to_micros(None), dtype=np.int64)
+            self.created_ts = np.full(new_cap, _MIN_TS, dtype=np.float64)
+            self.seqs = np.zeros(new_cap, dtype=np.int64)
+        else:
 
-        self.emb = pad(self.emb)
-        self.bloom = pad(self.bloom)
-        self.created = pad(self.created)
-        self.valid = pad(self.valid)
-        self.raw_emb = pad(self.raw_emb)
-        self.raw_norm_sq = pad(self.raw_norm_sq)
-        self.created_us = np.concatenate(
-            [self.created_us, np.full(grow, to_micros(None), dtype=np.int64)]
-        )
-        self.created_ts = np.concatenate(
-            [self.created_ts, np.full(grow, _MIN_TS, dtype=np.float64)]
-        )
-        self.seqs = pad(self.seqs)
+            def pad(a: np.ndarray) -> np.ndarray:
+                pad_width = [(0, grow)] + [(0, 0)] * (a.ndim - 1)
+                return np.pad(a, pad_width)
+
+            self.emb = pad(self.emb)
+            self.bloom = pad(self.bloom)
+            self.created = pad(self.created)
+            self.valid = pad(self.valid)
+            self.raw_emb = pad(self.raw_emb)
+            self.raw_norm_sq = pad(self.raw_norm_sq)
+            self.created_us = np.concatenate(
+                [self.created_us, np.full(grow, to_micros(None), dtype=np.int64)]
+            )
+            self.created_ts = np.concatenate(
+                [self.created_ts, np.full(grow, _MIN_TS, dtype=np.float64)]
+            )
+            self.seqs = pad(self.seqs)
         off = np.full(new_cap + 1, self.content_off[self._n], dtype=np.int64)
         off[: self.content_off.shape[0]] = self.content_off
         self.content_off = off
@@ -267,13 +319,41 @@ class DeviceIndex:
 
     def _append_locked(self, chunks: list[ChunkRecord]) -> None:
         start = self._n
-        self._ensure_capacity(start + len(chunks))
-        self.bloom[start : start + len(chunks)] = hashing.chunk_signatures_batch(
-            [oracle.lower_invariant(c.content) for c in chunks],
-            self.bloom_bits, self.ngram, self.bloom_hashes,
+        nc = len(chunks)
+        end = start + nc
+        self._ensure_capacity(end)
+        # compute EVERY fallible per-chunk value BEFORE any state mutation:
+        # an exception mid-append would otherwise leave meta/valid/row maps
+        # partially updated with _n unchanged, permanently corrupting the
+        # meta-index == row-index alignment (rows would be reused)
+        lows = [oracle.lower_invariant(c.content) for c in chunks]
+        encs = []
+        for c, low in zip(chunks, lows):
+            if c._lower_utf8 is None:  # prepopulate the record's lazy cache
+                c._lower_utf8 = low.encode("utf-8", errors="surrogatepass")
+            encs.append(c._lower_utf8)
+        sigs = hashing.chunk_signatures_batch(
+            lows, self.bloom_bits, self.ngram, self.bloom_hashes
         )
+        days = np.fromiter(
+            (to_days(c.created_at_utc) for c in chunks), dtype=np.float64, count=nc
+        )
+        us = np.fromiter(
+            (to_micros(c.created_at_utc) for c in chunks), dtype=np.int64, count=nc
+        )
+        ts = np.fromiter(
+            (_aware(c.created_at_utc).timestamp() for c in chunks),
+            dtype=np.float64, count=nc,
+        )
+        seqs = np.fromiter((c.seq for c in chunks), dtype=np.int64, count=nc)
+        arena_add = b"".join(encs)
+        lens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=nc)
+        ids = [c.id for c in chunks]
+
         # batch-normalize the common case (correct-dimension embeddings);
         # row-wise float64 norms are identical to _normalize per row
+        # (np.sum(f32, dtype=f64) pairwise-accumulates exactly like
+        # .astype(f64).sum() without materializing the f64 copy)
         dim_ok = [
             offset for offset, c in enumerate(chunks)
             if c.embedding is not None and len(c.embedding) == self.dim
@@ -292,49 +372,52 @@ class DeviceIndex:
                 "Embeddings:Dim vs Engine:EmbeddingDim.",
                 n_mismatched, self.dim,
             )
+        a = normed = norm_sq = rows_ok = None
         if dim_ok:
             a = np.asarray([chunks[o].embedding for o in dim_ok], dtype=np.float32)
-            norm_sq = np.sum((a * a).astype(np.float64), axis=1)
-            ok = norm_sq > 0.0
-            normed = np.zeros_like(a)
-            normed[ok] = (
-                a[ok].astype(np.float64) / np.sqrt(norm_sq[ok])[:, None]
-            ).astype(np.float32)
+            norm_sq = np.sum(a * a, axis=1, dtype=np.float64)
+            # f32 reciprocal-multiply normalization: one f32 pass instead of
+            # three f64 passes (the burstable host throttles hard on f64
+            # traffic). Differs from _normalize's f64 divide by ~2 ulp per
+            # element — irrelevant for soundness: the device scan/refine
+            # bounds budget >= 3e-7 for the unit-row representation error
+            # (ops/refine.py REFINE_EPS derivation), and the exact rescore
+            # reads raw_emb/raw_norm_sq, which keep the oracle-exact bits.
+            with np.errstate(divide="ignore"):
+                inv = np.where(
+                    norm_sq > 0.0, 1.0 / np.sqrt(norm_sq), 0.0
+                ).astype(np.float32)
+            normed = a * inv[:, None]  # zero-norm rows normalize to zeros
             rows_ok = np.asarray(dim_ok, dtype=np.int64) + start
-            self.emb[rows_ok] = normed
-            self.raw_emb[rows_ok] = a
-            self.raw_norm_sq[rows_ok] = norm_sq
-        # precompute every fallible per-chunk value BEFORE the mutation
-        # loop: an exception mid-loop would leave meta/valid/row maps
-        # partially updated with _n unchanged, permanently corrupting the
-        # meta-index == row-index alignment (rows would be reused)
-        payloads = [
-            (
-                to_days(chunk.created_at_utc),
-                to_micros(chunk.created_at_utc),
-                _aware(chunk.created_at_utc).timestamp(),
-                chunk.content_lower_utf8(),
-            )
-            for chunk in chunks
-        ]
-        for offset, (chunk, (days, us, ts, lower)) in enumerate(
-            zip(chunks, payloads)
-        ):
-            row = start + offset
-            self.created[row] = days
-            self.created_us[row] = us
-            self.created_ts[row] = ts
-            self.seqs[row] = chunk.seq
-            self._arena.extend(lower)
-            self.content_off[row + 1] = len(self._arena)
-            self.valid[row] = True
-            self.meta.append(chunk)
-            self._row_by_chunk_id[chunk.id] = row
-            self._rows_by_doc.setdefault(chunk.document_id, []).append(row)
-        self._n += len(chunks)
-        self._n_valid += len(chunks)
-        self._count_valid_added(start, self._n)
-        self._mark_dirty(start, self._n)
+
+        # -- mutation (array slice-assignments; nothing below can raise) --
+        self.bloom[start:end] = sigs
+        if dim_ok:
+            if len(dim_ok) == nc:  # contiguous: avoid the fancy scatter
+                self.emb[start:end] = normed
+                self.raw_emb[start:end] = a
+                self.raw_norm_sq[start:end] = norm_sq
+            else:
+                self.emb[rows_ok] = normed
+                self.raw_emb[rows_ok] = a
+                self.raw_norm_sq[rows_ok] = norm_sq
+        self.created[start:end] = days
+        self.created_us[start:end] = us
+        self.created_ts[start:end] = ts
+        self.seqs[start:end] = seqs
+        base = len(self._arena)
+        self._arena.extend(arena_add)
+        self.content_off[start + 1 : end + 1] = base + np.cumsum(lens)
+        self.valid[start:end] = True
+        self.meta.extend(chunks)
+        self._row_by_chunk_id.update(zip(ids, range(start, end)))
+        by_doc = self._rows_by_doc
+        for offset, c in enumerate(chunks):
+            by_doc.setdefault(c.document_id, []).append(start + offset)
+        self._n = end
+        self._n_valid += nc
+        self._count_valid_added(start, end)
+        self._mark_dirty(start, end)
 
     def bulk_load(
         self,
@@ -377,18 +460,26 @@ class DeviceIndex:
         # (callers pass the same arrays they put in meta), so raw == emb here
         self.raw_emb[:n] = emb_normalized
         self.raw_norm_sq[:n] = np.sum(
-            (emb_normalized * emb_normalized).astype(np.float64), axis=1
+            emb_normalized * emb_normalized, axis=1, dtype=np.float64
         )
-        self.created_us[:n] = [to_micros(c.created_at_utc) for c in meta]
-        self.created_ts[:n] = [_aware(c.created_at_utc).timestamp() for c in meta]
-        self.seqs[:n] = [c.seq for c in meta]
-        for row, c in enumerate(meta):
-            self._arena.extend(c.content_lower_utf8())
-            self.content_off[row + 1] = len(self._arena)
+        self.created_us[:n] = np.fromiter(
+            (to_micros(c.created_at_utc) for c in meta), dtype=np.int64, count=n
+        )
+        self.created_ts[:n] = np.fromiter(
+            (_aware(c.created_at_utc).timestamp() for c in meta),
+            dtype=np.float64, count=n,
+        )
+        self.seqs[:n] = np.fromiter((c.seq for c in meta), dtype=np.int64, count=n)
+        encs = [c.content_lower_utf8() for c in meta]
+        self._arena.extend(b"".join(encs))
+        self.content_off[1 : n + 1] = np.cumsum(
+            np.fromiter((len(e) for e in encs), dtype=np.int64, count=n)
+        )
         self.meta.extend(meta)
-        self._row_by_chunk_id.update({c.id: row for row, c in enumerate(meta)})
+        self._row_by_chunk_id.update(zip((c.id for c in meta), range(n)))
+        by_doc = self._rows_by_doc
         for row, c in enumerate(meta):
-            self._rows_by_doc.setdefault(c.document_id, []).append(row)
+            by_doc.setdefault(c.document_id, []).append(row)
         self._n = n
         self._n_valid = n
         self._count_valid_added(0, n)
@@ -587,11 +678,22 @@ class DeviceIndex:
         with self._lock:
             return self._device_arrays_locked()
 
+    # full uploads at/above this row count quantize ON DEVICE (host f64
+    # quantization costs ~10s/65k rows on the burstable host); below it the
+    # host path keeps small tests/indexes bit-stable with ops/quantize.py
+    _DEVICE_QUANTIZE_MIN_ROWS = 1 << 16
+
     def _device_arrays_locked(self) -> DeviceArrays:
         if self._device is None or self._device_cap != self._cap:
             pre = self._preconverted
             if pre is not None and pre["emb"].shape[0] == self._cap:
                 converted = pre  # snapshot restore: skip re-quantization
+            elif (
+                self.scan_dtype == "int8"
+                and self.mesh is None
+                and self._cap >= self._DEVICE_QUANTIZE_MIN_ROWS
+            ):
+                converted = _device_quantize(jnp.asarray(self.emb), self.refine)
             else:
                 converted = self._convert_emb(self.emb)
             self._preconverted = None
