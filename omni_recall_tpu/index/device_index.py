@@ -511,7 +511,13 @@ class DeviceIndex:
         index's exact parameters (the snapshot layer verifies a random
         sample bit-for-bit before calling, and falls back to the rebuild
         path otherwise). Rows must be in (created_at, seq) order; the index
-        must be empty."""
+        must be empty.
+
+        The arrays are ADOPTED as the index storage (capacity == n exactly;
+        the next append grows by capacity blocks as usual). Copy-on-write
+        mmap arrays work as-is: restore pays page-in only for rows a later
+        rescore/upload actually touches, and mutations never reach the
+        snapshot files."""
         n = len(meta)
         with self._lock:
             if self._n != 0:
@@ -521,38 +527,37 @@ class DeviceIndex:
                 == raw_emb.shape[0] == seqs.shape[0]
             ):
                 raise ValueError("load_slabs arrays must have matching rows")
-            if bloom.shape[1] != self.bloom_bits // 8:
-                raise ValueError("bloom width mismatch")
-            self._ensure_capacity(n)
-            self.emb[:n] = emb_norm
-            self.bloom[:n] = bloom
-            self.created[:n] = created
-            self.valid[:n] = True
-            self.raw_emb[:n] = raw_emb
-            self.raw_norm_sq[:n] = raw_norm_sq
-            self.created_us[:n] = created_us
-            self.created_ts[:n] = created_ts
-            self.seqs[:n] = seqs
+            if bloom.shape[1] != self.bloom_bits // 8 or emb_norm.shape[1] != self.dim:
+                raise ValueError("slab geometry mismatch")
+            self.emb = emb_norm
+            self.bloom = bloom
+            self.created = np.asarray(created, dtype=np.float32)
+            self.valid = np.ones(n, dtype=bool)
+            self.raw_emb = raw_emb
+            self.raw_norm_sq = np.asarray(raw_norm_sq, dtype=np.float64)
+            self.created_us = np.asarray(created_us, dtype=np.int64)
+            self.created_ts = np.asarray(created_ts, dtype=np.float64)
+            self.seqs = np.asarray(seqs, dtype=np.int64)
             self._arena = bytearray(lower_arena)
-            self.content_off[: n + 1] = lower_off
+            self.content_off = np.array(lower_off, dtype=np.int64)
             self.meta.extend(meta)
             self._row_by_chunk_id.update(
-                {c.id: row for row, c in enumerate(meta)}
+                zip((c.id for c in meta), range(n))
             )
+            by_doc = self._rows_by_doc
             for row, c in enumerate(meta):
-                self._rows_by_doc.setdefault(c.document_id, []).append(row)
+                by_doc.setdefault(c.document_id, []).append(row)
+            self._cap = n
+            self._device = None
+            self._device_cap = -1
+            self._dirty_blocks.clear()
             self._n = n
             self._n_valid = n
+            nb = (n + VALID_BLOCK - 1) // VALID_BLOCK
+            self._block_valid = np.zeros(max(nb, 1), dtype=np.int64)
             self._count_valid_added(0, n)
-            self._mark_dirty(0, n)
             if converted is not None:
-                # pad to capacity so the one-shot preconverted upload aligns
-                # with the full-capacity device buffers
-                pad = self._cap - n
-                self._preconverted = {
-                    k: np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
-                    for k, v in converted.items()
-                }
+                self._preconverted = dict(converted)
 
     def update_embedding(self, chunk_id: str, embedding: list[float] | None) -> bool:
         with self._lock:

@@ -46,10 +46,16 @@ from omni_recall_tpu.contracts import iso_utc
 from omni_recall_tpu.index.records import ChunkRecord, DocumentRecord
 from omni_recall_tpu.index.store import InMemoryIngestionStore
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 # bumped when the signature/quantization derivation changes incompatibly —
 # slabs from another derivation version fall back to the full rebuild
-SLAB_VERSION = 1
+# (v2: f32-evaluated quantization error bounds, ops/quantize.py)
+SLAB_VERSION = 2
+# v3 layout: a DIRECTORY (snapshot.d) holding meta.json + one .npy per
+# array, swapped in with directory renames. Arrays load with
+# mmap_mode="c" (copy-on-write): restore pays page-in only for what it
+# touches — the scan planes stream to the device, while the f64 embedding
+# store and f32 mirrors stay lazy until a rescore touches their rows.
 
 _EPOCH70 = datetime(1970, 1, 1, tzinfo=timezone.utc)
 _INTEGRITY_SAMPLE = 64
@@ -170,19 +176,33 @@ def save_snapshot(
         meta["slabs"] = slabs.pop("params")
         arrays.update({f"slab_{k}": v for k, v in slabs.items()})
 
-    # ONE archive + ONE atomic rename: meta and arrays can never
-    # desynchronize, and a crash mid-save leaves the previous good snapshot
-    # untouched. Uncompressed: f64 embeddings and int8 planes barely
-    # compress, and zlib over multi-GB slabs would dominate the save.
-    tmp = path / f".snapshot.{os.getpid()}.tmp.npz"
-    np.savez(
-        tmp,
-        meta_json=np.frombuffer(json.dumps(meta).encode("utf-8"), dtype=np.uint8),
-        **arrays,
-    )
-    os.replace(tmp, path / "snapshot.npz")
-    # clean up a legacy two-file snapshot so stale halves can't be loaded
-    for legacy in ("meta.json", "embeddings.npz"):
+    # ONE archive directory + directory renames: meta and arrays are
+    # written fully into a temp dir, then swapped in — a crash mid-save
+    # leaves the previous good snapshot untouched (at worst a fully-written
+    # snapshot.d.old survives alongside, which the loader also accepts).
+    # Separate uncompressed .npy members let the loader mmap them
+    # copy-on-write (lazy page-in); zlib over multi-GB slabs would dominate
+    # the save and defeat the mmap restore.
+    tmp = path / f".snapshot.{os.getpid()}.tmp"
+    if tmp.exists():
+        import shutil
+
+        shutil.rmtree(tmp)
+    tmp.mkdir()
+    (tmp / "meta.json").write_text(json.dumps(meta), encoding="utf-8")
+    for k, v in arrays.items():
+        np.save(tmp / f"{k}.npy", v)
+    final = path / "snapshot.d"
+    old = path / f"snapshot.d.old.{os.getpid()}"
+    if final.exists():
+        os.replace(final, old)
+    os.replace(tmp, final)
+    if old.exists():
+        import shutil
+
+        shutil.rmtree(old)
+    # clean up legacy layouts so stale versions can't be loaded
+    for legacy in ("meta.json", "embeddings.npz", "snapshot.npz"):
         with contextlib.suppress(OSError):
             (path / legacy).unlink()
 
@@ -216,6 +236,8 @@ def _gather_slabs(dix, chunks: list[ChunkRecord]) -> dict | None:
         bloom = dix.bloom[rows]
         created = dix.created[rows]
         created_ts = dix.created_ts[rows]
+        raw_emb = dix.raw_emb[rows]
+        raw_norm_sq = dix.raw_norm_sq[rows]
         lower = [
             bytes(dix._arena[dix.content_off[r] : dix.content_off[r + 1]])
             for r in rows
@@ -224,6 +246,9 @@ def _gather_slabs(dix, chunks: list[ChunkRecord]) -> dict | None:
     out = {
         "emb_norm": emb_norm, "bloom": bloom,
         "created": created, "created_ts": created_ts,
+        # persisted exact-rescore mirrors: a v3 restore adopts these as
+        # copy-on-write mmaps instead of re-deriving them from the f64 store
+        "raw_emb": raw_emb, "raw_norm_sq": raw_norm_sq,
         "lower_arena": lower_arena, "lower_off": lower_off,
     }
     if dix.refine:
@@ -251,10 +276,25 @@ def load_snapshot_full(path: str | Path):
     carries the raw arrays (chunk list in seq order, flat f64 embeddings,
     slab arrays when present) that restore_engine uses for the fast path."""
     path = Path(path)
+    snap_dir = path / "snapshot.d"
+    if not snap_dir.is_dir():
+        # crash between the two save renames: accept a fully-written .old
+        olds = sorted(path.glob("snapshot.d.old.*"))
+        if olds:
+            snap_dir = olds[-1]
     bundle = path / "snapshot.npz"
-    # context-manage the NpzFile: np.load keeps the underlying file handle
-    # open for the process lifetime otherwise
-    if bundle.is_file():
+    if snap_dir.is_dir():
+        meta = json.loads((snap_dir / "meta.json").read_text(encoding="utf-8"))
+        # copy-on-write mmap: open cost is O(1); pages fault in on first
+        # touch and writes never reach the snapshot files
+        arrays = {
+            p.stem: np.load(p, mmap_mode="c")
+            for p in snap_dir.glob("*.npy")
+        }
+    elif bundle.is_file():
+        # v1/v2 single-archive layout — context-manage the NpzFile: np.load
+        # keeps the underlying file handle open for the process lifetime
+        # otherwise
         with np.load(bundle) as npz:
             meta = json.loads(bytes(npz["meta_json"].tobytes()).decode("utf-8"))
             arrays = {k: npz[k] for k in npz.files if k != "meta_json"}
@@ -265,7 +305,7 @@ def load_snapshot_full(path: str | Path):
     version = meta.get("version")
     if version == 1:
         return _load_v1(meta, arrays), None
-    if version != FORMAT_VERSION:
+    if version not in (2, FORMAT_VERSION):
         raise ValueError(f"Unsupported snapshot version: {version}")
 
     documents = [
@@ -418,37 +458,74 @@ def _try_restore_slabs(store, engine, aux) -> bool:
     if slabs["q1"].shape[0] != n:
         return False
     emb_flat, offsets, has_emb = aux["emb_flat"], aux["offsets"], aux["has_emb"]
-
-    # vectorized host mirrors, bit-identical to DeviceIndex._normalize /
-    # _append_locked's batch path: f32 cast -> f64 norm -> f64 divide -> f32
     sizes = np.diff(offsets)
     uniform = bool(np.all(sizes[has_emb] == dix.dim)) if has_emb.any() else True
     if not uniform:
         return False  # mixed-dimension embeddings: rare, use the rebuild
-    raw_emb = np.zeros((n, dix.dim), dtype=np.float32)
-    raw_norm_sq = np.zeros(n, dtype=np.float64)
-    emb_norm = np.zeros((n, dix.dim), dtype=np.float32)
-    if has_emb.any():
-        rows = np.nonzero(has_emb)[0]
-        # emb-less chunks occupy zero-size segments, so emb_flat is exactly
-        # the concatenation of the embedded rows' (uniform-dim) vectors
-        a = emb_flat.astype(np.float32).reshape(len(rows), dix.dim)
-        # _normalize computes the norm from the f32-cast values
-        nsq = np.sum((a * a).astype(np.float64), axis=1)
-        ok = nsq > 0.0
-        normed = np.zeros_like(a)
-        normed[ok] = (a[ok].astype(np.float64) / np.sqrt(nsq[ok])[:, None]).astype(
-            np.float32
+
+    rng = np.random.default_rng(0)
+    sample = np.sort(rng.choice(n, size=min(_INTEGRITY_SAMPLE, n), replace=False))
+    from omni_recall_tpu.ops.oracle import lower_invariant
+
+    if "raw_emb" in slabs:
+        # v3: mirrors persisted (adopted as copy-on-write mmaps — lazy).
+        # Soundness requires emb_norm to BE the normalization of raw_emb
+        # (the device bounds derive from emb_norm while the exact rescore
+        # reads raw_emb; a mismatched pair could exclude a true top-k row),
+        # so the sample check verifies the raw<->f64-store and
+        # raw<->emb_norm relations as well as the derived planes below.
+        emb_norm, raw_emb, raw_norm_sq = (
+            slabs["emb_norm"], slabs["raw_emb"], slabs["raw_norm_sq"],
         )
-        raw_emb[rows] = a
-        raw_norm_sq[rows] = nsq
-        emb_norm[rows] = normed
+        if emb_norm.shape != (n, dix.dim) or raw_emb.shape != (n, dix.dim):
+            return False
+        for i in sample:
+            seg = emb_flat[offsets[i] : offsets[i + 1]].astype(np.float32)
+            if has_emb[i] and seg.size == dix.dim:
+                if not np.array_equal(seg, raw_emb[i]):
+                    return False
+                nsq = float(np.sum(seg * seg, dtype=np.float64))
+                if nsq != float(raw_norm_sq[i]):
+                    return False
+                if nsq > 0.0:
+                    unit = (seg.astype(np.float64) / np.sqrt(nsq)).astype(
+                        np.float64
+                    )
+                    # tolerate the <= ~2-ulp difference between the f64-
+                    # divide and f32-reciprocal normalization variants; the
+                    # scan/refine error budgets cover far more (ops/refine.py)
+                    if not np.allclose(
+                        emb_norm[i].astype(np.float64), unit,
+                        rtol=5e-7, atol=1e-9,
+                    ):
+                        return False
+            elif np.any(raw_emb[i]) or raw_norm_sq[i] != 0.0 or np.any(emb_norm[i]):
+                return False
+    else:
+        # v2 archives: derive the mirrors from the f64 store — vectorized,
+        # bit-identical to DeviceIndex._normalize / _append_locked's batch
+        # path (f32 cast -> f64 norm -> f64 divide -> f32)
+        raw_emb = np.zeros((n, dix.dim), dtype=np.float32)
+        raw_norm_sq = np.zeros(n, dtype=np.float64)
+        emb_norm = np.zeros((n, dix.dim), dtype=np.float32)
+        if has_emb.any():
+            rows = np.nonzero(has_emb)[0]
+            # emb-less chunks occupy zero-size segments, so emb_flat is
+            # exactly the concatenation of the embedded rows' vectors
+            a = emb_flat.astype(np.float32).reshape(len(rows), dix.dim)
+            # _normalize computes the norm from the f32-cast values
+            nsq = np.sum(a * a, axis=1, dtype=np.float64)
+            ok = nsq > 0.0
+            normed = np.zeros_like(a)
+            normed[ok] = (
+                a[ok].astype(np.float64) / np.sqrt(nsq[ok])[:, None]
+            ).astype(np.float32)
+            raw_emb[rows] = a
+            raw_norm_sq[rows] = nsq
+            emb_norm[rows] = normed
 
     # integrity sample: re-derive K rows and bit-compare against the slabs —
     # a stale or foreign slab archive must never produce an unsound index
-    rng = np.random.default_rng(0)
-    sample = rng.choice(n, size=min(_INTEGRITY_SAMPLE, n), replace=False)
-    from omni_recall_tpu.ops.oracle import lower_invariant
 
     sig = hashing.chunk_signatures_batch(
         [lower_invariant(chunks[i].content) for i in sample],

@@ -1,14 +1,26 @@
-"""int8 row quantization with exact error norms (certificate-sound).
+"""int8 row quantization with sound error-norm bounds (certificate-safe).
 
-The int8 scan path stores per-row symmetric-quantized embeddings plus the
-EXACT quantization error norm, so the device upper bound can fold in a
-per-row correction that provably covers the dequantization error:
+The int8 scan path stores per-row symmetric-quantized embeddings plus an
+error-norm BOUND, so the device upper bound can fold in a per-row
+correction that provably covers the dequantization error:
 
     |q.c - (q8.c8)*s_q*s_c| <= ||q||*ec + eq*||c_hat||
                             <= ec*(1+eq) + eq     (unit-norm rows)
 
 where eq/ec are the stored error norms. Keyword weights are CEIL-quantized
 (w8/127 >= w), so the quantized keyword term never undershoots.
+
+Error norms are evaluated in f32 with an explicit upward slack — the same
+construction (and constants) as the on-device quantizers
+(index/device_index.py _device_quantize, ops/refine.py
+quantize_queries_int8_residual): the residual elements carry <= u*|x| ~
+6e-8 absolute representation error and the f32 norm accumulates
+gamma_d ~ d*u ~ 5e-5 relative error, so ``norm * (1 + 1e-4) + 3e-7`` is
+always >= the true residual norm. A slightly larger stored bound only
+loosens the device upper bound (exactness is preserved via the engine
+certificate); it can never understate the error. The earlier exact-f64
+implementation cost ~5 full-matrix f64 passes — tens of seconds per
+million rows on the burstable host, the dominant cost of snapshot saves.
 """
 
 from __future__ import annotations
@@ -16,34 +28,37 @@ from __future__ import annotations
 import numpy as np
 
 
+def _err_norm_f32(resid: np.ndarray) -> np.ndarray:
+    """Sound upper bound on the residual norms (see module docstring)."""
+    nrm = np.sqrt(np.einsum("ij,ij->i", resid, resid, dtype=np.float32))
+    out = nrm * np.float32(1.0 + 1e-4) + np.float32(3e-7)
+    out[nrm == 0.0] = 0.0
+    return out.astype(np.float32)
+
+
 def quantize_rows_int8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Symmetric per-row int8 quantization.
 
     Returns (q int8[N, d], scale f32[N], err_norm f32[N]) with
-    x ~= q * scale[:, None] and err_norm = ||x - q*scale|| exactly (float64).
-    Zero rows quantize to zeros with scale 0 and err 0.
+    x ~= q * scale[:, None] and err_norm >= ||x - q*scale|| (sound bound,
+    ~1e-4 relative slack). Zero rows quantize to zeros with scale 0, err 0.
     """
     x = np.asarray(x, dtype=np.float32)
     absmax = np.abs(x).max(axis=1) if x.size else np.zeros(x.shape[0], np.float32)
     scale = (absmax / 127.0).astype(np.float32)
     safe = np.where(scale > 0, scale, 1.0).astype(np.float32)
     q = np.clip(np.rint(x / safe[:, None]), -127, 127).astype(np.int8)
-    deq = q.astype(np.float64) * scale.astype(np.float64)[:, None]
-    err = np.sqrt(np.sum((x.astype(np.float64) - deq) ** 2, axis=1))
-    # round the error norm UP to f32 so the stored bound is never optimistic
-    err32 = np.nextafter(err.astype(np.float32), np.float32(np.inf)).astype(np.float32)
-    err32[err == 0.0] = 0.0
-    return q, scale, err32
+    resid = x - q.astype(np.float32) * scale[:, None]
+    return q, scale, _err_norm_f32(resid)
 
 
 def quantize_rows_int8_residual(
     x: np.ndarray,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Two-plane residual int8 quantization for the device refine stage
-    (ops/refine.py): x ~= q1*s1 + q2*s2 with the SECOND-order residual norm
+    (ops/refine.py): x ~= q1*s1 + q2*s2 with
 
-        err2[i] = || x[i] - q1[i]*s1[i] - q2[i]*s2[i] ||   (exact float64,
-                  rounded UP to f32 so the stored bound is never optimistic)
+        err2[i] >= || x[i] - q1[i]*s1[i] - q2[i]*s2[i] ||
 
     For unit-norm rows at d=768 the first-plane residual is ~8e-3, so err2
     lands around 8e-3/254 ~= 3e-5 — two int8 planes recover the cosine to
@@ -56,14 +71,12 @@ def quantize_rows_int8_residual(
     """
     x = np.asarray(x, dtype=np.float32)
     q1, s1, err1 = quantize_rows_int8(x)
-    # exact f64 residual: int8*f32 products are exactly representable in f64
-    resid = x.astype(np.float64) - q1.astype(np.float64) * s1.astype(np.float64)[:, None]
-    q2, s2, _ = quantize_rows_int8(resid.astype(np.float32))
-    true_resid = resid - q2.astype(np.float64) * s2.astype(np.float64)[:, None]
-    err2 = np.sqrt(np.sum(true_resid**2, axis=1))
-    err2_32 = np.nextafter(err2.astype(np.float32), np.float32(np.inf)).astype(np.float32)
-    err2_32[err2 == 0.0] = 0.0
-    return q1, s1, err1, q2, s2, err2_32
+    resid = x - q1.astype(np.float32) * s1[:, None]
+    q2, s2, _ = quantize_rows_int8(resid)
+    resid2 = resid - q2.astype(np.float32) * s2[:, None]
+    # resid is itself f32-rounded from the true residual (<= u*|x| per
+    # element); the extra absolute term in _err_norm_f32 covers it
+    return q1, s1, err1, q2, s2, _err_norm_f32(resid2)
 
 
 def ceil_quantize_weights_int8(w: np.ndarray) -> np.ndarray:

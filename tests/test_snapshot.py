@@ -118,9 +118,9 @@ def test_snapshot_preserves_float64_embeddings(tmp_path):
     assert list(got) == vec
 
 
-def test_snapshot_single_atomic_file(tmp_path):
-    """The snapshot is ONE archive (atomic rename): no split meta/npz pair
-    that a crash could desynchronize."""
+def test_snapshot_single_atomic_archive(tmp_path):
+    """The snapshot is ONE archive directory swapped in by rename: no split
+    pieces a crash could desynchronize, no temp/old residue after save."""
     from omni_recall_tpu.index.records import DocumentRecord
     from omni_recall_tpu.index.snapshot import save_snapshot
     from omni_recall_tpu.index.store import InMemoryIngestionStore
@@ -128,8 +128,11 @@ def test_snapshot_single_atomic_file(tmp_path):
     store = InMemoryIngestionStore()
     store.upsert_document(DocumentRecord(id="d1", file_name="a.txt"))
     save_snapshot(store, tmp_path)
+    save_snapshot(store, tmp_path)  # overwrite works and leaves no residue
     names = sorted(p.name for p in tmp_path.iterdir())
-    assert names == ["snapshot.npz"]
+    assert names == ["snapshot.d"]
+    inner = {p.name for p in (tmp_path / "snapshot.d").iterdir()}
+    assert "meta.json" in inner
 
 
 def _int8_engine():
