@@ -30,11 +30,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
-    """End-to-end engine throughput: device scan + certificate + host
-    float64 rescore + ranking, via engine.search_batch over a bulk-loaded
-    synthetic index. Includes the dev tunnel's per-dispatch RPC overhead
-    (absent in production serving)."""
+def bench_e2e(
+    n: int, d: int, b: int, bits: int, batches: int = 3, bt: int = 1536,
+) -> dict:
+    """End-to-end certified-exact engine throughput at the headline corpus
+    scale: device scan + device refine/select + certificate + host float64
+    rescore + ranking, via engine.search_batch (sequential, latency view)
+    AND engine.search_batches_pipelined (throughput view: device scans of
+    later batches overlap the host rescore + readback of earlier ones —
+    the serving architecture; on the dev tunnel it also pipelines the
+    ~40 ms per-readback RPC latency that does not exist in production).
+
+    Also measures: the refined device stage in isolation (chained megastep:
+    coarse scan -> merge -> refine_select, the exact per-batch device work
+    of the serving path), host rescore at the measured pruned pair width
+    with an explicit thread sweep, snapshot save/restore rates, ingest
+    append, and the shadow rebuild."""
     from datetime import timedelta
 
     from omni_recall_tpu.config import EngineOptions
@@ -43,7 +54,7 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     from omni_recall_tpu.index.store import InMemoryIngestionStore
     from omni_recall_tpu.search.engine import RecallEngine
 
-    from omni_recall_tpu.ops import hashing
+    from omni_recall_tpu.ops import hashing, oracle
 
     rng = np.random.default_rng(0)
     # cluster-structured corpus (real corpora have topic structure;
@@ -52,7 +63,12 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     # their cluster token and blooms are the REAL signatures of those
     # contents (vectorized via one signature per cluster), so the device
     # keyword bound is sound and tight against the host rescore.
-    n_clusters = 4096
+    # cluster density held constant across corpus sizes (~64 rows/cluster,
+    # the r2 256k-corpus density): a cluster larger than candidate_m makes
+    # EVERY query structurally escalate (the m+1-th same-cluster row's
+    # bound sits above the exact kth), which measures the corpus shape,
+    # not the engine
+    n_clusters = max(4096, n // 64)
     centers = rng.standard_normal((n_clusters, d), dtype=np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assign = rng.integers(0, n_clusters, size=n)
@@ -97,13 +113,13 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     engine.device_index.bulk_load(emb, bloom, created_days, meta)
     engine.device_index.device_arrays()  # quantize + upload once
 
-    def make_requests(seed):
+    def make_requests(seed, nb):
         # queries target a cluster center (clear relevance structure); the
         # query text is the cluster token, so keyword scores discriminate
         # exactly like real retrieval (blooms are real content signatures)
         r = np.random.default_rng(seed)
         reqs = []
-        for i in range(b):
+        for i in range(nb):
             cluster = int(r.integers(n_clusters))
             qn = r.standard_normal(d).astype(np.float32)
             qn /= np.linalg.norm(qn)
@@ -113,28 +129,45 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
         return reqs
 
     now = EPOCH + timedelta(days=365.0)
-    engine.search_batch(make_requests(99), now=now)  # warmup/compile
+    engine.search_batch(make_requests(99, b), now=now)  # warmup/compile
     pairs0 = engine.stats["rescore_pairs_total"]
     start = time.perf_counter()
     total_hits = 0
     coarse_resolved = 0
     for i in range(batches):
-        results = engine.search_batch(make_requests(i), now=now)
+        results = engine.search_batch(make_requests(i, b), now=now)
         total_hits += sum(len(h) for h in results)
         coarse_resolved += engine.last_coarse_resolved
     elapsed = time.perf_counter() - start
     assert total_hits == batches * b * 10
-    # avg exact-rescored pairs per query on this corpus (two-phase prune)
+    # avg exact-rescored pairs per query on this corpus (two-phase prune
+    # over the refined device bounds)
     pairs_per_query = (
         engine.stats["rescore_pairs_total"] - pairs0
     ) / (batches * b)
 
-    # Host-rescore throughput in isolation (no device round trip): the dev
-    # tunnel adds ~1s of readback latency per dispatch that does not exist
-    # in production, so also report a projected e2e from the two stages.
-    # Measures the production rescore path (_exact_rescore_rows: native C
-    # hybrid rescorer + vectorized recency + lexsort).
-    reqs = make_requests(7)
+    # Pipelined serving throughput (the production architecture): every
+    # batch's device scans dispatch before any finalize, so device compute
+    # + readback transport overlap the host rescore. MEASURED through the
+    # tunnel — this is the real certified-exact end-to-end number.
+    g_pipe = int(os.environ.get("OMNI_BENCH_PIPE_G", 6))
+    warm = [make_requests(50, bt)]
+    engine.search_batches_pipelined(warm, now=now)  # compile at bt
+    pipe_batches = [make_requests(100 + i, bt) for i in range(g_pipe)]
+    res0 = engine.stats["coarse_resolved_total"]
+    t0 = time.perf_counter()
+    outs = engine.search_batches_pipelined(pipe_batches, now=now)
+    pipe_elapsed = time.perf_counter() - t0
+    assert sum(len(h) for out in outs for h in out) == g_pipe * bt * 10
+    pipe_resolved = (
+        engine.stats["coarse_resolved_total"] - res0
+    ) / (g_pipe * bt)
+
+    # Host-rescore throughput in isolation (no device round trip), at the
+    # legacy unrefined width (128) and at the width the engine ACTUALLY
+    # rescored per query (refined bounds + two-phase prune), plus a thread
+    # sweep documenting the native rescorer's scaling curve.
+    reqs = make_requests(7, b)
     cand_rows = np.random.default_rng(3).integers(0, n, size=(b, 128))
     row_lists = [cand_rows[qi] for qi in range(b)]
     queries = [(q, emb) for q, emb, _ in reqs]
@@ -146,9 +179,6 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     rescore_s = (time.perf_counter() - t0) / reps
     rescore_qps = b / rescore_s
 
-    # rescore throughput at the pair count the engine ACTUALLY rescored per
-    # query under the two-phase prune (same full-rescore path at that width;
-    # the prune's own phase split costs one extra native call per batch)
     ppq = max(1, int(round(pairs_per_query)))
     cand_p = np.random.default_rng(5).integers(0, n, size=(b, ppq))
     row_lists_p = [cand_p[qi] for qi in range(b)]
@@ -157,6 +187,138 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     for _ in range(reps):
         engine._exact_rescore_rows(queries, row_lists_p, now)
     rescore_pruned_qps = b / ((time.perf_counter() - t0) / reps)
+
+    thread_sweep = {}
+    for nt in (1, 2, 4):
+        os.environ["OMNI_RESCORE_THREADS"] = str(nt)
+        engine._exact_rescore_rows(queries, row_lists_p, now)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            engine._exact_rescore_rows(queries, row_lists_p, now)
+        thread_sweep[f"host_rescore_qps_t{nt}"] = round(
+            b / ((time.perf_counter() - t0) / reps), 1
+        )
+    os.environ.pop("OMNI_RESCORE_THREADS", None)
+
+    # Refined device stage in isolation (chained megastep, one readback):
+    # the exact per-batch device work of the serving path — coarse scan +
+    # merge + refine/select at the throughput batch. Arrays are passed as
+    # ARGUMENTS (closing over device buffers bakes them into the executable
+    # as XLA constants: minutes-long remote compiles on the tunnel).
+    from omni_recall_tpu.ops import pallas_scorer
+    from omni_recall_tpu.ops import refine as refine_mod
+    from omni_recall_tpu.search.engine import _coarse_layout
+
+    serve_stage = {}
+    dev = engine.device_index.device_arrays()
+    n_pad = int(dev.emb.shape[0])
+    blk = pallas_scorer._pick_block_coarse(n_pad)
+    layout = _coarse_layout(n_pad, 128, blk) if blk else None
+    if layout is not None and dev.emb2 is not None:
+        sub_c, t_c = layout
+        g_s, steps_s = 4, 2
+        interp = jax.default_backend() != "tpu"
+
+        @jax.jit
+        def serve_mega(carry, emb8, scale, err, emb2, scale2, err2, bloom,
+                       created, valid, q_all, w_all, bias_all):
+            def body(c, inp):
+                qv, wv, biasv = inp
+                qv = qv + 1e-12 * c[:, None]
+                vals, idxs = pallas_scorer.score_topm_int8_coarse(
+                    emb8, scale, err, created, valid, qv, wv, biasv,
+                    jnp.float32(365.0), jnp.int32(0), m=128, t=t_c, sub=sub_c,
+                    interpret=interp,
+                )
+                rows, ubs, bound = refine_mod.refine_select_from_scan(
+                    emb8, scale, emb2, scale2, err2, bloom, created, valid,
+                    qv, wv, biasv, jnp.float32(365.0), vals, idxs,
+                )
+                new_c = ubs[:, 0] + rows[:, 0].astype(jnp.float32) * 1e-9 + bound
+                return new_c, None
+            carry, _ = jax.lax.scan(body, carry, (q_all, w_all, bias_all))
+            return carry
+
+        s_reqs = [make_requests(300 + gi, bt) for gi in range(g_s)]
+        q_all = np.zeros((g_s, bt, d), dtype=np.float32)
+        w_all = np.zeros((g_s, bt, bits), dtype=np.float32)
+        bias_all = np.zeros((g_s, bt), dtype=np.float32)
+        for gi, rs in enumerate(s_reqs):
+            for qi, (qtext, qemb, _) in enumerate(rs):
+                q_all[gi, qi] = qemb
+                w_all[gi, qi], bias_all[gi, qi] = hashing.query_bit_weights(
+                    oracle.query_terms(qtext), bits, dix.ngram, dix.bloom_hashes
+                )
+        args = (
+            dev.emb, dev.scale, dev.err, dev.emb2, dev.scale2, dev.err2,
+            dev.bloom, dev.created, dev.valid,
+            jnp.asarray(q_all), jnp.asarray(w_all), jnp.asarray(bias_all),
+        )
+        carry = jnp.zeros((bt,), dtype=jnp.float32)
+        carry = serve_mega(carry, *args)
+        _ = np.asarray(carry[:2])
+        t0 = time.perf_counter()
+        c = carry
+        for _ in range(steps_s):
+            c = serve_mega(c, *args)
+        _ = np.asarray(c[:2])
+        per = (time.perf_counter() - t0) / (g_s * steps_s)
+        serve_stage = {
+            "serve_device_ms_per_batch": round(per * 1000.0, 3),
+            "serve_device_qps": round(bt / per, 1),
+        }
+
+    # Snapshot save/restore (index/snapshot.py v3): the restore metric is
+    # the VERDICT r2 #2 target — derived arrays persist, restore is mmap +
+    # upload + sampled integrity, no re-hash/re-quantize.
+    restore_stage = {}
+    if os.environ.get("OMNI_BENCH_RESTORE", "1") == "1":
+        import shutil
+        import tempfile
+
+        from omni_recall_tpu.index.records import DocumentRecord
+        from omni_recall_tpu.index.snapshot import (
+            load_snapshot_full,
+            restore_engine,
+            save_snapshot,
+        )
+
+        n_res = min(n, int(os.environ.get("OMNI_BENCH_RESTORE_N", 1 << 18)))
+        st = InMemoryIngestionStore()
+        st.upsert_document(DocumentRecord(
+            id="synthetic", file_name="s.txt", chunk_count=n_res
+        ))
+        st.upsert_chunks(meta[:n_res])
+        tmp = tempfile.mkdtemp(dir=os.environ.get("OMNI_BENCH_TMP", None))
+        try:
+            t0 = time.perf_counter()
+            save_snapshot(st, tmp, device_index=engine.device_index)
+            t_save = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            store2, aux = load_snapshot_full(tmp)
+            t_load = time.perf_counter() - t0
+            eng2 = RecallEngine(store2, options=opts)
+            t0 = time.perf_counter()
+            restore_engine(store2, eng2, aux=aux)
+            t_restore = time.perf_counter() - t0
+            fast_path = eng2.device_index._preconverted is not None
+            t0 = time.perf_counter()
+            eng2.device_index.device_arrays()
+            t_upload = time.perf_counter() - t0
+            restore_stage = {
+                "restore_n_chunks": n_res,
+                "restore_fast_path": fast_path,
+                "snapshot_save_s": round(t_save, 2),
+                # index restore: slabs -> searchable device index
+                "restore_chunks_per_s": round(n_res / (t_restore + t_upload), 1),
+                # end to end: archive on disk -> store + device index ready
+                "restore_e2e_chunks_per_s": round(
+                    n_res / (t_load + t_restore + t_upload), 1
+                ),
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     # ingest rate: full append path (normalize + native bloom signatures +
     # host mirrors + arena) for a fresh batch of real chunk records
     ing = [
@@ -195,13 +357,21 @@ def bench_e2e(n: int, d: int, b: int, bits: int, batches: int = 4) -> dict:
     return {
         "rebuild_chunks_per_s": round(n_rb / rebuild_s, 1),
         "rebuild_swap_chunks": n_rb,
+        "e2e_n_chunks": n,
         "e2e_qps_tunnel": round(b * batches / elapsed, 1),
         "e2e_batch_ms_tunnel": round(elapsed / batches * 1000.0, 2),
+        "e2e_qps_tunnel_pipelined": round(g_pipe * bt / pipe_elapsed, 1),
+        "e2e_pipelined_batch": bt,
+        "e2e_pipelined_depth": g_pipe,
         "e2e_escalations_last": engine.last_escalations,
         "e2e_coarse_resolved_frac": round(coarse_resolved / (batches * b), 4),
+        "e2e_coarse_resolved_frac_pipelined": round(pipe_resolved, 4),
         "host_rescore_qps": round(rescore_qps, 1),
         "rescore_pairs_per_query": round(pairs_per_query, 1),
         "host_rescore_pruned_qps": round(rescore_pruned_qps, 1),
+        **thread_sweep,
+        **serve_stage,
+        **restore_stage,
         "ingest_chunks_per_s": round(ingest_cps, 1),
     }
 
@@ -497,8 +667,74 @@ def main() -> None:
             "kw_only_scan_qps": round(kw_qps, 1),
         }
 
+    # Sharded path on real silicon (VERDICT r2 weak #3): run the shard_map
+    # int8 kernels on a 1-device 'shards' mesh with interpret=False — every
+    # prior sharded run was interpret-mode on a virtual CPU mesh, and
+    # Mosaic-under-shard_map (layouts, collective scheduling) is exactly
+    # what breaks only on hardware. Asserts bit-parity with the unsharded
+    # kernel and records the shard_map overhead.
+    sharded_stats = {}
+    if (
+        dtype == "int8" and not interpret
+        and os.environ.get("OMNI_BENCH_SHARDED", "1") == "1"
+    ):
+        from jax.sharding import Mesh
+
+        from omni_recall_tpu.ops import pallas_scorer as _ps
+        from omni_recall_tpu.parallel.sharded import ShardedScorer
+
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("shards",))
+        ss = ShardedScorer(mesh, interpret=False)
+        q_all, kw_all = inputs_for(b)
+        q1, kw1 = q_all[0], kw_all[0]
+        bias1 = jnp.zeros((b,), dtype=jnp.float32)
+        now1, r01 = jnp.float32(365.0), jnp.int32(0)
+        ref_v, ref_i = pallas_scorer.score_topm_int8(
+            emb, r_scale, row_err, bloom, created, valid,
+            q1, kw1, bias1, now1, r01, m=128, t=8, sub=512,
+        )
+        sh_v, sh_i = ss.score_topm(
+            emb, bloom, created, valid, q1, kw1, bias1, now1, r01,
+            m=128, mode="pallas_int8", t=8, sub=512,
+            scale=r_scale, err=row_err,
+        )
+        ref_v, ref_i = np.asarray(ref_v), np.asarray(ref_i)
+        sh_v, sh_i = np.asarray(sh_v), np.asarray(sh_i)
+        assert np.array_equal(ref_i[:, :128], sh_i[:, :128]), (
+            "sharded candidate rows diverge from the unsharded kernel"
+        )
+        assert np.allclose(ref_v, sh_v, rtol=0, atol=0), (
+            "sharded bounds diverge from the unsharded kernel"
+        )
+        # warm/compile the coarse shard_map executable before timing
+        sh_v, _ = ss.score_topm(
+            emb, bloom, created, valid, q1, kw1, bias1, now1, r01,
+            m=128, mode="pallas_int8_coarse", t=1, sub=1024,
+            scale=r_scale, err=row_err,
+        )
+        _ = np.asarray(sh_v[:2, :2])
+        reps_sh = 6
+        c_dep = q1
+        t0 = time.perf_counter()
+        for _ in range(reps_sh):
+            sh_v, sh_i = ss.score_topm(
+                emb, bloom, created, valid, c_dep, kw1, bias1, now1, r01,
+                m=128, mode="pallas_int8_coarse", t=1, sub=1024,
+                scale=r_scale, err=row_err,
+            )
+            # serialize: next batch depends on the previous output
+            c_dep = q1 + 1e-12 * sh_v[:, :1]
+        _ = np.asarray(sh_v[:2, :2])
+        sharded_stats = {
+            "sharded_1dev_scan_ms": round(
+                (time.perf_counter() - t0) / reps_sh * 1000.0, 3
+            ),
+            "sharded_1dev_parity": True,
+        }
+
     details = {
         **kw_only_stats,
+        **sharded_stats,
         "n_chunks": n, "dim": d, "batch_throughput": bt, "batch_latency": b,
         "bloom_bits": bits,
         "top_m": m, "dtype": dtype, "scan_ms": round(per_scan * 1000.0, 3),
@@ -512,20 +748,35 @@ def main() -> None:
     if os.environ.get("OMNI_BENCH_E2E", "1") == "1" and not interpret:
         del emb, bloom, add_row  # free HBM before the e2e engine builds
         freed = True
-        # smaller corpus for the e2e stage: it validates the full engine
-        # path (scan + certificate + host rescore), not the scan rate
-        details.update(bench_e2e(min(n, 1 << 18), d, min(b, 128), bits, batches=3))
-        # projected production e2e: device scan + host rescore pipelined.
-        # The rescore stage runs at the pair width the two-phase prune
-        # actually rescored per query on this corpus, and queries whose
-        # coarse certificate failed pay a second (full-fused) scan plus a
-        # second rescore round.
+        # e2e at the HEADLINE corpus scale (1M default) so the coarse
+        # certificate resolution is measured where the QPS headline lives
+        e2e_n = int(os.environ.get("OMNI_BENCH_E2E_N", 1 << 20))
+        details.update(
+            bench_e2e(min(n, e2e_n), d, min(b, 448), bits, batches=3, bt=bt)
+        )
+        # projected production e2e, serial compose (conservative): the
+        # device serving stage (coarse scan + merge + refine/select,
+        # measured ON-DEVICE via the serve megastep) + host float64 rescore
+        # at the pair width the refined two-phase prune actually rescored;
+        # coarse-certificate failures pay a full fused scan + a second
+        # rescore round.
         if "host_rescore_pruned_qps" in details:
             r = details["host_rescore_pruned_qps"]
-            esc = 1.0 - details.get("e2e_coarse_resolved_frac", 1.0)
+            esc = 1.0 - details.get(
+                "e2e_coarse_resolved_frac_pipelined",
+                details.get("e2e_coarse_resolved_frac", 1.0),
+            )
+            dev_qps = details.get("serve_device_qps", qps)
             full_qps = details.get("full_fused_scan_qps", qps)
-            cost = 1.0 / qps + 1.0 / r + esc * (1.0 / full_qps + 1.0 / r)
+            cost = 1.0 / dev_qps + 1.0 / r + esc * (1.0 / full_qps + 1.0 / r)
             details["e2e_qps_projected"] = round(1.0 / cost, 1)
+            # pipelined projection: the serving executor overlaps the two
+            # stages, so throughput is bounded by the slower stage alone
+            dev_eff = 1.0 / (1.0 / dev_qps + esc / full_qps)
+            host_eff = r / (1.0 + esc)
+            details["e2e_qps_projected_pipelined"] = round(
+                min(dev_eff, host_eff), 1
+            )
             details["e2e_qps_projected_unpruned"] = round(
                 1.0 / (1.0 / qps + 1.0 / details["host_rescore_qps"]), 1
             )

@@ -52,6 +52,11 @@ class LocalDecoderChatClient:
         # one program at a time anyway, and holding the lock across the
         # whole call also prevents duplicate cold compiles of one bucket
         self._lock = threading.Lock()
+        # request queue for concurrent prompts: whoever holds the gen lock
+        # drains up to _MAX_BATCH waiting requests into ONE batched
+        # prefill+decode (greedy mode) instead of serializing generations
+        self._queue_lock = threading.Lock()
+        self._queue: list[dict] = []
         if params is not None:
             self.params, self.cfg = params, cfg or decoder.DecoderConfig()
             self.model = "local-decoder"
@@ -105,33 +110,86 @@ class LocalDecoderChatClient:
         t.start()
         return t
 
-    def complete(self, request: AiChatRequest) -> AiChatResponse:
-        import numpy as np
+    _MAX_BATCH = 8  # power-of-two serving batches: 1, 2, 4, 8
 
-        toks = self._dec.encode_text(
-            request.prompt, max_bytes=self.cfg.max_len - self.max_new_tokens - 1
-        )
-        bucket = self._bucket_for(len(toks))
-        prompt = self._dec.pad_left_batch([toks], bucket)
+    def complete(self, request: AiChatRequest) -> AiChatResponse:
         # stable across processes (built-in hash() is salted per process,
         # which would make temperature>0 sampling non-reproducible)
         from omni_recall_tpu.ops.hashing import fnv1a
 
-        key = self._jax.random.PRNGKey(
-            fnv1a(request.prompt.encode("utf-8", "surrogatepass")) % (1 << 31)
+        toks = self._dec.encode_text(
+            request.prompt, max_bytes=self.cfg.max_len - self.max_new_tokens - 1
         )
-        with self._lock:
+        entry = {
+            "toks": toks,
+            "seed": fnv1a(request.prompt.encode("utf-8", "surrogatepass")) % (1 << 31),
+            "event": threading.Event(),
+            "text": None, "err": None,
+        }
+        with self._queue_lock:
+            self._queue.append(entry)
+        # leader/follower: each thread that wins the gen lock drains the
+        # queue (its own entry included) into one batched generation;
+        # threads whose entry was already served just return. Concurrent
+        # chat prompts therefore share a single prefill + decode scan —
+        # one compiled executable per (batch, prompt-bucket) pair.
+        while not entry["event"].is_set():
+            with self._lock:
+                if entry["event"].is_set():
+                    break
+                with self._queue_lock:
+                    batch = self._queue[: self._MAX_BATCH]
+                    del self._queue[: len(batch)]
+                if batch:
+                    self._run_batch(batch)
+        if entry["err"] is not None:
+            raise entry["err"]
+        return AiChatResponse(entry["text"], self.model, self.provider_name)
+
+    def _run_batch(self, batch: list[dict]) -> None:
+        """Run one generation for up to _MAX_BATCH queued requests. Greedy
+        decoding (temperature 0, the default) batches freely; with
+        temperature > 0 each request keeps ITS OWN sampling key (the
+        reproducible-sampling contract), so sampled requests run
+        one-per-generation."""
+        import numpy as np
+
+        try:
+            if self.temperature > 0 and len(batch) > 1:
+                for e in batch:
+                    self._run_batch([e])
+                return
+            # pad the request count to a power-of-two serving batch and the
+            # prompts to the widest requested bucket
+            nb = 1
+            while nb < len(batch):
+                nb *= 2
+            bucket = max(self._bucket_for(len(e["toks"])) for e in batch)
+            tok_lists = [e["toks"] for e in batch]
+            tok_lists += [tok_lists[-1]] * (nb - len(batch))  # filler rows
+            prompt = self._dec.pad_left_batch(tok_lists, bucket)
+            key = self._jax.random.PRNGKey(batch[0]["seed"])
             out = self._dec.generate(
                 self.params, prompt, self.cfg, self.max_new_tokens, key,
                 temperature=self.temperature,
             )
-        text = self._dec.decode_tokens(np.asarray(out)[0]).strip()
-        if not text:
-            # contract: providers raise on empty output; the router treats it
-            # as a non-transient provider failure -> recall-only fallback
-            # (GeminiChatClient.cs:170-204 analogue)
-            raise RuntimeError(
-                "Local decoder produced an empty answer "
-                "(untrained or out-of-domain checkpoint)."
-            )
-        return AiChatResponse(text, self.model, self.provider_name)
+            rows = np.asarray(out)
+            for i, e in enumerate(batch):
+                text = self._dec.decode_tokens(rows[i]).strip()
+                if not text:
+                    # contract: providers raise on empty output; the router
+                    # treats it as a non-transient provider failure ->
+                    # recall-only fallback (GeminiChatClient.cs:170-204)
+                    e["err"] = RuntimeError(
+                        "Local decoder produced an empty answer "
+                        "(untrained or out-of-domain checkpoint)."
+                    )
+                else:
+                    e["text"] = text
+        except Exception as exc:  # surface per-request (router handles)
+            for e in batch:
+                if e["err"] is None and e["text"] is None:
+                    e["err"] = exc
+        finally:
+            for e in batch:
+                e["event"].set()

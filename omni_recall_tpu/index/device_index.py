@@ -305,11 +305,21 @@ class DeviceIndex:
     def _normalize(self, embedding: list[float] | None) -> np.ndarray | None:
         if embedding is None or len(embedding) != self.dim:
             return None
-        vec = np.asarray(embedding, dtype=np.float32)
+        out = self._normalize_vec(np.asarray(embedding, dtype=np.float32))
+        return out[0] if out is not None else None
+
+    def _normalize_vec(
+        self, vec: np.ndarray
+    ) -> tuple[np.ndarray, float] | None:
+        """(normalized f32, exact f64 norm_sq) for an f32 vector of the
+        index dim, or None for zero norm. Split from _normalize so callers
+        that already converted the list can reuse the array AND the norm
+        (the exact rescore needs both; list->array conversion is the
+        dominant per-query dispatch cost at serving batch sizes)."""
         norm_sq = float(np.sum((vec * vec).astype(np.float64)))
         if norm_sq <= 0.0:
             return None
-        return (vec.astype(np.float64) / np.sqrt(norm_sq)).astype(np.float32)
+        return (vec.astype(np.float64) / np.sqrt(norm_sq)).astype(np.float32), norm_sq
 
     def append(self, chunks: list[ChunkRecord]) -> None:
         if not chunks:

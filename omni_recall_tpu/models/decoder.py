@@ -265,21 +265,30 @@ def prefill(params: dict, token_ids: jax.Array, cfg: DecoderConfig):
 
 def decode_step(params: dict, cache: list[dict], token: jax.Array,
                 pos: jax.Array, cfg: DecoderConfig,
-                key_valid: jax.Array | None = None):
+                key_valid: jax.Array | None = None,
+                attend_len: int | None = None):
     """One token i32[B] at scalar position `pos` -> (logits f32[B, vocab],
     updated cache). Attention reads the static-shape cache masked to
-    positions <= pos (O(max_len) per step — fine at this scale and fully
-    scan-compatible; no dynamic shapes). `key_valid` bool[B, max_len] marks
-    cache positions that hold real tokens — left-PAD prompt positions MUST
-    be excluded or their (non-zero) cached k/v corrupt the attention."""
+    positions <= pos (scan-compatible; no dynamic shapes). `key_valid`
+    bool[B, max_len] marks cache positions that hold real tokens —
+    left-PAD prompt positions MUST be excluded or their (non-zero) cached
+    k/v corrupt the attention.
+
+    ``attend_len`` (static) bounds the cache READ window: generate() knows
+    prompt_len + n_steps at trace time, so attention only streams the
+    first attend_len cache positions instead of all max_len — decode is
+    KV-cache-stream-bound (docs/STATUS_R2.md roofline), so a generation
+    filling 1/4 of the position window reads ~1/4 the bytes. Positions
+    >= attend_len are provably never written within the call."""
     dtype = jnp.dtype(cfg.compute_dtype)
     b = token.shape[0]
     h_, hd = cfg.n_heads, cfg.head_dim
+    al = cfg.max_len if attend_len is None else min(attend_len, cfg.max_len)
     x = params["tok_embed"][token] + params["pos_embed"][pos]
     x = x.astype(dtype)  # [B, d]
-    pos_mask = (jnp.arange(cfg.max_len) <= pos)[None, :]  # [1, max_len]
+    pos_mask = (jnp.arange(al) <= pos)[None, :]  # [1, al]
     if key_valid is not None:
-        pos_mask = pos_mask & key_valid
+        pos_mask = pos_mask & key_valid[:, :al]
     for li, layer in enumerate(params["layers"]):
         layer = jax.tree.map(lambda p: p.astype(dtype), layer)
         h = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
@@ -293,12 +302,13 @@ def decode_step(params: dict, cache: list[dict], token: jax.Array,
         ck = jax.lax.dynamic_update_slice(cache[li]["k"], k, (0, pos, 0, 0))
         cv = jax.lax.dynamic_update_slice(cache[li]["v"], v, (0, pos, 0, 0))
         cache[li] = {"k": ck, "v": cv}
-        logits = jnp.einsum("bhe,bmhe->bhm", q.astype(dtype), ck,
+        # static prefix slice: only the attend window streams from HBM
+        logits = jnp.einsum("bhe,bmhe->bhm", q.astype(dtype), ck[:, :al],
                             preferred_element_type=jnp.float32)
         logits = logits / np.sqrt(hd)
         logits = jnp.where(pos_mask[:, None, :], logits, -1e30)
         weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-        out = jnp.einsum("bhm,bmhe->bhe", weights, cv,
+        out = jnp.einsum("bhm,bmhe->bhe", weights, cv[:, :al],
                          preferred_element_type=jnp.float32)
         att = jnp.einsum("bk,kd->bd", out.reshape(b, h_ * hd).astype(dtype),
                          layer["wo"], preferred_element_type=jnp.float32)
@@ -352,6 +362,12 @@ def generate(params: dict, prompt_ids: jax.Array, cfg: DecoderConfig,
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jax.random.categorical(k, logits / temperature, axis=-1).astype(jnp.int32)
 
+    # attention window: the cache can only ever hold lp + n_steps live
+    # positions in this call — a static read bound (rounded up to a lane
+    # multiple) cuts the per-step cache stream proportionally; decode is
+    # cache-stream-bound (docs/STATUS_R2.md roofline)
+    attend = min(cfg.max_len, -(-(lp + n_steps) // 128) * 128)
+
     def body(carry, step):
         cache, logits, done, kv, k = carry
         k, sub = jax.random.split(k)
@@ -359,7 +375,9 @@ def generate(params: dict, prompt_ids: jax.Array, cfg: DecoderConfig,
         tok = jnp.where(done, PAD, tok)
         done = done | (tok == EOS)
         kv = kv & ~((jnp.arange(cfg.max_len) == lp + step)[None, :] & (tok == PAD)[:, None])
-        logits, cache = decode_step(params, cache, tok, lp + step, cfg, kv)
+        logits, cache = decode_step(
+            params, cache, tok, lp + step, cfg, kv, attend_len=attend
+        )
         return (cache, logits, done, kv, k), tok
 
     done0 = jnp.zeros((b,), dtype=bool)

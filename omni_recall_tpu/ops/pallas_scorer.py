@@ -373,6 +373,12 @@ def block_topt_int8_coarse(
     c = block if block is not None and n % block == 0 else _pick_block_coarse(n)
     if c == 0:
         raise ValueError(f"row count {n} not divisible by a supported block")
+    if b >= 1024 and t > 2 and c > 1024 and n % 1024 == 0 and block is None:
+        # deep extraction at throughput batches: the per-round masked score
+        # copies live alongside the [B, C] tile — halve the block to stay
+        # inside scoped VMEM (the t=1 sweep optimum B=1536/C=2048 sits at
+        # the 16 MB limit already)
+        c = 1024
     sub = min(sub, c)
     t1 = min(t + 1, sub)
     n_sub = c // sub
@@ -510,6 +516,15 @@ def block_topt_int8(
     c = _pick_block(n, 1)
     if c == 0:
         raise ValueError(f"row count {n} not divisible by a supported block")
+    # VMEM cap: the fused kernel holds the [B, C] f32 scores tile, the
+    # decoded [C, 8W] bit planes (i32 intermediates) and the double-buffered
+    # emb/bloom blocks in scoped VMEM — at B=448/C=2048/bits=1024 that is
+    # 18.4 MB vs the 16 MB limit (measured Mosaic stack OOM). Halve the
+    # block at serving batch sizes; the matmul stays MXU-bound.
+    if b >= 1024 and c > 512:
+        c = 512
+    elif b >= 256 and c > 1024:
+        c = 1024
     sub = min(sub, c)
     t1 = min(t + 1, sub)
     n_sub = c // sub

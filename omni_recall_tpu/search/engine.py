@@ -46,13 +46,21 @@ def _coarse_layout(n_rows: int, m: int, block: int) -> tuple[int, int] | None:
     instead of losing the prepass (or its resolution) entirely: at 256k
     rows sub=1024/t=1 emits only 2m candidates and the per-slice top-1
     loses any slice holding two true top-m rows, collapsing certificate
-    resolution (measured 0.70 -> 0.0 on the bench e2e corpus)."""
+    resolution (measured 0.70 -> 0.0 on the bench e2e corpus).
+
+    t is floored at 4 (not 1): on clustered corpora the top-m rows
+    co-locate — with ~64 relevant rows over ~1k slices, per-slice top-1
+    EXPECTS ~2 collisions per query, each excluding a true top scorer
+    whose slice bound then exceeds the exact kth (measured at 1M: coarse
+    resolution collapsed to 0 and every failure cascaded into full-scan
+    fallbacks). At t=4 a loss needs 5 co-located top rows — vanishing —
+    and the extra extraction rounds cost ~2 ms per 1536-query batch."""
     import math
 
     for sub_try in (1024, 512, 256, 128, 64, 32):
         sub = min(sub_try, block)
         slices = n_rows // sub
-        t = min(PALLAS_BLOCK_T, sub - 1, max(1, math.ceil(4 * m / slices)))
+        t = min(PALLAS_BLOCK_T, sub - 1, max(4, math.ceil(4 * m / slices)))
         if m <= slices * t:
             return sub, t
     return None
@@ -160,6 +168,12 @@ class RecallEngine:
     # refine gathers [B, m, d] int8 rows x2; beyond this m the gather
     # bytes rival the scan itself and the escalation path is rare anyway
     _REFINE_MAX_M = 2048
+    # certificate-escalation ceiling for the DEVICE loop: queries still
+    # unresolved at this candidate width are near-tie pathologies — another
+    # x4 scan + a [B, m]-wide readback costs more than exact host scans for
+    # the (few) stragglers, and extraction depth t grows with m until the
+    # fused kernel's VMEM budget breaks at serving batch sizes
+    _ESCALATION_MAX_M = 2048
 
     def _refine_call(self, dev, q_dev, w_dev, bias_dev, now_dev, vals_d, idxs_d, m):
         """Dispatch the device-assisted rescore over the scan's candidate
@@ -324,8 +338,9 @@ class RecallEngine:
                 sub = min(512, c)
                 slices = n_rows_padded // sub
                 # emit ~2x the needed candidates per slice for certificate
-                # slack, capped at PALLAS_BLOCK_T extraction rounds
-                t = min(PALLAS_BLOCK_T, sub - 1, max(1, math.ceil(2 * m / slices)))
+                # slack, capped at PALLAS_BLOCK_T extraction rounds; floored
+                # at 4 for the same co-location reason as _coarse_layout
+                t = min(PALLAS_BLOCK_T, sub - 1, max(4, math.ceil(2 * m / slices)))
                 interpret = _jax.default_backend() != "tpu"
                 if m <= slices * t:
                     if scan_dtype == "int8":
@@ -622,6 +637,8 @@ class RecallEngine:
         ub_lists: list[np.ndarray] | None = None,
         ks: list[int] | None = None,
         phase1: int | None = None,
+        q_matrix: np.ndarray | None = None,
+        q_norms: np.ndarray | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Vectorized exact rescore over device-index ROW indices: returns,
         per query, (rows_sorted, scores_sorted) ordered by the full ranking
@@ -662,7 +679,8 @@ class RecallEngine:
             ]
             if any(len(rows) > p1 for rows, p1 in zip(row_lists, p1s)):
                 return self._exact_rescore_rows_pruned(
-                    queries, row_lists, now, dix, ub_lists, ks, p1s
+                    queries, row_lists, now, dix, ub_lists, ks, p1s,
+                    q_matrix=q_matrix, q_norms=q_norms,
                 )
         nq = len(queries)
         lens = [len(r) for r in row_lists]
@@ -679,13 +697,17 @@ class RecallEngine:
         term_lists = [
             oracle.query_terms(q) if q.strip() else [] for q, _ in queries
         ]
-        q_matrix = np.zeros((nq, dix.dim), dtype=np.float32)
-        q_norms = np.zeros(nq, dtype=np.float64)
-        for qi, (_, emb) in enumerate(queries):
-            if emb is not None and len(emb) == dix.dim:
-                qv = np.asarray(emb, dtype=np.float32)
-                q_matrix[qi] = qv
-                q_norms[qi] = float(np.sum((qv * qv).astype(np.float64)))
+        if q_matrix is None or q_norms is None:
+            # fallback: convert per query (serving paths pass the batch
+            # matrices precomputed at dispatch — the list->array conversion
+            # dominates this function at serving batch sizes otherwise)
+            q_matrix = np.zeros((nq, dix.dim), dtype=np.float32)
+            q_norms = np.zeros(nq, dtype=np.float64)
+            for qi, (_, emb) in enumerate(queries):
+                if emb is not None and len(emb) == dix.dim:
+                    qv = np.asarray(emb, dtype=np.float32)
+                    q_matrix[qi] = qv
+                    q_norms[qi] = float(np.sum((qv * qv).astype(np.float64)))
 
         # recency: exact integer-micros age (bit-identical to timedelta math)
         now_us = to_micros(now)
@@ -781,13 +803,17 @@ class RecallEngine:
         ub_lists: list[np.ndarray],
         ks: list[int],
         p1s: list[int],
+        q_matrix: np.ndarray | None = None,
+        q_norms: np.ndarray | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Two-phase body of _exact_rescore_rows (see its docstring for the
         soundness argument). Phase 1 rescores the top-p1 candidates by device
         upper bound; phase 2 rescores only tail candidates whose ub reaches
         the provisional kth exact score."""
         phase1 = [rows[:p1] for rows, p1 in zip(row_lists, p1s)]
-        ranked1 = self._exact_rescore_rows(queries, phase1, now, dix=dix)
+        ranked1 = self._exact_rescore_rows(
+            queries, phase1, now, dix=dix, q_matrix=q_matrix, q_norms=q_norms
+        )
 
         phase2 = []
         for qi, rows in enumerate(row_lists):
@@ -802,7 +828,9 @@ class RecallEngine:
             len(p) for p in phase2
         )
         self.stats["rescore_pairs_saved_total"] += int(saved)
-        ranked2 = self._exact_rescore_rows(queries, phase2, now, dix=dix)
+        ranked2 = self._exact_rescore_rows(
+            queries, phase2, now, dix=dix, q_matrix=q_matrix, q_norms=q_norms
+        )
 
         out: list[tuple[np.ndarray, np.ndarray]] = []
         for qi in range(len(queries)):
@@ -926,13 +954,25 @@ class RecallEngine:
 
         ks = [max(1, k) for _, _, k in requests]
         q = np.zeros((b, dix.dim), dtype=np.float32)
+        q_raw = np.zeros((b, dix.dim), dtype=np.float32)
+        q_norms = np.zeros(b, dtype=np.float64)
         weights = np.zeros((b, dix.bloom_bits), dtype=np.float32)
         biases = np.zeros(b, dtype=np.float32)
         host_only: list[int] = []
         for i, (query, query_embedding, _) in enumerate(requests):
-            qn = dix._normalize(query_embedding)
-            if qn is not None:
-                q[i] = qn
+            # one list->array conversion per request, reused by the device
+            # operands AND the exact rescore (raw values + exact norm)
+            vec = (
+                np.asarray(query_embedding, dtype=np.float32)
+                if query_embedding is not None
+                and len(query_embedding) == dix.dim
+                else None
+            )
+            norm = dix._normalize_vec(vec) if vec is not None else None
+            if norm is not None:
+                q[i] = norm[0]
+                q_raw[i] = vec
+                q_norms[i] = norm[1]
             elif query_embedding is not None and len(query_embedding) > 0:
                 # The query has an embedding the index can't represent (dim
                 # mismatch with the configured index dim, or zero norm). The
@@ -960,7 +1000,8 @@ class RecallEngine:
         m = min(max(self.options.candidate_m, max(ks)), window_rows)
 
         ctx.update(
-            ks=ks, q=q, host_only=host_only, r0=r0, window_rows=window_rows,
+            ks=ks, q=q, q_raw=q_raw, q_norms=q_norms,
+            host_only=host_only, r0=r0, window_rows=window_rows,
             upd_seq0=upd_seq0, dev=dev, q_dev=q_dev, w_dev=w_dev,
             bias_dev=bias_dev, now_dev=now_dev, r0_dev=r0_dev, m=m,
             kw_scan=None, coarse_scan=None,
@@ -1105,6 +1146,8 @@ class RecallEngine:
                     getattr(self.options, "rescore_phase1_refined", None)
                     if all_ref is not None else None
                 ),
+                q_matrix=ctx["q_raw"][pending],
+                q_norms=ctx["q_norms"][pending],
             )
             if dix.update_seq != upd_seq0:
                 # embeddings were updated in place (reindex) after the
@@ -1162,6 +1205,8 @@ class RecallEngine:
                 ub_lists=ub_lists if prune else None,
                 ks=[ks[i] for i in pending] if prune else None,
                 phase1=getattr(self.options, "rescore_phase1_refined", None),
+                q_matrix=ctx["q_raw"][pending],
+                q_norms=ctx["q_norms"][pending],
             )
             if dix.update_seq != upd_seq0:
                 oracle_fill(pending)  # reindex race: same as the full path
@@ -1254,7 +1299,7 @@ class RecallEngine:
                 unresolved = []
 
             if any(r is None for r in results):
-                if m >= window_rows:
+                if m >= window_rows or m >= self._ESCALATION_MAX_M:
                     oracle_fill([i for i, r in enumerate(results) if r is None])
                     break
                 m = min(m * 4, window_rows)

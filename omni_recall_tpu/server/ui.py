@@ -90,10 +90,12 @@ td, th { text-align: left; padding: 6px 8px; border-bottom: 1px solid var(--line
 <section id="page-eval">
   <div class="card">
     <div class="row"><button class="ghost" onclick="genCases()">Generate cases from documents</button>
+      <button class="ghost" onclick="addCase()">Add case</button>
       <button onclick="runEval()">Run all</button><span id="eval-status" class="muted"></span></div>
+    <div class="muted" style="font-size:13px">Cases persist in this browser (localStorage). Edit inline; chat runs once per expected-file group with all of the group's questions batched into one prompt.</div>
   </div>
   <div class="card"><table id="eval-table"><thead><tr>
-    <th>Status</th><th>Question</th><th>Expected</th><th>Recall</th><th>Chat</th></tr></thead><tbody></tbody></table></div>
+    <th>Status</th><th>Question</th><th>Expected file</th><th>topK</th><th>Recall</th><th>Chat</th><th></th></tr></thead><tbody></tbody></table></div>
 </section>
 
 </main>
@@ -112,6 +114,7 @@ document.querySelectorAll('nav a').forEach(a => a.onclick = () => {
   if (a.dataset.page === 'documents') loadDocs();
 });
 function esc(s) { const d = document.createElement('div'); d.textContent = s ?? ''; return d.innerHTML; }
+function escA(s) { return esc(s).replace(/"/g, '&quot;'); }  // attribute-safe
 function cites(list) {
   return (list || []).map((c, i) => `<div class="cite"><div class="meta">[${i+1}] ${esc(c.fileName)} · chunk ${c.chunkIndex} · score ${c.score.toFixed(4)}</div>${esc(c.snippet)}</div>`).join('');
 }
@@ -164,10 +167,48 @@ async function runUpload() {
     ? `ingested <b>${esc(body.fileName)}</b> — ${body.chunkCount} chunks`
     : `<span class="err">${esc(body.error || body.detail || ('HTTP ' + r.status))}</span>`;
 }
+// -- eval page: editable cases, localStorage persistence, grouped batch
+//    chat — mirroring the reference eval page (eval.page.ts:56 storageKey,
+//    :426-473 load/persist/parse, :231 group-by-expected-file,
+//    :291-344 one batched chat per group with numbered questions) --
+const EVAL_KEY = 'omni-recall-rag.eval-cases.v1';
 let evalCases = [];
+let evalResults = {};
+function loadCases() {
+  try {
+    const parsed = JSON.parse(localStorage.getItem(EVAL_KEY) || '[]');
+    if (!Array.isArray(parsed)) return [];
+    return parsed.filter(c => c && typeof c === 'object').map((c, i) => ({
+      id: typeof c.id === 'string' ? c.id : ('case-' + i + '-' + Date.now()),
+      question: typeof c.question === 'string' ? c.question : '',
+      expectedFile: typeof c.expectedFile === 'string' ? c.expectedFile : '',
+      topK: Math.min(10, Math.max(1, Math.trunc(typeof c.topK === 'number' ? c.topK : 5))),
+    }));
+  } catch (e) { return []; }
+}
+function persistCases() {
+  try { localStorage.setItem(EVAL_KEY, JSON.stringify(evalCases)); } catch (e) {}
+}
+function addCase() {
+  evalCases.push({id: 'case-' + Date.now() + '-' + Math.random().toString(36).slice(2, 7),
+                  question: '', expectedFile: '', topK: 5});
+  persistCases(); renderEval();
+}
+function removeCase(id) {
+  evalCases = evalCases.filter(c => c.id !== id);
+  delete evalResults[id];
+  persistCases(); renderEval();
+}
+function editCase(id, field, value) {
+  const c = evalCases.find(x => x.id === id);
+  if (!c) return;
+  c[field] = field === 'topK' ? Math.min(10, Math.max(1, Math.trunc(+value || 5))) : value;
+  persistCases();
+}
 async function genCases() {
   const docs = await api.get('/api/documents');
   evalCases = [];
+  evalResults = {};
   for (const d of docs.slice(0, 10)) {
     const chunks = await api.get(`/api/documents/${d.documentId}/chunks`);
     const cands = chunks.filter(c => (c.snippet || '').trim().length > 20).slice(0, 4);
@@ -178,38 +219,86 @@ async function genCases() {
     ];
     cands.forEach((c, i) => {
       const topic = c.snippet.split(/[.!?]/, 1)[0].trim().split(/\\s+/).slice(0, 8).join(' ');
-      evalCases.push({question: tmpl[i % 3](topic), expectedFile: d.fileName, topK: 5});
+      evalCases.push({id: 'case-' + d.documentId + '-' + i,
+                      question: tmpl[i % 3](topic), expectedFile: d.fileName, topK: 5});
     });
   }
-  renderEval(evalCases.map(c => ({...c, status: 'pending'})));
+  persistCases(); renderEval();
   $('#eval-status').textContent = `${evalCases.length} cases`;
 }
-function renderEval(rows) {
-  $('#eval-table tbody').innerHTML = rows.map(r =>
-    `<tr><td class="${esc(r.status)}">${esc(r.status)}</td><td>${esc(r.question)}</td>
-     <td>${esc(r.expectedFile)}</td><td>${r.recallHit === undefined ? '' : (r.recallHit ? 'hit' : 'miss')}</td>
-     <td>${r.chatHit === undefined ? '' : (r.chatHit ? 'hit' : 'miss')}</td></tr>`).join('');
+function renderEval() {
+  $('#eval-table tbody').innerHTML = evalCases.map(c => {
+    const r = evalResults[c.id] || {};
+    const status = r.status || 'pending';
+    return `<tr><td class="${esc(status)}">${esc(status)}</td>
+     <td><input type="text" value="${escA(c.question)}" onchange="editCase('${c.id}','question',this.value)"></td>
+     <td><input type="text" value="${escA(c.expectedFile)}" onchange="editCase('${c.id}','expectedFile',this.value)" style="max-width:160px"></td>
+     <td><input type="number" value="${c.topK}" min="1" max="10" onchange="editCase('${c.id}','topK',this.value)"></td>
+     <td>${r.recallHit === undefined ? '' : (r.recallHit ? 'hit' : 'miss')}</td>
+     <td title="${escA(r.detail || '')}">${r.chatHit === undefined ? '' : (r.chatHit ? 'hit' : (r.guardBlocked ? 'guard' : 'miss'))}</td>
+     <td><button class="ghost" onclick="removeCase('${c.id}')">x</button></td></tr>`;
+  }).join('');
+}
+function groupByExpectedFile(cases) {
+  const groups = new Map();
+  for (const c of cases) {
+    const key = (c.expectedFile || '').trim().toLowerCase();
+    if (!groups.has(key)) groups.set(key, []);
+    groups.get(key).push(c);
+  }
+  return [...groups.values()];
 }
 async function runEval() {
-  const rows = [];
   const norm = (s) => (s || '').trim().toLowerCase();
-  for (const c of evalCases) {
-    let recallHit = false, chatHit = false, status = 'fail';
-    try {
-      const r = await api.post('/api/recall/search', {query: c.question, topK: c.topK});
-      recallHit = r.citations.some(x => norm(x.fileName) === norm(c.expectedFile));
+  evalResults = {};
+  for (const c of evalCases) evalResults[c.id] = {status: 'pending'};
+  renderEval();
+  for (const group of groupByExpectedFile(evalCases)) {
+    // stage 1: a recall probe per case (eval.page.ts:286-301)
+    for (const c of group) {
+      evalResults[c.id] = {status: 'running'};
+      renderEval();
       try {
-        const chat = await api.post('/api/chat', {prompt: c.question, topK: c.topK});
-        chatHit = chat.provider !== 'guard' && chat.citations.some(x => norm(x.fileName) === norm(c.expectedFile));
-        status = recallHit && chatHit ? 'pass' : 'fail';
-      } catch (e) { status = recallHit ? 'partial' : 'fail'; }
-    } catch (e) { status = 'error'; }
-    rows.push({...c, status, recallHit, chatHit});
-    renderEval(rows.concat(evalCases.slice(rows.length).map(c2 => ({...c2, status: 'pending'}))));
+        const r = await api.post('/api/recall/search', {query: c.question, topK: c.topK});
+        evalResults[c.id] = {status: 'running',
+          recallHit: r.citations.some(x => norm(x.fileName) === norm(c.expectedFile))};
+      } catch (e) {
+        evalResults[c.id] = {status: 'error', recallHit: false, detail: String(e && (e.error || e.detail) || e)};
+      }
+      renderEval();
+    }
+    // stage 2: ONE batched chat for the whole group — numbered questions
+    // in a single prompt (eval.page.ts:291-344 buildBatchPrompt)
+    const valid = group.filter(c => c.question.trim() && c.expectedFile.trim());
+    let chat = {available: false, chatHit: false, guardBlocked: false, detail: 'No valid questions in this batch.'};
+    if (valid.length) {
+      const topK = valid.reduce((mx, c) => Math.max(mx, Math.min(10, Math.max(1, c.topK || 5))), 1);
+      const prompt = 'Answer each of the following questions using the indexed documents:\\n'
+        + valid.map((c, i) => `${i + 1}. ${c.question.trim()}`).join('\\n');
+      try {
+        const resp = await api.post('/api/chat', {prompt, topK});
+        const guardBlocked = resp.provider === 'guard';
+        chat = {available: true, guardBlocked,
+                chatHit: !guardBlocked && resp.citations.some(x => norm(x.fileName) === norm(valid[0].expectedFile)),
+                detail: guardBlocked ? 'Insufficient evidence guard.' : `${resp.provider} / ${resp.model}`};
+      } catch (e) { chat = {available: false, chatHit: false, guardBlocked: false, detail: 'Chat failed: ' + String(e && (e.error || e.detail) || e)}; }
+    }
+    for (const c of group) {
+      const r = evalResults[c.id] || {};
+      if (r.status === 'error') continue;
+      const status = r.recallHit && chat.chatHit ? 'pass' : (r.recallHit ? 'partial' : 'fail');
+      evalResults[c.id] = {...r, status, chatHit: chat.available ? chat.chatHit : undefined,
+                           guardBlocked: chat.guardBlocked, detail: chat.detail};
+    }
+    renderEval();
   }
+  const rows = Object.values(evalResults);
   const passed = rows.filter(r => r.status === 'pass').length;
-  $('#eval-status').textContent = `${passed}/${rows.length} pass · recall ${rows.filter(r=>r.recallHit).length}/${rows.length}`;
+  const recalls = rows.filter(r => r.recallHit).length;
+  $('#eval-status').textContent = `${passed}/${rows.length} pass · recall ${recalls}/${rows.length}`;
 }
+evalCases = loadCases();
+renderEval();
 </script>
 </body>
 </html>

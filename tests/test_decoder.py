@@ -363,3 +363,71 @@ def test_app_wires_local_provider(tmp_path):
     })
     app = OmniRecallApp(cfg)
     assert app.chat_router._primary.provider_name == "local"
+
+
+def test_concurrent_chat_requests_batch_and_match_serial(tiny_params):
+    """The request queue coalesces concurrent prompts into batched
+    generations; greedy answers must be identical to serial calls."""
+    import threading
+
+    client = LocalDecoderChatClient(params=tiny_params, cfg=TINY, max_new_tokens=8)
+    prompts = [f"prompt number {i}" for i in range(5)]
+    serial = {p: client.complete(AiChatRequest(p)).text for p in prompts}
+
+    results: dict[str, str] = {}
+    errors: list[Exception] = []
+
+    def worker(p):
+        try:
+            results[p] = client.complete(AiChatRequest(p)).text
+        except Exception as exc:  # pragma: no cover - failure reporting
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(p,)) for p in prompts]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    assert results == serial
+
+
+def test_generate_attend_window_matches_full_window(tiny_params):
+    """Position-blocked cache reads (attend_len) must not change outputs:
+    a short generation in a small prefix of the position window produces
+    the same tokens whether attention streams the whole cache or only the
+    attend window (decode_step attend_len=None vs the generate default)."""
+    import jax
+
+    prompt = decoder.pad_left_batch(
+        [decoder.encode_text("check the window")], 16
+    )
+    out_gated = decoder.generate(
+        tiny_params, jnp.asarray(prompt), TINY, 8, jax.random.PRNGKey(0)
+    )
+    # full-window reference: step decode_step manually with attend_len=None
+    logits, cache = decoder.prefill(tiny_params, jnp.asarray(prompt), TINY)
+    kv = jnp.concatenate(
+        [jnp.asarray(prompt) != decoder.PAD,
+         jnp.ones((1, TINY.max_len - 16), dtype=bool)], axis=1,
+    )
+    toks = []
+    done = False
+    for step in range(8):
+        emit = np.full((TINY.vocab_size,), -1e30, dtype=np.float32)
+        emit[decoder.EOS] = 0.0
+        emit[decoder._BYTE0 : decoder._BYTE0 + 256] = 0.0
+        tok = int(np.argmax(np.asarray(logits)[0] + emit))
+        if done:
+            tok = decoder.PAD
+        done = done or tok == decoder.EOS
+        toks.append(tok)
+        kv = kv & ~(
+            (jnp.arange(TINY.max_len) == 16 + step)[None, :]
+            & jnp.asarray([tok == decoder.PAD])[:, None]
+        )
+        logits, cache = decoder.decode_step(
+            tiny_params, cache, jnp.asarray([tok], dtype=jnp.int32),
+            16 + step, TINY, kv,
+        )
+    assert np.asarray(out_gated)[0].tolist() == toks

@@ -12,23 +12,19 @@ candidate selection, certificate) — which the exactness certificate is
 supposed to make impossible.
 """
 
-import random
-import string
 from dataclasses import asdict
-from datetime import datetime, timedelta, timezone
 
 from omni_recall_tpu.config import EngineOptions
-from omni_recall_tpu.eval.harness import EvalCase, to_topic
-from omni_recall_tpu.index.records import ChunkRecord, DocumentRecord
-from omni_recall_tpu.index.store import InMemoryIngestionStore
+from omni_recall_tpu.eval.corpus import (
+    DIM,
+    NOW,
+    build_corpus as _build_corpus,
+    generate_cases as _generate_cases,
+)
 from omni_recall_tpu.models import hash_embedder
 from omni_recall_tpu.search.engine import RecallEngine
 from omni_recall_tpu.search.service import RecallSearchService
 from omni_recall_tpu.snippets import SEARCH_SNIPPET_LEN, build_snippet  # noqa: F401
-
-DIM = 64
-T0 = datetime(2026, 8, 1, tzinfo=timezone.utc)
-NOW = datetime(2026, 8, 16, tzinfo=timezone.utc)
 
 
 class _HashProvider:
@@ -36,65 +32,6 @@ class _HashProvider:
         class R:
             vector = hash_embedder.embed_text(text, DIM)
         return R()
-
-
-def _build_corpus(n_docs=70, chunks_per_doc=6):
-    """Multi-document corpus with topic structure AND noise: each document
-    has a distinct topic phrase leading its chunks plus shared vocabulary,
-    so retrieval has real signal and real confusion."""
-    rng = random.Random(20260816)
-    shared = [
-        "".join(rng.choices(string.ascii_lowercase, k=rng.randint(3, 9)))
-        for _ in range(120)
-    ]
-    store = InMemoryIngestionStore()
-    seq = 0
-    all_chunks = []
-    for di in range(n_docs):
-        doc_id = f"doc_{di:03d}"
-        fname = f"notes-{di:03d}.md"
-        topic = f"subject{di:03d} " + " ".join(rng.choices(shared, k=2))
-        created = T0 + timedelta(hours=di)
-        store.upsert_document(
-            DocumentRecord(
-                id=doc_id, file_name=fname, created_at_utc=created,
-                chunk_count=chunks_per_doc,
-            )
-        )
-        for ci in range(chunks_per_doc):
-            body = " ".join(rng.choices(shared, k=rng.randint(10, 35)))
-            content = f"{topic}. {body}" if ci == 0 else f"{topic} {body}"
-            chunk = ChunkRecord(
-                id=f"{doc_id}:{ci:04d}", document_id=doc_id, chunk_index=ci,
-                content=content,
-                embedding=hash_embedder.embed_text(content, DIM),
-                created_at_utc=created + timedelta(minutes=ci),
-            )
-            seq += 1
-            all_chunks.append(chunk)
-        store.upsert_chunks(all_chunks[-chunks_per_doc:])
-    return store, all_chunks
-
-
-def _generate_cases(store, min_cases=200):
-    """Auto-generation mirroring eval.page.ts:483-515: 3 question templates
-    per document from the first chunk's leading sentence topic."""
-    cases = []
-    for doc in store.list_documents(10**6):
-        chunks = sorted(
-            store.get_chunks_by_document_id(doc.id), key=lambda c: c.chunk_index
-        )
-        if not chunks:
-            continue
-        topic = to_topic(chunks[0].content)
-        for template in (
-            f"What does the document say about {topic}?",
-            f"Summarize the key points about {topic}.",
-            f"Which details are recorded about {topic}?",
-        ):
-            cases.append(EvalCase(question=template, expected_file=doc.file_name, top_k=10))
-    assert len(cases) >= min_cases, f"only {len(cases)} cases generated"
-    return cases
 
 
 def test_recall_at_10_parity_campaign_oracle_vs_pallas_int8():

@@ -228,3 +228,29 @@ def test_sharded_merge_at_10m_rows(mesh):
         assert valid[got_i[qi, :m]].all()
     # boundaries must agree (both bound the same excluded set)
     assert np.allclose(got_v[:, m], want_v[:, m], rtol=0, atol=0)
+
+
+@pytest.mark.skipif(
+    os.environ.get("OMNI_TPU_TESTS") != "1",
+    reason="real-TPU parity check; set OMNI_TPU_TESTS=1 on a TPU host "
+           "(CI forces the CPU backend in-process, so this runs the check "
+           "in a subprocess against the real chip)",
+)
+def test_sharded_1dev_parity_on_real_tpu():
+    """shard_map int8 kernels on a 1-device 'shards' mesh, interpret=False,
+    bit-compared against the unsharded kernels (tools/tpu_sharded_check.py).
+    Mosaic-under-shard_map is exactly what breaks only on hardware; the
+    bench's sharded stage runs the same check at 1M rows with timing."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the TPU backend register
+    root = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(root / "tools" / "tpu_sharded_check.py")],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PARITY" in proc.stdout
