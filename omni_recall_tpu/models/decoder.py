@@ -326,9 +326,10 @@ def decode_step(params: dict, cache: list[dict], token: jax.Array,
     return x @ params["lm_head"], cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "temperature"))
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "temperature", "full_window"))
 def generate(params: dict, prompt_ids: jax.Array, cfg: DecoderConfig,
-             n_steps: int, key: jax.Array, temperature: float = 0.0):
+             n_steps: int, key: jax.Array, temperature: float = 0.0,
+             full_window: bool = False):
     """Left-padded prompts i32[B, Lp] -> generated tokens i32[B, n_steps].
 
     Greedy when temperature <= 0, else categorical sampling. Generation
@@ -365,8 +366,12 @@ def generate(params: dict, prompt_ids: jax.Array, cfg: DecoderConfig,
     # attention window: the cache can only ever hold lp + n_steps live
     # positions in this call — a static read bound (rounded up to a lane
     # multiple) cuts the per-step cache stream proportionally; decode is
-    # cache-stream-bound (docs/STATUS_R2.md roofline)
-    attend = min(cfg.max_len, -(-(lp + n_steps) // 128) * 128)
+    # cache-stream-bound (docs/STATUS_R2.md roofline). full_window=True
+    # restores the whole-cache read (tools/bench_decode.py comparison).
+    attend = (
+        cfg.max_len if full_window
+        else min(cfg.max_len, -(-(lp + n_steps) // 128) * 128)
+    )
 
     def body(carry, step):
         cache, logits, done, kv, k = carry

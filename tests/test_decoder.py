@@ -330,9 +330,11 @@ def test_coarse_layout_adapts_sub_to_corpus_size():
     and collapse certificate resolution at 256k)."""
     from omni_recall_tpu.search.engine import _coarse_layout
 
-    # 1M rows: widest slices, t=1 (swept optimum)
+    # 1M rows: widest slices; t floored at 4 — per-slice top-1 loses
+    # co-located cluster rows (~2 expected collisions/query at 1M) and
+    # collapses certificate resolution (round-3 root cause)
     sub, t = _coarse_layout(1 << 20, 128, 2048)
-    assert (sub, t) == (1024, 1)
+    assert (sub, t) == (1024, 4)
     # 256k rows: budget >= 4m restores resolution via t=2
     sub, t = _coarse_layout(1 << 18, 128, 2048)
     assert sub * 1 <= (1 << 18) and ((1 << 18) // sub) * t >= 4 * 128

@@ -34,9 +34,10 @@ def main() -> None:
     prompt_len = int(os.environ.get("OMNI_DECODE_PROMPT", 448))
     steps = int(os.environ.get("OMNI_DECODE_STEPS", 128))
 
+    max_len = int(os.environ.get("OMNI_DECODE_MAXLEN", prompt_len + steps))
     cfg = decoder.DecoderConfig(
         d_model=d, n_layers=n_layers, n_heads=n_heads, d_ff=d_ff,
-        max_len=prompt_len + steps,
+        max_len=max(max_len, prompt_len + steps),
     )
     params = decoder.init_params(jax.random.PRNGKey(0), cfg)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -83,6 +84,31 @@ def main() -> None:
     print(f"generate (prefill + {steps} steps): {dt * 1000:.1f} ms/batch = "
           f"{gen_tps:,.0f} new tokens/s "
           f"(~{decode_ms / steps:.2f} ms/decode-step @ B={b})", flush=True)
+
+    if cfg.max_len > prompt_len + steps:
+        # blocked vs full cache reads (VERDICT r2 #9): generate defaults to
+        # the attend window (round_up(prompt+steps, 128)); full_window=True
+        # streams the whole max_len cache every step
+        t0 = time.perf_counter()
+        toks = decoder.generate(params, ids, cfg, steps, key, temperature=0.0,
+                                full_window=True)
+        _ = np.asarray(toks[:1, :1])
+        print(f"full-window compile+first: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            toks = decoder.generate(params, ids, cfg, steps, key,
+                                    temperature=0.0, full_window=True)
+        _ = np.asarray(toks[:1, :1])
+        dt_full = (time.perf_counter() - t0) / reps
+        decode_full_ms = dt_full * 1000 - (b * prompt_len / prefill_tps) * 1000
+        attend = min(cfg.max_len, -(-(prompt_len + steps) // 128) * 128)
+        print(
+            f"cache reads @ max_len={cfg.max_len}: blocked(attend={attend}) "
+            f"{decode_ms / steps:.2f} ms/step vs full {decode_full_ms / steps:.2f} "
+            f"ms/step ({decode_full_ms / max(decode_ms, 1e-9):.2f}x)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
