@@ -21,7 +21,7 @@
  * mtime beats the source would otherwise be called with mismatched
  * marshalling (e.g. a weight double landing where the old ABI expected the
  * out pointer -> segfault). */
-#define OMNI_NATIVE_ABI 2
+#define OMNI_NATIVE_ABI 3
 int omni_abi_version(void) { return OMNI_NATIVE_ABI; }
 
 /* Two-way/memmem is glibc; provide a fallback for other libcs. */
@@ -330,5 +330,76 @@ int hybrid_rescore(const float *raw_emb, const double *norm_sq, long dim,
         started = w + 1;
     }
     for (long w = 0; w < started; w++) pthread_join(tids[w], NULL);
+    return 0;
+}
+
+/* Batched query bit-weight builder (mirrors ops/hashing.py
+ * query_bit_weights bit-for-bit for ASCII terms — the caller routes
+ * non-ASCII terms to the Python builder):
+ *   - term_grams: lengths {1, 2, ngram}; >16 grams sampled via numpy
+ *     linspace(0, G-1, 16).astype(int) semantics (endpoint forced),
+ *   - per-term position set = union of double-hash probes over grams,
+ *   - weight inv_t / n_positions accumulated into f32 exactly like
+ *     numpy's f32 += f64 (upcast, add, round once per add),
+ *   - a term with no probe positions adds inv_t to the bias.
+ * weights is [n_queries * bloom_bits] f32, bias [n_queries] f64 — both
+ * zeroed by the caller. */
+int query_bit_weights_batch(const char **terms, const long *term_lens,
+                            const long *query_term_off, long n_queries,
+                            long bloom_bits, long ngram, long n_hashes,
+                            float *weights, double *bias) {
+    if (bloom_bits <= 0 || n_hashes <= 0) return 1;
+    for (long q = 0; q < n_queries; q++) {
+        long t0 = query_term_off[q], t1 = query_term_off[q + 1];
+        long n_terms = t1 - t0;
+        if (n_terms <= 0) continue;
+        double inv_t = 1.0 / (double)n_terms;
+        float *wrow = weights + q * bloom_bits;
+        for (long t = t0; t < t1; t++) {
+            const unsigned char *s = (const unsigned char *)terms[t];
+            long L = term_lens[t];
+            long glen, g_count;
+            if (L <= 0) { bias[q] += inv_t; continue; }
+            if (L == 1) { glen = 1; g_count = 1; }
+            else if (L < ngram) { glen = 2; g_count = L - 1; }
+            else { glen = ngram; g_count = L - glen + 1; }
+            /* gram start offsets, linspace-sampled when > 16 */
+            long starts[16];
+            long n_sel;
+            if (g_count > 16) {
+                double step = (double)(g_count - 1) / 15.0;
+                for (long i = 0; i < 16; i++)
+                    starts[i] = (i == 15) ? (g_count - 1)
+                                          : (long)((double)i * step);
+                n_sel = 16;
+            } else {
+                n_sel = g_count;
+                for (long i = 0; i < n_sel; i++) starts[i] = i;
+            }
+            /* position set (<= 16 grams * n_hashes entries) */
+            uint64_t pos_set[16 * 8];
+            long n_pos = 0;
+            long cap = n_hashes > 8 ? 8 : n_hashes;
+            for (long g = 0; g < n_sel; g++) {
+                uint64_t h1 = fnv1a_seeded(s + starts[g], glen, 1);
+                uint64_t h2 = fnv1a_seeded(s + starts[g], glen, 2) | 1ULL;
+                for (long i = 0; i < cap; i++) {
+                    uint64_t pos = (h1 + (uint64_t)i * h2) % (uint64_t)bloom_bits;
+                    int dup = 0;
+                    for (long j = 0; j < n_pos; j++)
+                        if (pos_set[j] == pos) { dup = 1; break; }
+                    if (!dup) pos_set[n_pos++] = pos;
+                }
+            }
+            if (n_pos == 0) { bias[q] += inv_t; continue; }
+            /* numpy's arr[pos] += w casts w to f32 FIRST, then adds in
+             * f32 (verified bit-for-bit in tests/test_native.py) */
+            float w = (float)(inv_t / (double)n_pos);
+            for (long j = 0; j < n_pos; j++) {
+                long p = (long)pos_set[j];
+                wrow[p] = wrow[p] + w;
+            }
+        }
+    }
     return 0;
 }

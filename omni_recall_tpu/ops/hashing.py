@@ -132,6 +132,42 @@ def query_bit_weights(
     return weights, bias
 
 
+def query_bit_weights_batch(
+    term_lists: list[list[str]], bloom_bits: int, ngram: int, n_hashes: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched query_bit_weights: ASCII-only queries go through the native
+    C builder (byte-level grams == character-level grams for ASCII, and
+    identical f32 accumulation); others fall back per query. Results are
+    bit-identical either way (tests/test_native.py). The per-query Python
+    builder costs ~16-80 us — ~25-125 ms per 1536-query serving batch —
+    so the dispatch path calls this instead."""
+    nq = len(term_lists)
+    weights = np.zeros((nq, bloom_bits), dtype=np.float32)
+    bias = np.zeros(nq, dtype=np.float64)
+    ascii_idx = [
+        i for i, terms in enumerate(term_lists)
+        if all(t.isascii() for t in terms)
+    ]
+    python_idx = [i for i in range(nq) if i not in set(ascii_idx)]
+    if ascii_idx:
+        from omni_recall_tpu.ops import native
+
+        out = native.query_bit_weights_batch(
+            [[t.encode("ascii") for t in term_lists[i]] for i in ascii_idx],
+            bloom_bits, ngram, n_hashes,
+        )
+        if out is not None:
+            weights[ascii_idx] = out[0]
+            bias[ascii_idx] = out[1]
+        else:
+            python_idx = list(range(nq))
+    for i in python_idx:
+        weights[i], bias[i] = query_bit_weights(
+            term_lists[i], bloom_bits, ngram, n_hashes
+        )
+    return weights, bias
+
+
 def chunk_signatures_batch(
     contents_lower: list[str], bloom_bits: int, ngram: int, n_hashes: int
 ) -> np.ndarray:

@@ -49,7 +49,7 @@ def _build() -> bool:
     return False
 
 
-_ABI_VERSION = 2  # must match OMNI_NATIVE_ABI in keyword_scorer.c
+_ABI_VERSION = 3  # must match OMNI_NATIVE_ABI in keyword_scorer.c
 
 
 def _abi_version(lib) -> int:
@@ -116,6 +116,13 @@ def _load() -> ctypes.CDLL | None:
             c_f32p = ctypes.POINTER(ctypes.c_float)
             c_f64p = ctypes.POINTER(ctypes.c_double)
             c_i64p = ctypes.POINTER(ctypes.c_longlong)
+            lib.query_bit_weights_batch.restype = ctypes.c_int
+            lib.query_bit_weights_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+                ctypes.c_long, ctypes.c_long, ctypes.c_long,
+                c_f32p, c_f64p,
+            ]
             lib.pairwise_dot_f64.restype = ctypes.c_int
             lib.pairwise_dot_f64.argtypes = [c_f32p, c_f32p, ctypes.c_long, c_f64p]
             lib.hybrid_rescore.restype = ctypes.c_int
@@ -355,3 +362,43 @@ def keyword_scores_multi(
     if rc != 0:
         return None
     return list(out)
+
+
+def query_bit_weights_batch(
+    term_lists_ascii: list[list[bytes]],
+    bloom_bits: int,
+    ngram: int,
+    n_hashes: int,
+):
+    """Batched query bit-weight vectors for ASCII term lists, bit-identical
+    to ops/hashing.query_bit_weights (the caller routes queries with
+    non-ASCII terms to the Python builder). Returns
+    (weights f32[nq, bloom_bits], bias f64[nq]) or None when the native
+    lib is unavailable."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    nq = len(term_lists_ascii)
+    weights = np.zeros((nq, bloom_bits), dtype=np.float32)
+    bias = np.zeros(nq, dtype=np.float64)
+    if nq == 0:
+        return weights, bias
+    flat: list[bytes] = []
+    offs = [0]
+    for terms in term_lists_ascii:
+        flat.extend(terms)
+        offs.append(len(flat))
+    n_t = len(flat)
+    terms_arr = (ctypes.c_char_p * max(1, n_t))(*(flat or [b""]))
+    term_lens = (ctypes.c_long * max(1, n_t))(*([len(t) for t in flat] or [0]))
+    off_arr = (ctypes.c_long * (nq + 1))(*offs)
+    rc = lib.query_bit_weights_batch(
+        terms_arr, term_lens, off_arr, nq, bloom_bits, ngram, n_hashes,
+        weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bias.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        return None
+    return weights, bias

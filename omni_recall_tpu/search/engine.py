@@ -956,8 +956,6 @@ class RecallEngine:
         q = np.zeros((b, dix.dim), dtype=np.float32)
         q_raw = np.zeros((b, dix.dim), dtype=np.float32)
         q_norms = np.zeros(b, dtype=np.float64)
-        weights = np.zeros((b, dix.bloom_bits), dtype=np.float32)
-        biases = np.zeros(b, dtype=np.float32)
         host_only: list[int] = []
         for i, (query, query_embedding, _) in enumerate(requests):
             # one list->array conversion per request, reused by the device
@@ -982,10 +980,12 @@ class RecallEngine:
                 # sound upper bound and the certificate would be vacuous.
                 # Route this query to the exact host scan instead.
                 host_only.append(i)
-            terms = oracle.query_terms(query)
-            weights[i], biases[i] = hashing.query_bit_weights(
-                terms, dix.bloom_bits, dix.ngram, dix.bloom_hashes
-            )
+        weights, biases = hashing.query_bit_weights_batch(
+            [oracle.query_terms(query) for query, _, _ in requests],
+            dix.bloom_bits, dix.ngram, dix.bloom_hashes,
+        )
+        weights = weights.astype(np.float32, copy=False)
+        biases = biases.astype(np.float32)
 
         r0 = dix.window_start_row(window)
         window_rows = dix.n_valid if window <= 0 else min(window, dix.n_valid)

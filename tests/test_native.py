@@ -135,3 +135,40 @@ def test_signatures_batch_routes_non_ascii_to_python():
         np.testing.assert_array_equal(
             batch[i], hashing.chunk_signature(c, 256, 4, 1), err_msg=c
         )
+
+
+def test_native_query_bit_weights_batch_bit_identical():
+    """The native batched weight builder must match the Python builder
+    bit-for-bit (soundness: device keyword bounds derive from these)."""
+    import numpy as np
+
+    from omni_recall_tpu.ops import hashing, native
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("no native lib")
+    import random
+    import string
+
+    rng = random.Random(7)
+    term_lists = []
+    for _ in range(64):
+        n_terms = rng.randint(0, 6)
+        term_lists.append([
+            "".join(rng.choices(string.ascii_lowercase + string.digits,
+                                k=rng.randint(1, 24)))
+            for _ in range(n_terms)
+        ])
+    term_lists.append(["x"])                     # single char
+    term_lists.append(["ab"])                    # 2-gram only
+    term_lists.append(["a" * 40])                # >16 grams: sampled
+    term_lists.append(["dup", "dup"])            # duplicate terms
+    for bits, ngram, hashes in ((256, 4, 1), (1024, 4, 2), (520, 3, 3)):
+        w_batch, b_batch = hashing.query_bit_weights_batch(
+            term_lists, bits, ngram, hashes
+        )
+        for i, terms in enumerate(term_lists):
+            w_ref, b_ref = hashing.query_bit_weights(terms, bits, ngram, hashes)
+            assert np.array_equal(w_batch[i], w_ref), (i, terms, bits)
+            assert b_batch[i] == b_ref, (i, terms)
