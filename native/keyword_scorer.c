@@ -85,6 +85,7 @@ int keyword_scores(const char **contents, const long *content_lens,
  */
 
 #include <stdint.h>
+#include <pthread.h>
 
 static uint64_t fnv1a_seeded(const unsigned char *data, long len, uint64_t seed) {
     uint64_t h = 0xCBF29CE484222325ULL ^ (seed * 0x9E3779B97F4A7C15ULL);
@@ -113,12 +114,19 @@ static void set_gram(const unsigned char *gram, long glen, long bloom_bits,
 
 /* Build packed bloom signatures for n_contents lowercased ASCII contents.
  * out is n_contents * (bloom_bits/8) bytes, zeroed by the caller. */
-int chunk_signatures(const char **contents, const long *content_lens,
-                     long n_contents, long bloom_bits, long ngram,
-                     long n_hashes, unsigned char *out) {
+typedef struct {
+    const char **contents;
+    const long *content_lens;
+    long lo, hi, bloom_bits, ngram, n_hashes;
+    unsigned char *out;
+} sig_job;
+
+static void sig_range(const char **contents, const long *content_lens,
+                      long lo, long hi, long bloom_bits, long ngram,
+                      long n_hashes, unsigned char *out) {
     long w_bytes = bloom_bits / 8;
     long lens[3] = {1, 2, ngram};
-    for (long i = 0; i < n_contents; i++) {
+    for (long i = lo; i < hi; i++) {
         const unsigned char *s = (const unsigned char *)contents[i];
         long slen = content_lens[i];
         unsigned char *row = out + i * w_bytes;
@@ -139,6 +147,47 @@ int chunk_signatures(const char **contents, const long *content_lens,
             }
         }
     }
+}
+
+static void *sig_worker(void *argp) {
+    sig_job *j = (sig_job *)argp;
+    sig_range(j->contents, j->content_lens, j->lo, j->hi, j->bloom_bits,
+              j->ngram, j->n_hashes, j->out);
+    return NULL;
+}
+
+/* Threaded over contents (each row independent); thread count mirrors the
+ * rescorer's policy (>= 4: quota'd hosts under-report cores). */
+int chunk_signatures(const char **contents, const long *content_lens,
+                     long n_contents, long bloom_bits, long ngram,
+                     long n_hashes, unsigned char *out) {
+    long n_threads = 4;
+    if (n_contents < 1024) n_threads = 1;
+    if (n_threads == 1) {
+        sig_range(contents, content_lens, 0, n_contents, bloom_bits, ngram,
+                  n_hashes, out);
+        return 0;
+    }
+    sig_job jobs[16];
+    pthread_t tids[16];
+    int created[16] = {0};
+    long per = (n_contents + n_threads - 1) / n_threads;
+    for (long w = 0; w < n_threads; w++) {
+        long lo = w * per;
+        long hi = lo + per < n_contents ? lo + per : n_contents;
+        if (lo >= hi) break;
+        jobs[w] = (sig_job){contents, content_lens, lo, hi, bloom_bits,
+                            ngram, n_hashes, out};
+        if (pthread_create(&tids[w], NULL, sig_worker, &jobs[w]) != 0) {
+            /* thread spawn failed: do this range inline */
+            sig_range(contents, content_lens, lo, hi, bloom_bits, ngram,
+                      n_hashes, out);
+        } else {
+            created[w] = 1;
+        }
+    }
+    for (long w = 0; w < n_threads; w++)
+        if (created[w]) pthread_join(tids[w], NULL);
     return 0;
 }
 
@@ -197,7 +246,6 @@ int keyword_scores_multi(const char **contents, const long *content_lens,
  */
 
 #include <math.h>
-#include <pthread.h>
 
 static double pairwise_prod_f64(const float *a, const float *b, long n) {
     if (n < 8) {

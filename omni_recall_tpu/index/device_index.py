@@ -235,6 +235,11 @@ class DeviceIndex:
     def _ensure_capacity(self, needed: int) -> None:
         if needed <= self._cap:
             return
+        # geometric growth (>= 1/8 of current capacity): growing a live
+        # index COPIES every array — block-by-block growth at a 1M-row
+        # index would re-copy ~7 GB per small append batch. Amortized O(1);
+        # block alignment keeps the jitted shape set bounded either way.
+        needed = max(needed, self._cap + self._cap // 8)
         new_cap = ((needed + self.capacity_block - 1) // self.capacity_block) * self.capacity_block
         grow = new_cap - self._cap
 

@@ -38,6 +38,21 @@ from omni_recall_tpu.ops import hashing, oracle, xla_scorer
 PALLAS_BLOCK_T = 8
 
 
+def _start_host_copies(arrays) -> None:
+    """Kick off device->host transfers asynchronously (jax Array
+    copy_to_host_async): the pipelined executor dispatches every batch's
+    scans before finalizing any, so by finalize time the compact candidate
+    slices are already on the host and device_get returns without paying
+    the per-readback transport round trip."""
+    for a in arrays:
+        fn = getattr(a, "copy_to_host_async", None)
+        if fn is not None:
+            try:
+                fn()
+            except Exception:  # transfer still happens synchronously later
+                pass
+
+
 def _coarse_layout(n_rows: int, m: int, block: int) -> tuple[int, int] | None:
     """Pick the coarse-scan (sub, t): the widest sub-slice (fastest scan —
     sub=1024 swept optimal at 1M/10M rows, tools/sweep_{coarse,10m}.py)
@@ -1029,6 +1044,7 @@ class RecallEngine:
                     m, max(ks),
                 )
                 if sel is not None:
+                    _start_host_copies(sel)
                     ctx["kw_scan"] = ("compact", kw_only, *sel)
                 else:
                     k_ref = self._refine_call(
@@ -1059,6 +1075,7 @@ class RecallEngine:
                     m, max(ks),
                 )
                 if sel is not None:
+                    _start_host_copies(sel)
                     ctx["coarse_scan"] = ("compact", prepass, *sel)
                 else:
                     c_ref = self._refine_call(
@@ -1231,17 +1248,23 @@ class RecallEngine:
             return unresolved
 
         def consume_prepass(scan):
+            import jax as _jax
+
             tag, pending = scan[0], scan[1]
             if tag == "compact":
-                rows_d, ubs_d, bound_d = scan[2], scan[3], scan[4]
+                # ONE batched readback: per-array np.asarray costs a full
+                # tunnel round trip each (~40 ms measured); the dispatch
+                # phase already started the host copies asynchronously
+                rows_h, ubs_h, bound_h = _jax.device_get(
+                    (scan[2], scan[3], scan[4])
+                )
                 return pending, rescore_and_certify_compact(
-                    pending, np.asarray(rows_d), np.asarray(ubs_d),
-                    np.asarray(bound_d),
+                    pending, rows_h, ubs_h, bound_h
                 )
             vals_d, idxs_d, ref_d = scan[2], scan[3], scan[4]
+            vals_h, idxs_h, ref_h = _jax.device_get((vals_d, idxs_d, ref_d))
             return pending, rescore_and_certify(
-                pending, np.asarray(vals_d), np.asarray(idxs_d), m,
-                all_ref=np.asarray(ref_d) if ref_d is not None else None,
+                pending, vals_h, idxs_h, m, all_ref=ref_h
             )
 
         # Keyword-only prepass results (dispatched in _dispatch_device_batch)
