@@ -654,6 +654,7 @@ class RecallEngine:
         phase1: int | None = None,
         q_matrix: np.ndarray | None = None,
         q_norms: np.ndarray | None = None,
+        term_lists: list[list[str]] | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Vectorized exact rescore over device-index ROW indices: returns,
         per query, (rows_sorted, scores_sorted) ordered by the full ranking
@@ -696,6 +697,7 @@ class RecallEngine:
                 return self._exact_rescore_rows_pruned(
                     queries, row_lists, now, dix, ub_lists, ks, p1s,
                     q_matrix=q_matrix, q_norms=q_norms,
+                    term_lists=term_lists,
                 )
         nq = len(queries)
         lens = [len(r) for r in row_lists]
@@ -709,9 +711,10 @@ class RecallEngine:
 
         from omni_recall_tpu.ops import native
 
-        term_lists = [
-            oracle.query_terms(q) if q.strip() else [] for q, _ in queries
-        ]
+        if term_lists is None:
+            term_lists = [
+                oracle.query_terms(q) if q.strip() else [] for q, _ in queries
+            ]
         if q_matrix is None or q_norms is None:
             # fallback: convert per query (serving paths pass the batch
             # matrices precomputed at dispatch — the list->array conversion
@@ -795,19 +798,20 @@ class RecallEngine:
                 + oracle.KEYWORD_WEIGHT * kw
                 + oracle.RECENCY_WEIGHT * rec
             )
-        out: list[tuple[np.ndarray, np.ndarray]] = []
-        pos = 0
-        for qi in range(nq):
-            ln = lens[qi]
-            if ln == 0:
-                out.append(empty)
-                continue
-            r = rows[pos : pos + ln]
-            s = scores[pos : pos + ln]
-            order = np.lexsort((-dix.seqs[r], -dix.created_ts[r], -s))
-            out.append((r[order], s[order]))
-            pos += ln
-        return out
+        # ONE global lexsort (owner-major, then the ranking key) instead of
+        # a python loop of per-query lexsorts — the loop dominated the host
+        # stage at serving batch sizes. Within each owner segment the order
+        # is identical to the per-query sort (stable keys, same comparisons)
+        order = np.lexsort((-dix.seqs[rows], -dix.created_ts[rows], -scores, owner))
+        rows_s = rows[order]
+        scores_s = scores[order]
+        bounds = np.zeros(nq + 1, dtype=np.int64)
+        np.cumsum(lens, out=bounds[1:])
+        return [
+            (rows_s[bounds[qi] : bounds[qi + 1]], scores_s[bounds[qi] : bounds[qi + 1]])
+            if lens[qi] else empty
+            for qi in range(nq)
+        ]
 
     def _exact_rescore_rows_pruned(
         self,
@@ -820,6 +824,7 @@ class RecallEngine:
         p1s: list[int],
         q_matrix: np.ndarray | None = None,
         q_norms: np.ndarray | None = None,
+        term_lists: list[list[str]] | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Two-phase body of _exact_rescore_rows (see its docstring for the
         soundness argument). Phase 1 rescores the top-p1 candidates by device
@@ -827,7 +832,8 @@ class RecallEngine:
         the provisional kth exact score."""
         phase1 = [rows[:p1] for rows, p1 in zip(row_lists, p1s)]
         ranked1 = self._exact_rescore_rows(
-            queries, phase1, now, dix=dix, q_matrix=q_matrix, q_norms=q_norms
+            queries, phase1, now, dix=dix, q_matrix=q_matrix, q_norms=q_norms,
+            term_lists=term_lists,
         )
 
         phase2 = []
@@ -844,7 +850,8 @@ class RecallEngine:
         )
         self.stats["rescore_pairs_saved_total"] += int(saved)
         ranked2 = self._exact_rescore_rows(
-            queries, phase2, now, dix=dix, q_matrix=q_matrix, q_norms=q_norms
+            queries, phase2, now, dix=dix, q_matrix=q_matrix, q_norms=q_norms,
+            term_lists=term_lists,
         )
 
         out: list[tuple[np.ndarray, np.ndarray]] = []
@@ -968,36 +975,42 @@ class RecallEngine:
         ctx["empty"] = False
 
         ks = [max(1, k) for _, _, k in requests]
-        q = np.zeros((b, dix.dim), dtype=np.float32)
         q_raw = np.zeros((b, dix.dim), dtype=np.float32)
-        q_norms = np.zeros(b, dtype=np.float64)
         host_only: list[int] = []
+        has_vec = np.zeros(b, dtype=bool)
         for i, (query, query_embedding, _) in enumerate(requests):
-            # one list->array conversion per request, reused by the device
-            # operands AND the exact rescore (raw values + exact norm)
-            vec = (
-                np.asarray(query_embedding, dtype=np.float32)
-                if query_embedding is not None
+            if (
+                query_embedding is not None
                 and len(query_embedding) == dix.dim
-                else None
-            )
-            norm = dix._normalize_vec(vec) if vec is not None else None
-            if norm is not None:
-                q[i] = norm[0]
-                q_raw[i] = vec
-                q_norms[i] = norm[1]
+            ):
+                # one list->f32 conversion per request, reused by the device
+                # operands AND the exact rescore (raw values + exact norm)
+                q_raw[i] = query_embedding
+                has_vec[i] = True
             elif query_embedding is not None and len(query_embedding) > 0:
                 # The query has an embedding the index can't represent (dim
-                # mismatch with the configured index dim, or zero norm). The
-                # device cosine bound would be 0, but the host exact rescore
-                # computes real cosines for any chunk whose stored embedding
-                # dim equals the query dim — so the device bound is NOT a
-                # sound upper bound and the certificate would be vacuous.
-                # Route this query to the exact host scan instead.
+                # mismatch with the configured index dim). The device cosine
+                # bound would be 0, but the host exact rescore computes real
+                # cosines for any chunk whose stored embedding dim equals
+                # the query dim — so the device bound is NOT a sound upper
+                # bound and the certificate would be vacuous. Route this
+                # query to the exact host scan instead.
                 host_only.append(i)
+        # batch normalization, bit-identical to _normalize per row (f32
+        # products f64-accumulated, f64 divide, f32 round)
+        q_norms = np.sum(q_raw * q_raw, axis=1, dtype=np.float64)
+        ok = has_vec & (q_norms > 0.0)
+        q = np.zeros((b, dix.dim), dtype=np.float32)
+        if ok.any():
+            q[ok] = (
+                q_raw[ok].astype(np.float64) / np.sqrt(q_norms[ok])[:, None]
+            ).astype(np.float32)
+        # zero-norm vectors of matching dim also go host-only (the device
+        # bound would be vacuous, exactly as with a dim mismatch)
+        host_only.extend(int(i) for i in np.nonzero(has_vec & ~ok)[0])
+        terms_all = [oracle.query_terms(query) for query, _, _ in requests]
         weights, biases = hashing.query_bit_weights_batch(
-            [oracle.query_terms(query) for query, _, _ in requests],
-            dix.bloom_bits, dix.ngram, dix.bloom_hashes,
+            terms_all, dix.bloom_bits, dix.ngram, dix.bloom_hashes,
         )
         weights = weights.astype(np.float32, copy=False)
         biases = biases.astype(np.float32)
@@ -1015,7 +1028,7 @@ class RecallEngine:
         m = min(max(self.options.candidate_m, max(ks)), window_rows)
 
         ctx.update(
-            ks=ks, q=q, q_raw=q_raw, q_norms=q_norms,
+            ks=ks, q=q, q_raw=q_raw, q_norms=q_norms, terms=terms_all,
             host_only=host_only, r0=r0, window_rows=window_rows,
             upd_seq0=upd_seq0, dev=dev, q_dev=q_dev, w_dev=w_dev,
             bias_dev=bias_dev, now_dev=now_dev, r0_dev=r0_dev, m=m,
@@ -1024,6 +1037,7 @@ class RecallEngine:
         if not self.options.exact:
             return ctx
         host_set = set(host_only)
+        q_live = ok  # embedding-backed queries (nonzero normalized vector)
 
         # Keyword-only prepass (exact profile): queries WITHOUT an embedding
         # have cosine exactly 0 (RecallSearchService.cs:70-71), so a
@@ -1033,7 +1047,7 @@ class RecallEngine:
         # config. Certificate failures continue into the full fused loop.
         kw_only = [
             i for i in range(b)
-            if i not in host_set and not bool(np.any(q[i]))
+            if i not in host_set and not q_live[i]
         ]
         if kw_only:
             kw_scorer = self._select_kw_scorer(m, int(dev.emb.shape[0]))
@@ -1059,7 +1073,7 @@ class RecallEngine:
         # the full fused loop in the finalize phase.
         prepass = [
             i for i in range(b)
-            if i not in host_set and bool(np.any(q[i]))
+            if i not in host_set and q_live[i]
         ]
         if prepass and not self._coarse_gate_open():
             # closed gate: still advance the clock so the gate re-opens
@@ -1165,6 +1179,7 @@ class RecallEngine:
                 ),
                 q_matrix=ctx["q_raw"][pending],
                 q_norms=ctx["q_norms"][pending],
+                term_lists=[ctx["terms"][i] for i in pending],
             )
             if dix.update_seq != upd_seq0:
                 # embeddings were updated in place (reindex) after the
@@ -1224,6 +1239,7 @@ class RecallEngine:
                 phase1=getattr(self.options, "rescore_phase1_refined", None),
                 q_matrix=ctx["q_raw"][pending],
                 q_norms=ctx["q_norms"][pending],
+                term_lists=[ctx["terms"][i] for i in pending],
             )
             if dix.update_seq != upd_seq0:
                 oracle_fill(pending)  # reindex race: same as the full path
