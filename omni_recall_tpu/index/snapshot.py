@@ -18,10 +18,11 @@ Format v2 (columnar):
   recency/tie-break columns, in store seq order, with the producing
   parameters. Restoring them (``restore_engine``) skips bloom hashing and
   re-quantization entirely: the 10M-chunk restore drops from ~18 minutes of
-  re-derivation to array I/O + upload. A sampled integrity check re-derives
-  K random rows (signature + quantization, bit-compared) and falls back to
-  the full rebuild on any mismatch, so a stale/foreign slab can never
-  produce an unsound index.
+  re-derivation to array I/O + upload. A sampled integrity check verifies
+  K random rows (bloom signatures bit-compared against a re-derivation;
+  quantization planes checked for SOUNDNESS — f64 residual norms within
+  the stored error bounds) and falls back to the full rebuild on any
+  mismatch, so a stale/foreign slab can never produce an unsound index.
 
 The legacy v1 layouts (single-archive JSON-chunks and the two-file
 meta.json + embeddings.npz) are still loadable.
@@ -216,7 +217,18 @@ def _to_us(dt: datetime) -> int:
 def _gather_slabs(dix, chunks: list[ChunkRecord]) -> dict | None:
     """Derived arrays for the store's live chunks, in seq order, from the
     device index's host mirrors. Returns None (slabs omitted, restore falls
-    back to rebuild) when the index doesn't cover the chunk list exactly."""
+    back to rebuild) when the index doesn't cover the chunk list exactly.
+
+    The quantization planes come from (fastest available first):
+    1. the staged pre-quantized planes a snapshot restore injected
+       (``_preconverted``) — zero cost;
+    2. the LIVE device planes, read back in one transfer — array I/O
+       instead of a multi-pass host re-quantization (which dominated saves:
+       ~1 min at 256k rows on the burstable host). The readback is exactly
+       what the scan/refine kernels score against, so the saved planes are
+       sound by construction (restore re-verifies a sample, f64);
+    3. host re-quantization of the normalized mirrors (cold fallback, e.g.
+       when rows were mutated since the last device sync)."""
     from omni_recall_tpu.ops.quantize import (
         quantize_rows_int8,
         quantize_rows_int8_residual,
@@ -242,6 +254,29 @@ def _gather_slabs(dix, chunks: list[ChunkRecord]) -> dict | None:
             bytes(dix._arena[dix.content_off[r] : dix.content_off[r + 1]])
             for r in rows
         ]
+        # capture plane sources under the lock; the actual readback happens
+        # outside it (device snapshots are immutable — a concurrent sync
+        # builds NEW DeviceArrays, it never mutates these buffers)
+        pre = dix._preconverted
+        if pre is not None and (
+            pre["emb"].shape[0] < dix.n_rows
+            or bool(dix.refine) != ("emb2" in pre)
+            # a mutation since the restore (append consumed above; in-place
+            # embedding update) leaves dirty blocks — the staged planes no
+            # longer match the mirrors for those rows
+            or dix._dirty_blocks
+        ):
+            pre = None
+        dev = None
+        if pre is None:
+            dev = dix._device
+            if (
+                dev is None or dix._device_cap != dix._cap
+                or dix._dirty_blocks or dev.scale is None
+                or (dix.refine and dev.emb2 is None)
+            ):
+                dev = None
+        n_rows_snap = dix.n_rows
     lower_arena, lower_off = _byte_arena(lower)
     out = {
         "emb_norm": emb_norm, "bloom": bloom,
@@ -251,19 +286,55 @@ def _gather_slabs(dix, chunks: list[ChunkRecord]) -> dict | None:
         "raw_emb": raw_emb, "raw_norm_sq": raw_norm_sq,
         "lower_arena": lower_arena, "lower_off": lower_off,
     }
-    if dix.refine:
+    deriv = "host"
+    if pre is not None:
+        deriv = "staged"
+        out.update(
+            q1=pre["emb"][rows], s1=pre["scale"][rows], e1=pre["err"][rows]
+        )
+        if dix.refine:
+            out.update(
+                q2=pre["emb2"][rows], s2=pre["scale2"][rows],
+                e2=pre["err2"][rows],
+            )
+    elif dev is not None:
+        deriv = "device"
+        import jax
+
+        nr = n_rows_snap
+        parts = [dev.emb[:nr], dev.scale[:nr], dev.err[:nr]]
+        if dix.refine:
+            parts += [dev.emb2[:nr], dev.scale2[:nr], dev.err2[:nr]]
+        host = jax.device_get(parts)
+        out.update(q1=host[0][rows], s1=host[1][rows], e1=host[2][rows])
+        if dix.refine:
+            out.update(q2=host[3][rows], s2=host[4][rows], e2=host[5][rows])
+    elif dix.refine:
         q1, s1, e1, q2, s2, e2 = quantize_rows_int8_residual(emb_norm)
         out.update(q1=q1, s1=s1, e1=e1, q2=q2, s2=s2, e2=e2)
     else:
         q1, s1, e1 = quantize_rows_int8(emb_norm)
         out.update(q1=q1, s1=s1, e1=e1)
     out["params"] = {
+        "deriv": deriv,
         "slab_version": SLAB_VERSION,
         "dim": dix.dim, "bloom_bits": dix.bloom_bits, "ngram": dix.ngram,
         "bloom_hashes": dix.bloom_hashes, "scan_dtype": dix.scan_dtype,
         "refine": dix.refine,
     }
     return out
+
+
+def snapshot_exists(path: str | Path) -> bool:
+    """True when ``path`` holds a loadable snapshot in ANY supported layout
+    (v3 directory, crash-leftover .old directory, v1/v2 archives)."""
+    path = Path(path)
+    return (
+        (path / "snapshot.d").is_dir()
+        or any(path.glob("snapshot.d.old.*"))
+        or (path / "snapshot.npz").is_file()
+        or (path / "meta.json").is_file()
+    )
 
 
 def load_snapshot(path: str | Path) -> InMemoryIngestionStore:
@@ -431,10 +502,6 @@ def restore_engine(store: InMemoryIngestionStore, engine, aux=None) -> None:
 
 def _try_restore_slabs(store, engine, aux) -> bool:
     from omni_recall_tpu.ops import hashing
-    from omni_recall_tpu.ops.quantize import (
-        quantize_rows_int8,
-        quantize_rows_int8_residual,
-    )
 
     dix = engine.device_index
     if dix is None or dix.n_rows != 0:
@@ -533,15 +600,49 @@ def _try_restore_slabs(store, engine, aux) -> bool:
     )
     if not np.array_equal(sig, slabs["bloom"][sample]):
         return False
+    # Quantization planes: verify SOUNDNESS, not bit-equality. The saved
+    # planes may come from the host quantizer (ops/quantize.py), the
+    # on-device quantizer (index/device_index.py _device_quantize) or a
+    # device readback — numerically interchangeable but not bit-identical.
+    # The scan/refine bounds stay sound for ANY (q, s, e) planes satisfying
+    #   || emb_norm[i] - q1[i]*s1[i] ||            <= e1[i]
+    #   || emb_norm[i] - q1[i]*s1[i] - q2[i]*s2[i] || <= e2[i]
+    # (the kernels' error folding assumes only these inequalities plus
+    # ||emb_norm|| <= 1, which the raw<->emb_norm relation above pins), so
+    # the sample check evaluates the residual norms in f64 against the
+    # stored bounds — a foreign/stale plane that could exclude a true
+    # top-k row cannot pass, while a tighter-or-looser legitimate
+    # derivation restores cleanly.
+    plane_names = ("q1", "s1", "e1") + (("q2", "s2", "e2") if dix.refine else ())
+    for name in plane_names:
+        a = slabs.get(name)
+        if a is None or a.shape[0] != n:
+            return False
+        if name[0] == "q":
+            if a.dtype != np.int8 or a.shape != (n, dix.dim):
+                return False
+        elif a.dtype != np.float32 or a.ndim != 1:
+            return False
+    x = emb_norm[sample].astype(np.float64)
+    q1 = slabs["q1"][sample].astype(np.float64)
+    s1 = slabs["s1"][sample].astype(np.float64)[:, None]
+    sf = (slabs["s1"][sample], slabs["e1"][sample])
+    r1 = x - q1 * s1
+    # `<=` (not `not >`): a NaN scale/bound must FAIL the check
+    if not np.all(
+        np.sqrt(np.sum(r1 * r1, axis=1))
+        <= slabs["e1"][sample].astype(np.float64)
+    ) or not all(np.all(np.isfinite(a)) for a in sf):
+        return False
     if dix.refine:
-        q1, s1, e1, q2, s2, e2 = quantize_rows_int8_residual(emb_norm[sample])
-        if not (
-            np.array_equal(q1, slabs["q1"][sample])
-            and np.array_equal(s1, slabs["s1"][sample])
-            and np.array_equal(e1, slabs["e1"][sample])
-            and np.array_equal(q2, slabs["q2"][sample])
-            and np.array_equal(s2, slabs["s2"][sample])
-            and np.array_equal(e2, slabs["e2"][sample])
+        q2 = slabs["q2"][sample].astype(np.float64)
+        s2 = slabs["s2"][sample].astype(np.float64)[:, None]
+        r2 = r1 - q2 * s2
+        if not np.all(
+            np.sqrt(np.sum(r2 * r2, axis=1))
+            <= slabs["e2"][sample].astype(np.float64)
+        ) or not all(
+            np.all(np.isfinite(slabs[k][sample])) for k in ("s2", "e2")
         ):
             return False
         converted = {
@@ -549,13 +650,6 @@ def _try_restore_slabs(store, engine, aux) -> bool:
             "emb2": slabs["q2"], "scale2": slabs["s2"], "err2": slabs["e2"],
         }
     else:
-        q1, s1, e1 = quantize_rows_int8(emb_norm[sample])
-        if not (
-            np.array_equal(q1, slabs["q1"][sample])
-            and np.array_equal(s1, slabs["s1"][sample])
-            and np.array_equal(e1, slabs["e1"][sample])
-        ):
-            return False
         converted = {
             "emb": slabs["q1"], "scale": slabs["s1"], "err": slabs["e1"],
         }

@@ -28,11 +28,22 @@ from __future__ import annotations
 import numpy as np
 
 
-def _err_norm_f32(resid: np.ndarray) -> np.ndarray:
-    """Sound upper bound on the residual norms (see module docstring)."""
+def _err_norm_f32(
+    resid: np.ndarray, zero_rows: np.ndarray | None = None
+) -> np.ndarray:
+    """Sound upper bound on the residual norms (see module docstring).
+
+    ``zero_rows`` marks rows whose ORIGINAL input was identically zero —
+    only those get bound 0 (their exact residual is 0 in any arithmetic).
+    A nonzero row whose f32-evaluated residual happens to be exactly 0
+    (x == f32(q*s) elementwise) still carries an EXACT residual of up to
+    u*||x|| ~ 6e-8, so it keeps the 3e-7 absolute floor — dropping it
+    understates the true error and the device bound would no longer be a
+    sound upper bound for such rows."""
     nrm = np.sqrt(np.einsum("ij,ij->i", resid, resid, dtype=np.float32))
     out = nrm * np.float32(1.0 + 1e-4) + np.float32(3e-7)
-    out[nrm == 0.0] = 0.0
+    if zero_rows is not None:
+        out[zero_rows] = 0.0
     return out.astype(np.float32)
 
 
@@ -49,7 +60,7 @@ def quantize_rows_int8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarra
     safe = np.where(scale > 0, scale, 1.0).astype(np.float32)
     q = np.clip(np.rint(x / safe[:, None]), -127, 127).astype(np.int8)
     resid = x - q.astype(np.float32) * scale[:, None]
-    return q, scale, _err_norm_f32(resid)
+    return q, scale, _err_norm_f32(resid, zero_rows=scale == 0.0)
 
 
 def quantize_rows_int8_residual(
@@ -75,8 +86,11 @@ def quantize_rows_int8_residual(
     q2, s2, _ = quantize_rows_int8(resid)
     resid2 = resid - q2.astype(np.float32) * s2[:, None]
     # resid is itself f32-rounded from the true residual (<= u*|x| per
-    # element); the extra absolute term in _err_norm_f32 covers it
-    return q1, s1, err1, q2, s2, _err_norm_f32(resid2)
+    # element); the extra absolute term in _err_norm_f32 covers it.
+    # zero_rows keys off s1 (the ORIGINAL input being zero), not s2: a
+    # nonzero x whose first-plane residual quantizes exactly still has a
+    # u-level exact residual that needs the floor.
+    return q1, s1, err1, q2, s2, _err_norm_f32(resid2, zero_rows=s1 == 0.0)
 
 
 def ceil_quantize_weights_int8(w: np.ndarray) -> np.ndarray:

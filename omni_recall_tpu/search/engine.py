@@ -947,11 +947,28 @@ class RecallEngine:
         window = self.options.recent_window
         if self.options.backend == "oracle" or self.device_index is None:
             return [self.search_batch(reqs, now=now) for reqs in batches]
-        ctxs = []
-        for reqs in batches:
-            self.stats["searches_total"] += len(reqs)
-            ctxs.append(self._dispatch_device_batch(reqs, window, now))
-        return [self._finalize_device_batch(ctx) for ctx in ctxs]
+        # One finalize worker thread: batch i's host rescore (native C call
+        # + device readback — both release the GIL) overlaps batch i+1's
+        # host-side query prep AND its device dispatch. A single worker
+        # keeps finalizes in order and bounds engine concurrency at two
+        # threads — no more than two concurrent HTTP requests already
+        # exercise (the server is thread-per-request). Serial fallback when
+        # there is nothing to overlap.
+        if len(batches) <= 1:
+            ctxs = []
+            for reqs in batches:
+                self.stats["searches_total"] += len(reqs)
+                ctxs.append(self._dispatch_device_batch(reqs, window, now))
+            return [self._finalize_device_batch(ctx) for ctx in ctxs]
+        from concurrent.futures import ThreadPoolExecutor
+
+        futures = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for reqs in batches:
+                self.stats["searches_total"] += len(reqs)
+                ctx = self._dispatch_device_batch(reqs, window, now)
+                futures.append(pool.submit(self._finalize_device_batch, ctx))
+            return [f.result() for f in futures]
 
     def _dispatch_device_batch(
         self,

@@ -129,7 +129,7 @@ class OmniRecallApp(WsgiApp):
                 from omni_recall_tpu.index import snapshot as snap
 
                 p = Path(self.snapshot_dir)
-                if (p / "snapshot.npz").is_file() or (p / "meta.json").is_file():
+                if snap.snapshot_exists(p):
                     restored, aux = snap.load_snapshot_full(p)
                     with restored._lock:
                         self.store.bulk_restore(
@@ -386,7 +386,7 @@ class OmniRecallApp(WsgiApp):
         docs = self.store.list_documents(2**31 - 1)
         return Response.json(
             {
-                "path": str(Path(self.snapshot_dir) / "snapshot.npz"),
+                "path": str(Path(self.snapshot_dir) / "snapshot.d"),
                 "documents": len(docs),
                 "chunks": sum(d.chunk_count for d in docs),
             },

@@ -261,3 +261,121 @@ def test_slab_restore_rejects_tampered_or_mismatched(tmp_path):
         for hs, hx in zip(out_src, out_x):
             assert [h.chunk.id for h in hs] == [h.chunk.id for h in hx]
             assert [h.score for h in hs] == [h.score for h in hx]
+
+
+def _engine_with_store(store):
+    eng = _int8_engine()
+    eng.store = store
+    chunks = []
+    for doc in store.list_documents(1 << 30):
+        chunks.extend(store.get_chunks_by_document_id(doc.id))
+    chunks.sort(key=lambda c: c.seq)
+    eng.device_index.append(chunks)
+    return eng, chunks
+
+
+def test_save_reads_back_device_planes(tmp_path):
+    """After a device sync, save_snapshot reads the live device planes back
+    (deriv == 'device') instead of re-quantizing on the host, and the
+    restored engine reproduces bit-identical results."""
+    import json
+
+    rng = random.Random(9)
+    store, vocab = _build_store(rng)
+    src, chunks = _engine_with_store(store)
+    src.device_index.device_arrays()  # sync: planes now live on device
+
+    from omni_recall_tpu.index.snapshot import load_snapshot_full
+
+    save_snapshot(store, tmp_path / "s", device_index=src.device_index)
+    meta = json.loads(
+        (tmp_path / "s" / "snapshot.d" / "meta.json").read_text()
+    )
+    assert meta["slabs"]["deriv"] == "device"
+
+    restored_store, aux = load_snapshot_full(tmp_path / "s")
+    eng = _int8_engine()
+    eng.store = restored_store
+    restore_engine(restored_store, eng, aux=aux)
+    assert eng.device_index._preconverted is not None  # fast path taken
+
+    # save-after-restore reuses the staged planes (no device sync yet)
+    save_snapshot(restored_store, tmp_path / "s2", device_index=eng.device_index)
+    meta2 = json.loads(
+        (tmp_path / "s2" / "snapshot.d" / "meta.json").read_text()
+    )
+    assert meta2["slabs"]["deriv"] == "staged"
+
+    reqs = _queries(rng, vocab)
+    out_src = src.search_batch(reqs, now=NOW)
+    out_r = eng.search_batch(reqs, now=NOW)
+    for hs, hr in zip(out_src, out_r):
+        assert [h.chunk.id for h in hs] == [h.chunk.id for h in hr]
+        assert [h.score for h in hs] == [h.score for h in hr]
+
+    # ...but a post-restore in-place mutation invalidates the staged planes
+    # (falls back to host re-quantization, never saves stale planes)
+    live = next(c for c in chunks if c.embedding is not None)
+    eng.device_index.update_embedding(
+        live.id, [float(i) for i in range(DIM)]
+    )
+    save_snapshot(restored_store, tmp_path / "s3", device_index=eng.device_index)
+    meta3 = json.loads(
+        (tmp_path / "s3" / "snapshot.d" / "meta.json").read_text()
+    )
+    assert meta3["slabs"]["deriv"] == "host"
+
+
+def test_slab_restore_rejects_unsound_quantization(tmp_path):
+    """A quantization plane whose stored error bound understates the true
+    residual (or carries NaN) must fail the integrity sample and fall back
+    to the rebuild path."""
+    import numpy as np
+
+    from omni_recall_tpu.index.snapshot import load_snapshot_full
+
+    rng = random.Random(11)
+    store, vocab = _build_store(rng)
+    src, chunks = _engine_with_store(store)
+    save_snapshot(store, tmp_path / "s", device_index=src.device_index)
+    restored_store, aux = load_snapshot_full(tmp_path / "s")
+
+    def restore_with(key, mutate):
+        aux_bad = dict(aux)
+        aux_bad["slabs"] = dict(aux["slabs"])
+        arr = np.array(aux["slabs"][key])
+        mutate(arr)
+        aux_bad["slabs"][key] = arr
+        eng = _int8_engine()
+        eng.store = restored_store
+        restore_engine(restored_store, eng, aux=aux_bad)
+        return eng
+
+    # understated error bound: residual norm check must reject
+    def shrink(e1):
+        e1[:] = 0.0
+
+    eng = restore_with("e1", shrink)
+    assert eng.device_index._preconverted is None
+    assert eng.device_index.n_rows == len(chunks)
+
+    # NaN scale: must reject (NaN comparisons cannot sneak through)
+    def poison(s1):
+        s1[5] = np.nan
+
+    eng2 = restore_with("s1", poison)
+    assert eng2.device_index._preconverted is None
+
+    # corrupted q1 row values: residual blows past the bound
+    def corrupt(q1):
+        q1[2] = 127
+
+    eng3 = restore_with("q1", corrupt)
+    assert eng3.device_index._preconverted is None
+
+    reqs = _queries(rng, vocab)
+    out_src = src.search_batch(reqs, now=NOW)
+    out_x = eng.search_batch(reqs, now=NOW)
+    for hs, hx in zip(out_src, out_x):
+        assert [h.chunk.id for h in hs] == [h.chunk.id for h in hx]
+        assert [h.score for h in hs] == [h.score for h in hx]
