@@ -40,13 +40,20 @@ from omni_recall_tpu.models import hash_embedder
 from omni_recall_tpu.search.engine import RecallEngine
 
 # paraphrase templates for TRAINING pairs — deliberately disjoint from the
-# three eval templates in eval/corpus.py generate_cases
+# three eval templates in eval/corpus.py generate_cases. Question-shaped
+# variants teach the encoder that interrogative filler carries no content
+# (real queries are questions); none shares an eval template's surface form.
 _TRAIN_TEMPLATES = (
     "notes on {t}",
     "information regarding {t}",
     "tell me about {t}",
     "{t} overview",
     "facts concerning {t}",
+    "where do my notes mention {t}?",
+    "can you look up {t} for me?",
+    "is there anything written on {t}?",
+    "show me every record covering {t}",
+    "{t} - find the relevant entries",
 )
 
 
@@ -65,6 +72,24 @@ def finetune_encoder_on_corpus(
         max_len=48, out_dim=DIM,
     )
     rng = random.Random(seed)
+
+    def _rand_word():
+        import string as _s
+
+        return "".join(rng.choices(_s.ascii_lowercase, k=rng.randint(3, 9)))
+
+    def _augment(q: str) -> str:
+        # filler-word augmentation: real queries carry words the corpus has
+        # never seen (interrogative scaffolding, typos); their hashed token
+        # embeddings sit at random init and dilute the mean-pooled topic
+        # signal. Injecting random unseen words at TRAIN time makes that
+        # noise in-distribution, so the encoder learns to keep the topic
+        # component dominant under arbitrary filler.
+        words = q.split()
+        for _ in range(rng.randint(0, 3)):
+            words.insert(rng.randint(0, len(words)), _rand_word())
+        return " ".join(words)
+
     pairs: list[tuple[str, str]] = []
     for doc in store.list_documents(10**6):
         chunks = sorted(
@@ -75,7 +100,7 @@ def finetune_encoder_on_corpus(
         topic = to_topic(chunks[0].content)
         for c in chunks:
             tmpl = rng.choice(_TRAIN_TEMPLATES)
-            pairs.append((tmpl.format(t=topic), c.content))
+            pairs.append((_augment(tmpl.format(t=topic)), c.content))
 
     import optax
 

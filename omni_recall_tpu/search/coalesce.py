@@ -10,14 +10,22 @@ under load, throughput approaches the batched-scan ceiling (bench.py).
 
 The reference has no equivalent (single-process, per-request scoring); this
 is the "async request-coalescing server loop" called for by SURVEY.md §7.
+
+Batches PIPELINE through the engine's dispatch/finalize split
+(search/engine.py): the dispatcher thread dispatches a batch's device scans
+and immediately returns to collecting the next batch, while a single
+finalize worker completes the host rescore and resolves the futures. Under
+load, batch i's host rescore overlaps batch i+1's coalescing window and
+device scan; a small in-flight bound keeps a host-rescore backlog from
+queueing unbounded device work.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import Future
-from datetime import datetime
+from concurrent.futures import Future, ThreadPoolExecutor
+from datetime import datetime, timezone
 
 
 class CoalescingSearchExecutor:
@@ -26,6 +34,7 @@ class CoalescingSearchExecutor:
         engine,
         max_batch: int = 128,
         window_ms: float = 2.0,
+        pipeline_depth: int = 2,
     ) -> None:
         self.engine = engine
         self.max_batch = max_batch
@@ -37,6 +46,10 @@ class CoalescingSearchExecutor:
         # AFTER close()'s sentinel — its future would never resolve and the
         # caller would block forever
         self._submit_lock = threading.Lock()
+        self._finalize_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="search-finalize"
+        )
+        self._inflight = threading.Semaphore(max(1, pipeline_depth))
         self._thread = threading.Thread(target=self._run, daemon=True, name="search-coalescer")
         self._thread.start()
 
@@ -62,6 +75,8 @@ class CoalescingSearchExecutor:
             self._closed = True
             self._queue.put(None)
         self._thread.join(timeout=5)
+        # drain in-flight finalizes so every accepted future resolves
+        self._finalize_pool.shutdown(wait=True)
 
     # -- dispatcher --
 
@@ -100,20 +115,57 @@ class CoalescingSearchExecutor:
             groups.setdefault(item[1], []).append(item)
         for now, group in groups.items():
             requests = [req for req, _, _ in group]
+            eng = self.engine
+            if eng.options.backend == "oracle" or eng.device_index is None:
+                # no device stage to pipeline: run synchronously
+                try:
+                    results = eng.search_batch(requests, now=now)
+                    if len(results) != len(group):
+                        raise RuntimeError(
+                            f"search_batch returned {len(results)} results "
+                            f"for {len(group)} requests"
+                        )
+                except Exception as exc:
+                    for _, _, future in group:
+                        future.set_exception(exc)
+                    continue
+                for (_, _, future), hits in zip(group, results):
+                    future.set_result(hits)
+                continue
+            # pipelined path: dispatch here (device scans queue
+            # asynchronously), finalize on the worker. The semaphore bounds
+            # dispatched-but-unfinalized batches; acquiring it BEFORE the
+            # dispatch applies backpressure to the dispatcher, not callers.
+            self._inflight.acquire()
             try:
-                results = self.engine.search_batch(requests, now=now)
-                if len(results) != len(group):
-                    raise RuntimeError(
-                        f"search_batch returned {len(results)} results for "
-                        f"{len(group)} requests"
-                    )
+                eng.stats["searches_total"] += len(requests)
+                ctx = eng._dispatch_device_batch(
+                    requests, eng.options.recent_window,
+                    now or datetime.now(timezone.utc),
+                )
             except Exception as exc:
+                self._inflight.release()
                 for _, _, future in group:
                     future.set_exception(exc)
                 continue
-            # set_result never raises for unresolved futures, and every
-            # future is resolved exactly once above or here — an exception
-            # escaping _flush would kill the only dispatcher thread and
-            # hang every later caller
-            for (_, _, future), hits in zip(group, results):
-                future.set_result(hits)
+            self._finalize_pool.submit(self._finalize_group, ctx, group)
+
+    def _finalize_group(self, ctx, group) -> None:
+        # every future resolves exactly once; an exception must never
+        # escape (it would silently kill the finalize worker's task while
+        # callers block forever)
+        try:
+            results = self.engine._finalize_device_batch(ctx)
+            if len(results) != len(group):
+                raise RuntimeError(
+                    f"finalize returned {len(results)} results for "
+                    f"{len(group)} requests"
+                )
+        except Exception as exc:
+            for _, _, future in group:
+                future.set_exception(exc)
+            return
+        finally:
+            self._inflight.release()
+        for (_, _, future), hits in zip(group, results):
+            future.set_result(hits)

@@ -67,7 +67,37 @@ def test_concurrent_searches_return_correct_per_query_results():
 
 
 def test_executor_propagates_engine_errors():
-    engine = _engine()
+    """Failures in BOTH pipeline stages must reach the blocked caller:
+    dispatch (device-batch prep/scan dispatch) and finalize (readback +
+    rescore on the worker thread)."""
+    class Boom(Exception):
+        pass
+
+    def boom(*a, **k):
+        raise Boom("stage failed")
+
+    for stage in ("_dispatch_device_batch", "_finalize_device_batch"):
+        engine = _engine()
+        setattr(engine, stage, boom)
+        executor = CoalescingSearchExecutor(engine, window_ms=1.0)
+        try:
+            try:
+                executor.search("q", [], 3)
+                raised = False
+            except Boom:
+                raised = True
+            assert raised, stage
+        finally:
+            executor.close()
+
+
+def test_executor_propagates_errors_oracle_sync_path():
+    """The oracle backend has no device stage; search_batch errors still
+    propagate through the synchronous path."""
+    store = InMemoryIngestionStore()
+    engine = RecallEngine(
+        store, options=EngineOptions(backend="oracle", recent_window=0)
+    )
 
     class Boom(Exception):
         pass
