@@ -302,13 +302,27 @@ def _gather_slabs(dix, chunks: list[ChunkRecord]) -> dict | None:
         import jax
 
         nr = n_rows_snap
-        parts = [dev.emb[:nr], dev.scale[:nr], dev.err[:nr]]
+        if len(rows) == nr and np.array_equal(rows, np.arange(nr)):
+            parts = [dev.emb[:nr], dev.scale[:nr], dev.err[:nr]]
+            if dix.refine:
+                parts += [dev.emb2[:nr], dev.scale2[:nr], dev.err2[:nr]]
+            host = jax.device_get(parts)
+        else:
+            # snapshot covers a subset/permutation of the index rows:
+            # gather ON DEVICE so the transfer moves only the snapshot's
+            # rows, not the whole (possibly much larger) index
+            import jax.numpy as jnp
+
+            rows_d = jnp.asarray(rows)
+            parts = [dev.emb[rows_d], dev.scale[rows_d], dev.err[rows_d]]
+            if dix.refine:
+                parts += [
+                    dev.emb2[rows_d], dev.scale2[rows_d], dev.err2[rows_d]
+                ]
+            host = jax.device_get(parts)
+        out.update(q1=host[0], s1=host[1], e1=host[2])
         if dix.refine:
-            parts += [dev.emb2[:nr], dev.scale2[:nr], dev.err2[:nr]]
-        host = jax.device_get(parts)
-        out.update(q1=host[0][rows], s1=host[1][rows], e1=host[2][rows])
-        if dix.refine:
-            out.update(q2=host[3][rows], s2=host[4][rows], e2=host[5][rows])
+            out.update(q2=host[3], s2=host[4], e2=host[5])
     elif dix.refine:
         q1, s1, e1, q2, s2, e2 = quantize_rows_int8_residual(emb_norm)
         out.update(q1=q1, s1=s1, e1=e1, q2=q2, s2=s2, e2=e2)

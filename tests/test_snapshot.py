@@ -379,3 +379,41 @@ def test_slab_restore_rejects_unsound_quantization(tmp_path):
     for hs, hx in zip(out_src, out_x):
         assert [h.chunk.id for h in hs] == [h.chunk.id for h in hx]
         assert [h.score for h in hs] == [h.score for h in hx]
+
+
+def test_save_device_planes_subset_rows(tmp_path):
+    """Device-plane save with tombstoned rows (store covers a SUBSET of
+    index rows): the on-device gather must pick exactly the live rows and
+    the restore must reproduce the source engine's results."""
+    import json
+
+    rng = random.Random(13)
+    store, vocab = _build_store(rng)
+    src, chunks = _engine_with_store(store)
+    # tombstone one document, then re-sync so the device snapshot is
+    # current (the save's device path requires no pending dirty blocks)
+    store.delete_document("doc_1")
+    src.device_index.delete_document("doc_1")
+    src.device_index.device_arrays()
+
+    from omni_recall_tpu.index.snapshot import load_snapshot_full
+
+    save_snapshot(store, tmp_path / "s", device_index=src.device_index)
+    meta = json.loads(
+        (tmp_path / "s" / "snapshot.d" / "meta.json").read_text()
+    )
+    assert meta["slabs"]["deriv"] == "device"
+
+    restored_store, aux = load_snapshot_full(tmp_path / "s")
+    assert aux["slabs"]["q1"].shape[0] == 20  # 3 docs x 10 minus doc_1
+    eng = _int8_engine()
+    eng.store = restored_store
+    restore_engine(restored_store, eng, aux=aux)
+    assert eng.device_index._preconverted is not None
+
+    reqs = _queries(rng, vocab)
+    out_src = src.search_batch(reqs, now=NOW)
+    out_r = eng.search_batch(reqs, now=NOW)
+    for hs, hr in zip(out_src, out_r):
+        assert [h.chunk.id for h in hs] == [h.chunk.id for h in hr]
+        assert [h.score for h in hs] == [h.score for h in hr]
