@@ -20,14 +20,47 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import contextlib
+import ctypes
 import functools
 import json
 import os
+import sys
 import time
+
+# Opt this process out of transparent hugepages BEFORE the first large
+# allocation: numpy madvises MADV_HUGEPAGE on big arrays, and on a
+# fragmented host every 2 MB fault pays a compaction stall — measured
+# 8 MB/s first-touch write throughput with THP (~46 s per fresh 400 MB
+# array) vs 7x that without. The bench touches ~10 GB of fresh pages.
+with contextlib.suppress(Exception):
+    ctypes.CDLL(None).prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent XLA compilation cache: the bench compiles ~a dozen large
+# Mosaic executables; through the dev tunnel's remote-compile service a
+# cold compile costs 30-120 s EACH. The cache persists across bench runs
+# on the same machine (including the driver's end-of-round run).
+with contextlib.suppress(Exception):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("OMNI_JAX_CACHE", "/tmp/omni_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+_T0 = time.perf_counter()
+
+
+def _mark(stage: str) -> None:
+    """Stage timestamps on stderr (OMNI_BENCH_TRACE=1): the bench prints
+    ONE stdout JSON line at the end, so a run killed by a timeout is
+    otherwise a black box."""
+    if os.environ.get("OMNI_BENCH_TRACE", "0") == "1":
+        print(f"[bench +{time.perf_counter() - _T0:8.1f}s] {stage}",
+              file=sys.stderr, flush=True)
 
 
 def bench_e2e(
@@ -56,6 +89,7 @@ def bench_e2e(
 
     from omni_recall_tpu.ops import hashing, oracle
 
+    _mark("e2e: corpus gen")
     rng = np.random.default_rng(0)
     # cluster-structured corpus (real corpora have topic structure;
     # isotropic noise would make every score a near-tie and — correctly —
@@ -72,11 +106,30 @@ def bench_e2e(
     centers = rng.standard_normal((n_clusters, d), dtype=np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assign = rng.integers(0, n_clusters, size=n)
-    noise = rng.standard_normal((n, d), dtype=np.float32)
-    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
-    spread = rng.uniform(0.2, 0.8, size=(n, 1)).astype(np.float32)
-    emb = centers[assign] + spread * noise
-    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    # slab-wise with a reused scratch buffer: the whole-matrix formulation
+    # touches ~12 GB of FRESH pages (noise + gather + product temporaries),
+    # and this host's first-touch fault path runs at ~60 MB/s — the scratch
+    # loop faults only emb (n*d*4) once plus one slab
+    emb = np.empty((n, d), dtype=np.float32)
+    slab_rows = 1 << 17
+    scratch = np.empty((slab_rows, d), dtype=np.float32)
+    nrm = np.empty((slab_rows, 1), dtype=np.float32)
+    for s0 in range(0, n, slab_rows):
+        s1 = min(s0 + slab_rows, n)
+        k = s1 - s0
+        noise = scratch[:k]
+        rng.standard_normal(out=noise, dtype=np.float32)
+        np.sqrt(np.einsum("ij,ij->i", noise, noise)[:, None], out=nrm[:k])
+        noise /= nrm[:k]
+        spread = rng.uniform(0.2, 0.8, size=(k, 1)).astype(np.float32)
+        noise *= spread
+        e = emb[s0:s1]
+        # mode='clip' (indices valid by construction): the default 'raise'
+        # forces the checked per-element path — measured 80x slower with out=
+        np.take(centers, assign[s0:s1], axis=0, out=e, mode="clip")
+        e += noise
+        np.sqrt(np.einsum("ij,ij->i", e, e)[:, None], out=nrm[:k])
+        e /= nrm[:k]
 
     contents = [f"topic c{cid}x synthetic chunk" for cid in range(n_clusters)]
     created_days = np.linspace(0.0, 365.0, n).astype(np.float32)
@@ -110,6 +163,7 @@ def bench_e2e(
         for content in contents
     ])
     bloom = cluster_sigs[assign]
+    _mark("e2e: bulk_load + upload")
     engine.device_index.bulk_load(emb, bloom, created_days, meta)
     engine.device_index.device_arrays()  # quantize + upload once
 
@@ -128,6 +182,7 @@ def bench_e2e(
             reqs.append((f"c{cluster}x", q, 10))
         return reqs
 
+    _mark("e2e: warmup search_batch (compiles)")
     now = EPOCH + timedelta(days=365.0)
     engine.search_batch(make_requests(99, b), now=now)  # warmup/compile
     pairs0 = engine.stats["rescore_pairs_total"]
@@ -150,6 +205,7 @@ def bench_e2e(
     # batch's device scans dispatch before any finalize, so device compute
     # + readback transport overlap the host rescore. MEASURED through the
     # tunnel — this is the real certified-exact end-to-end number.
+    _mark("e2e: sequential batches done")
     g_pipe = int(os.environ.get("OMNI_BENCH_PIPE_G", 6))
     warm = [make_requests(50, bt)]
     engine.search_batches_pipelined(warm, now=now)  # compile at bt
@@ -167,6 +223,7 @@ def bench_e2e(
     # legacy unrefined width (128) and at the width the engine ACTUALLY
     # rescored per query (refined bounds + two-phase prune), plus a thread
     # sweep documenting the native rescorer's scaling curve.
+    _mark("e2e: pipelined done; host rescore stages")
     reqs = make_requests(7, b)
     cand_rows = np.random.default_rng(3).integers(0, n, size=(b, 128))
     row_lists = [cand_rows[qi] for qi in range(b)]
@@ -209,6 +266,7 @@ def bench_e2e(
     from omni_recall_tpu.ops import refine as refine_mod
     from omni_recall_tpu.search.engine import _coarse_layout
 
+    _mark("e2e: serve megastep")
     serve_stage = {}
     dev = engine.device_index.device_arrays()
     n_pad = int(dev.emb.shape[0])
@@ -271,6 +329,7 @@ def bench_e2e(
     # Snapshot save/restore (index/snapshot.py v3): the restore metric is
     # the VERDICT r2 #2 target — derived arrays persist, restore is mmap +
     # upload + sampled integrity, no re-hash/re-quantize.
+    _mark("e2e: restore stage")
     restore_stage = {}
     if os.environ.get("OMNI_BENCH_RESTORE", "1") == "1":
         import shutil
@@ -343,6 +402,7 @@ def bench_e2e(
             for i in range(count)
         ]
 
+    _mark("e2e: ingest stage")
     engine.device_index.append(mk_ing("grow", 1024))
     ing = mk_ing("ing", 20_000)
     t0 = time.perf_counter()
@@ -355,6 +415,7 @@ def bench_e2e(
     # it replaces the device index with just the store's chunks.
     from omni_recall_tpu.index.records import DocumentRecord
 
+    _mark("e2e: rebuild stage")
     n_rb = min(n, 1 << 16)
     engine.store.upsert_document(DocumentRecord(id="rb", file_name="rb.txt"))
     engine.store.upsert_chunks([
@@ -648,6 +709,7 @@ def main() -> None:
 
     r_scale = row_scale if row_scale is not None else jnp.zeros((n,), jnp.float32)
 
+    _mark("main: full fused scan")
     full_scan_s, full_qps = time_megastep(make_megastep(scan_one, with_bloom=True), b)
     if dtype == "int8":
         # The engine serves embedding-backed queries with the coarse scan
@@ -666,6 +728,7 @@ def main() -> None:
     # keyword-only scan (the serving path for embedding-less queries — the
     # whole workload under the default Embeddings:Provider=None): bloom +
     # recency only, no emb read (emb/r_scale args are DCE'd by XLA)
+    _mark("main: kw-only scan")
     kw_only_stats = {}
     if dtype == "int8":
         def kw_one(q, kw_w, emb_unused, bloom, add_row, r_scale_unused, interp):
@@ -689,6 +752,7 @@ def main() -> None:
     # Mosaic-under-shard_map (layouts, collective scheduling) is exactly
     # what breaks only on hardware. Asserts bit-parity with the unsharded
     # kernel and records the shard_map overhead.
+    _mark("main: sharded 1dev")
     sharded_stats = {}
     if (
         dtype == "int8" and not interpret
@@ -748,6 +812,7 @@ def main() -> None:
             "sharded_1dev_parity": True,
         }
 
+    _mark("main: scans done")
     details = {
         **kw_only_stats,
         **sharded_stats,
@@ -803,6 +868,7 @@ def main() -> None:
         import gc
 
         gc.collect()  # drop the 1M buffers before allocating the 10M index
+        _mark("main: 10m stage")
         details["config_10m"] = bench_10m()
 
     result = {

@@ -83,6 +83,37 @@ def _set_slab(dev: jax.Array, slab: jax.Array, start: jax.Array) -> jax.Array:
     return jax.lax.dynamic_update_slice_in_dim(dev, slab, start, axis=0)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _set_slab_donated(dev: jax.Array, slab: jax.Array, start: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice_in_dim(dev, slab, start, axis=0)
+
+
+# full uploads above this size go through _upload_slabbed
+_SLAB_UPLOAD_BYTES = 256 << 20
+
+
+def _upload_slabbed(host: np.ndarray) -> jax.Array:
+    """Upload a large host array in ~64 MB slabs assembled on device.
+
+    ``jnp.asarray`` on a multi-GB array allocates a same-sized fresh host
+    staging buffer; on hosts with a degraded first-touch page path
+    (measured as low as ~10 MB/s) that staging allocation alone can take
+    minutes. Slab-wise transfers reuse malloc'd same-size staging buffers
+    (only the first slab faults fresh pages) and assemble into one device
+    buffer via donated dynamic_update_slice — same result, page-fault cost
+    O(slab) instead of O(total)."""
+    rows = host.shape[0]
+    row_bytes = max(1, int(np.prod(host.shape[1:], dtype=np.int64)) * host.itemsize)
+    slab = max(1024, (64 << 20) // row_bytes)
+    if rows <= slab:
+        return jnp.asarray(host)
+    dev = jnp.zeros(host.shape, dtype=host.dtype)
+    for i in range(0, rows, slab):
+        piece = jnp.asarray(np.ascontiguousarray(host[i : i + slab]))
+        dev = _set_slab_donated(dev, piece, jnp.int32(i))
+    return dev
+
+
 @partial(jax.jit, static_argnames=("refine",), donate_argnums=(0,))
 def _device_quantize(x: jax.Array, refine: bool) -> dict[str, jax.Array]:
     """int8 (+residual) quantization ON DEVICE for large full uploads: the
@@ -208,6 +239,9 @@ class DeviceIndex:
         # one-shot pre-quantized device planes injected by load_slabs
         # (snapshot fast restore); consumed by the next full upload
         self._preconverted: dict[str, np.ndarray] | None = None
+        # emb and raw_emb may share storage after an exact-fit bulk_load
+        # (rows pre-normalized, raw == emb); see _unalias_raw
+        self._raw_aliased = False
         # dirty tracking is per capacity-block: a single [lo, hi) interval
         # would collapse one low-row update + one tail append into a sync of
         # every block in between (GBs of H2D for a handful of changed rows)
@@ -267,6 +301,7 @@ class DeviceIndex:
             self.created = pad(self.created)
             self.valid = pad(self.valid)
             self.raw_emb = pad(self.raw_emb)
+            self._raw_aliased = False  # the two pads are independent copies
             self.raw_norm_sq = pad(self.raw_norm_sq)
             self.created_us = np.concatenate(
                 [self.created_us, np.full(grow, to_micros(None), dtype=np.int64)]
@@ -467,13 +502,29 @@ class DeviceIndex:
                 "this index's (bloom_bits, ngram, bloom_hashes)"
             )
         self._ensure_capacity(n)
-        self.emb[:n] = emb_normalized
+        # exact-rescore mirrors: bulk_load rows ARE the records' embeddings
+        # (callers pass the same arrays they put in meta), so raw == emb
+        # here. When the caller's array exactly fills capacity, ADOPT it for
+        # both (aliased) instead of copying twice — at 10M x 768 that skips
+        # ~60 GB of fresh-page writes. The alias is safe: deletes write the
+        # same value (0) to both views, capacity growth np.pads each into
+        # its own fresh copy, and the one in-place writer that would
+        # diverge them (update_embedding) un-aliases first via _unalias_raw.
+        if (
+            self._cap == n
+            and isinstance(emb_normalized, np.ndarray)
+            and emb_normalized.dtype == np.float32
+            and emb_normalized.flags.c_contiguous
+        ):
+            self.emb = emb_normalized
+            self.raw_emb = emb_normalized
+            self._raw_aliased = True
+        else:
+            self.emb[:n] = emb_normalized
+            self.raw_emb[:n] = emb_normalized
         self.bloom[:n] = bloom
         self.created[:n] = created_days
         self.valid[:n] = True
-        # exact-rescore mirrors: bulk_load rows ARE the records' embeddings
-        # (callers pass the same arrays they put in meta), so raw == emb here
-        self.raw_emb[:n] = emb_normalized
         self.raw_norm_sq[:n] = np.sum(
             emb_normalized * emb_normalized, axis=1, dtype=np.float64
         )
@@ -578,10 +629,18 @@ class DeviceIndex:
         with self._lock:
             return self._update_embedding_locked(chunk_id, embedding)
 
+    def _unalias_raw(self) -> None:
+        """Break the emb/raw_emb storage alias from an exact-fit bulk_load
+        before an in-place write that would diverge them (one-time copy)."""
+        if self._raw_aliased:
+            self.raw_emb = self.raw_emb.copy()
+            self._raw_aliased = False
+
     def _update_embedding_locked(self, chunk_id: str, embedding) -> bool:
         row = self._row_by_chunk_id.get(chunk_id)
         if row is None or not self.valid[row]:
             return False
+        self._unalias_raw()
         # bump BEFORE writing: a search that reads any updated value is
         # guaranteed to observe the new seq when it checks afterwards
         # (engine.rescore_and_certify); searches whose rescore ran entirely
@@ -661,6 +720,11 @@ class DeviceIndex:
 
     def _put(self, host: np.ndarray) -> jax.Array:
         if self.mesh is None:
+            if (
+                isinstance(host, np.ndarray)
+                and host.nbytes > _SLAB_UPLOAD_BYTES
+            ):
+                return _upload_slabbed(host)
             return jnp.asarray(host)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -713,7 +777,9 @@ class DeviceIndex:
                 and self.mesh is None
                 and self._cap >= self._DEVICE_QUANTIZE_MIN_ROWS
             ):
-                converted = _device_quantize(jnp.asarray(self.emb), self.refine)
+                converted = _device_quantize(
+                    _upload_slabbed(self.emb), self.refine
+                )
             else:
                 converted = self._convert_emb(self.emb)
             self._preconverted = None

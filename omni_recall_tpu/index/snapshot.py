@@ -286,6 +286,32 @@ def _gather_slabs(dix, chunks: list[ChunkRecord]) -> dict | None:
         "raw_emb": raw_emb, "raw_norm_sq": raw_norm_sq,
         "lower_arena": lower_arena, "lower_off": lower_off,
     }
+    if pre is None and dev is not None:
+        # Probe the device->host transfer before committing to the
+        # readback: on co-located hardware PCIe gives GB/s and the readback
+        # beats host re-quantization by an order of magnitude, but through
+        # a dev tunnel D2H has been measured as low as ~3 MB/s — slower
+        # than re-quantizing on even a throttled host. The probe costs one
+        # ~0.4 MB transfer. OMNI_SNAPSHOT_PLANES=device|host|auto overrides.
+        import time as _time
+
+        import jax
+
+        mode = os.environ.get("OMNI_SNAPSHOT_PLANES", "auto")
+        plane_bytes_all = len(rows) * dix.dim * (2 if dix.refine else 1)
+        if mode == "host":
+            dev = None
+        elif mode == "auto" and plane_bytes_all >= (8 << 20):
+            probe_rows = min(512, n_rows_snap)
+            t0 = _time.perf_counter()
+            jax.device_get(dev.emb[:probe_rows])
+            dt = max(_time.perf_counter() - t0, 1e-9)
+            bw = probe_rows * dix.dim / dt  # bytes/s (int8 plane)
+            # host fallback re-quantizes len(rows) f32 rows in ~5 passes at
+            # O(100 MB/s); prefer the readback only when its estimate wins
+            host_est = len(rows) * dix.dim * 4 * 5 / 100e6
+            if plane_bytes_all / bw > host_est:
+                dev = None
     deriv = "host"
     if pre is not None:
         deriv = "staged"

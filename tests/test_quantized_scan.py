@@ -133,3 +133,52 @@ def test_quantized_updates_and_deletes_stay_in_sync():
     q_emb = hash_embedder.embed_text(query, DIM)
     assert [h.chunk.id for h in engine.search(query, q_emb, 8, now=NOW)] == \
         [h.chunk.id for h in oracle_engine.search(query, q_emb, 8, now=NOW)]
+
+
+def test_bulk_load_exact_fit_alias_unaliases_on_update():
+    """An exact-fit bulk_load adopts the caller's array for BOTH emb and
+    raw_emb (zero-copy). In-place embedding updates must un-alias first:
+    emb keeps the normalized value, raw_emb the raw one."""
+    import numpy as np
+
+    from datetime import datetime, timezone
+
+    from omni_recall_tpu.index.device_index import DeviceIndex
+    from omni_recall_tpu.index.records import ChunkRecord
+
+    d, n = 16, 256  # capacity_block floor is 128 -> cap 256 == n exact fit
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    bloom = np.zeros((n, 16), dtype=np.uint8)
+    created = np.linspace(0.0, 10.0, n).astype(np.float32)
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    meta = [
+        ChunkRecord(id=f"c:{i}", document_id="doc", chunk_index=i,
+                    content="x", embedding=emb[i], created_at_utc=t0, seq=i)
+        for i in range(n)
+    ]
+    dix = DeviceIndex(d, capacity_block=128, bloom_bits=128, scan_dtype="int8")
+    dix.bulk_load(emb, bloom, created, meta)
+    assert dix._raw_aliased and dix.emb is dix.raw_emb
+
+    raw_new = (np.arange(d) + 1.0).astype(np.float32)
+    assert dix.update_embedding("c:7", raw_new.tolist())
+    assert not dix._raw_aliased and dix.emb is not dix.raw_emb
+    # emb row normalized, raw row keeps raw values
+    assert np.allclose(np.linalg.norm(dix.emb[7]), 1.0, atol=1e-6)
+    assert np.array_equal(dix.raw_emb[7], raw_new)
+    # untouched rows unchanged in both views
+    assert np.array_equal(dix.emb[8], emb[8])
+    assert np.array_equal(dix.raw_emb[8], emb[8])
+
+    # deletes are alias-safe (same value both views) on a fresh index
+    dix2 = DeviceIndex(d, capacity_block=128, bloom_bits=128, scan_dtype="int8")
+    dix2.bulk_load(emb.copy(), bloom, created, [
+        ChunkRecord(id=f"e:{i}", document_id="doc2", chunk_index=i,
+                    content="x", embedding=emb[i], created_at_utc=t0, seq=i)
+        for i in range(n)
+    ])
+    assert dix2._raw_aliased
+    assert dix2.delete_document("doc2") == n
+    assert not dix2.emb[:n].any() and not dix2.raw_emb[:n].any()
