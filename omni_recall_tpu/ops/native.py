@@ -49,7 +49,7 @@ def _build() -> bool:
     return False
 
 
-_ABI_VERSION = 3  # must match OMNI_NATIVE_ABI in keyword_scorer.c
+_ABI_VERSION = 4  # must match OMNI_NATIVE_ABI in keyword_scorer.c
 
 
 def _abi_version(lib) -> int:
@@ -125,6 +125,8 @@ def _load() -> ctypes.CDLL | None:
             ]
             lib.pairwise_dot_f64.restype = ctypes.c_int
             lib.pairwise_dot_f64.argtypes = [c_f32p, c_f32p, ctypes.c_long, c_f64p]
+            lib.pairwise_dot_selftest.restype = ctypes.c_int
+            lib.pairwise_dot_selftest.argtypes = [c_f32p, c_f32p, ctypes.c_long]
             lib.hybrid_rescore.restype = ctypes.c_int
             lib.hybrid_rescore.argtypes = [
                 c_f32p, c_f64p, ctypes.c_long,            # raw_emb, norm_sq, dim
@@ -219,15 +221,22 @@ def _verify_pairwise_dot(lib) -> bool:
         b = rng.standard_normal(n).astype(np.float32)
         want = float(np.sum(a * b, dtype=np.float64))
         out = ctypes.c_double()
-        lib.pairwise_dot_f64(
-            a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            n, ctypes.byref(out),
-        )
+        ap = a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        bp = b.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        lib.pairwise_dot_f64(ap, bp, n, ctypes.byref(out))
         if out.value != want:
             logger.warning(
                 "native pairwise dot diverges from numpy at n=%d "
                 "(%.17g vs %.17g); native rescore disabled", n, out.value, want
+            )
+            return False
+        if lib.pairwise_dot_selftest(ap, bp, n) != 1:
+            # the runtime-selected SIMD dot disagrees with the scalar
+            # replica — should be impossible (lane-exact construction);
+            # disable rather than risk non-parity scores
+            logger.warning(
+                "native SIMD dot diverges from its scalar replica at n=%d; "
+                "native rescore disabled", n
             )
             return False
     return True
