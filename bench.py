@@ -786,28 +786,41 @@ def main() -> None:
         assert np.allclose(ref_v, sh_v, rtol=0, atol=0), (
             "sharded bounds diverge from the unsharded kernel"
         )
-        # warm/compile the coarse shard_map executable before timing
+        # Time the coarse shard_map executable with a chained lax.scan
+        # megastep — the SAME methodology as the unsharded scans above, so
+        # sharded_1dev_scan_ms is the shard_map DEVICE overhead, not the
+        # ~30 ms/dispatch tunnel RTT a per-call loop measures
+        # (tools/probe_sharded_timing.py isolates both).
         sh_v, _ = ss.score_topm(
             emb, bloom, created, valid, q1, kw1, bias1, now1, r01,
             m=128, mode="pallas_int8_coarse", t=1, sub=1024,
             scale=r_scale, err=row_err,
         )
-        _ = np.asarray(sh_v[:2, :2])
-        reps_sh = 6
-        c_dep = q1
+        _ = np.asarray(sh_v[:2, :2])  # warm/compile before timing
+        sh_fn = ss._fns[("pallas_int8_coarse", 128, 1, 1024)]
+        g_sh = 8
+
+        def sh_mega(emb_, scale_, err_, bloom_, created_, valid_, q0, kw_, bias_):
+            def step(c, _):
+                vv, _ii = sh_fn(
+                    emb_, scale_, err_, bloom_, created_, valid_,
+                    c, kw_, bias_, now1, r01,
+                )
+                return q0 + 1e-12 * vv[:, :1], vv[0, 0]
+            _c, outs = jax.lax.scan(step, q0, xs=None, length=g_sh)
+            return outs
+
+        sh_mega_j = jax.jit(sh_mega)
+        sh_args = (emb, r_scale, row_err, bloom, created, valid, q1, kw1, bias1)
+        _ = np.asarray(sh_mega_j(*sh_args))
+        reps_sh = 3
         t0 = time.perf_counter()
         for _ in range(reps_sh):
-            sh_v, sh_i = ss.score_topm(
-                emb, bloom, created, valid, c_dep, kw1, bias1, now1, r01,
-                m=128, mode="pallas_int8_coarse", t=1, sub=1024,
-                scale=r_scale, err=row_err,
-            )
-            # serialize: next batch depends on the previous output
-            c_dep = q1 + 1e-12 * sh_v[:, :1]
-        _ = np.asarray(sh_v[:2, :2])
+            outs_sh = sh_mega_j(*sh_args)
+        _ = np.asarray(outs_sh)
         sharded_stats = {
             "sharded_1dev_scan_ms": round(
-                (time.perf_counter() - t0) / reps_sh * 1000.0, 3
+                (time.perf_counter() - t0) / (reps_sh * g_sh) * 1000.0, 3
             ),
             "sharded_1dev_parity": True,
         }
