@@ -367,15 +367,15 @@ class DeviceIndex:
         with self._lock:
             self._append_locked(chunks)
 
-    def _append_locked(self, chunks: list[ChunkRecord]) -> None:
-        start = self._n
+    def _derive_columns(self, chunks: list[ChunkRecord]) -> dict:
+        """Batch-derive every per-chunk column _append_locked installs:
+        lowercased UTF-8 encodings, bloom signatures, timestamp columns,
+        seqs, and the (normalized, raw, norm_sq) embedding planes. Pure —
+        no index state is touched (beyond prepopulating each record's lazy
+        content cache), so a failure mid-derivation can never corrupt the
+        meta-index == row-index alignment. Shared by _append_locked and
+        append_from_index (the compaction miss path)."""
         nc = len(chunks)
-        end = start + nc
-        self._ensure_capacity(end)
-        # compute EVERY fallible per-chunk value BEFORE any state mutation:
-        # an exception mid-append would otherwise leave meta/valid/row maps
-        # partially updated with _n unchanged, permanently corrupting the
-        # meta-index == row-index alignment (rows would be reused)
         lows = [oracle.lower_invariant(c.content) for c in chunks]
         encs = []
         for c, low in zip(chunks, lows):
@@ -396,9 +396,7 @@ class DeviceIndex:
             dtype=np.float64, count=nc,
         )
         seqs = np.fromiter((c.seq for c in chunks), dtype=np.int64, count=nc)
-        arena_add = b"".join(encs)
         lens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=nc)
-        ids = [c.id for c in chunks]
 
         # batch-normalize the common case (correct-dimension embeddings);
         # row-wise float64 norms are identical to _normalize per row
@@ -422,7 +420,7 @@ class DeviceIndex:
                 "Embeddings:Dim vs Engine:EmbeddingDim.",
                 n_mismatched, self.dim,
             )
-        a = normed = norm_sq = rows_ok = None
+        a = normed = norm_sq = None
         if dim_ok:
             a = np.asarray([chunks[o].embedding for o in dim_ok], dtype=np.float32)
             norm_sq = np.sum(a * a, axis=1, dtype=np.float64)
@@ -438,7 +436,30 @@ class DeviceIndex:
                     norm_sq > 0.0, 1.0 / np.sqrt(norm_sq), 0.0
                 ).astype(np.float32)
             normed = a * inv[:, None]  # zero-norm rows normalize to zeros
-            rows_ok = np.asarray(dim_ok, dtype=np.int64) + start
+        return {
+            "encs": encs, "sigs": sigs, "days": days, "us": us, "ts": ts,
+            "seqs": seqs, "lens": lens, "dim_ok": dim_ok,
+            "a": a, "normed": normed, "norm_sq": norm_sq,
+        }
+
+    def _append_locked(self, chunks: list[ChunkRecord]) -> None:
+        start = self._n
+        nc = len(chunks)
+        end = start + nc
+        self._ensure_capacity(end)
+        # compute EVERY fallible per-chunk value BEFORE any state mutation:
+        # an exception mid-append would otherwise leave meta/valid/row maps
+        # partially updated with _n unchanged, permanently corrupting the
+        # meta-index == row-index alignment (rows would be reused)
+        d = self._derive_columns(chunks)
+        sigs, days, us, ts = d["sigs"], d["days"], d["us"], d["ts"]
+        seqs, lens, dim_ok = d["seqs"], d["lens"], d["dim_ok"]
+        a, normed, norm_sq = d["a"], d["normed"], d["norm_sq"]
+        arena_add = b"".join(d["encs"])
+        ids = [c.id for c in chunks]
+        rows_ok = (
+            np.asarray(dim_ok, dtype=np.int64) + start if dim_ok else None
+        )
 
         # -- mutation (array slice-assignments; nothing below can raise) --
         self.bloom[start:end] = sigs
@@ -468,6 +489,186 @@ class DeviceIndex:
         self._n_valid += nc
         self._count_valid_added(start, end)
         self._mark_dirty(start, end)
+
+    def append_from_index(
+        self, old: "DeviceIndex", chunks: list[ChunkRecord]
+    ) -> None:
+        """Compaction fast path for RecallEngine.rebuild_index: fill this
+        (empty) index from ``chunks``, REUSING ``old``'s derived columns —
+        bloom signatures, normalized/raw embeddings, f64 norms, timestamp
+        columns, and arena bytes — for every chunk whose record OBJECT is
+        the one ``old`` indexed. Object identity guarantees the old row's
+        columns were derived from exactly this record's current state:
+        in-place embedding updates go through update_embedding (which keeps
+        the arrays in sync and leaves meta[row] as the same object), and a
+        store upsert that REPLACES a record fails the identity test, so its
+        chunk re-derives through the normal path. Rebuild therefore costs a
+        host-side array gather instead of re-hashing + re-normalizing +
+        re-quantizing the corpus, and — when the old index has current
+        single-device planes — the device slabs compact ON DEVICE via one
+        gather (no host quantization, no re-upload; ~ms at 10M rows).
+
+        Requirements: ``chunks`` in (created_at, seq) order (rebuild_index
+        sorts); this index empty; derivation parameters matching ``old``'s.
+        """
+        nc = len(chunks)
+        if nc == 0:
+            return
+        if (
+            self.dim, self.bloom_bits, self.ngram,
+            self.bloom_hashes, self.scan_dtype,
+        ) != (
+            old.dim, old.bloom_bits, old.ngram,
+            old.bloom_hashes, old.scan_dtype,
+        ):
+            raise ValueError(
+                "append_from_index requires matching index parameters"
+            )
+        with self._lock:
+            if self._n != 0:
+                raise ValueError("append_from_index requires an empty index")
+            self._ensure_capacity(nc)
+
+            src = np.full(nc, -1, dtype=np.int64)
+            with old._lock:
+                row_of, ometa, ovalid = old._row_by_chunk_id, old.meta, old.valid
+                for i, c in enumerate(chunks):
+                    r = row_of.get(c.id)
+                    if r is not None and ometa[r] is c and ovalid[r]:
+                        src[i] = r
+                hit_dst = np.nonzero(src >= 0)[0]
+                hit_src = src[hit_dst]
+                if hit_dst.size:
+                    # gather every reused column while old's arrays are
+                    # stable (the arena-read-under-lock contract)
+                    self.emb[hit_dst] = old.emb[hit_src]
+                    self.raw_emb[hit_dst] = old.raw_emb[hit_src]
+                    self.raw_norm_sq[hit_dst] = old.raw_norm_sq[hit_src]
+                    self.bloom[hit_dst] = old.bloom[hit_src]
+                    self.created[hit_dst] = old.created[hit_src]
+                    self.created_us[hit_dst] = old.created_us[hit_src]
+                    self.created_ts[hit_dst] = old.created_ts[hit_src]
+                    self.seqs[hit_dst] = old.seqs[hit_src]
+                h_start = old.content_off[hit_src]
+                h_len = old.content_off[hit_src + 1] - h_start
+                old_arena = np.frombuffer(old._arena, dtype=np.uint8)
+
+                miss_dst = np.nonzero(src < 0)[0]
+                miss = [chunks[int(i)] for i in miss_dst]
+                d = self._derive_columns(miss) if miss else None
+
+                lens = np.zeros(nc, dtype=np.int64)
+                lens[hit_dst] = h_len
+                if d is not None:
+                    lens[miss_dst] = d["lens"]
+                out_off = np.zeros(nc + 1, dtype=np.int64)
+                np.cumsum(lens, out=out_off[1:])
+                arena = np.empty(int(out_off[-1]), dtype=np.uint8)
+                # hit bytes: sources ascend (rows are in seq order), so
+                # coalesce adjacent ranges into runs — one memcpy per
+                # tombstone gap instead of per row. A run must be contiguous
+                # at BOTH ends: in the source arena (no deleted-row bytes
+                # between) and in the output rows (no interleaved miss, whose
+                # bytes would otherwise be overwritten).
+                if hit_dst.size:
+                    brk = np.nonzero(
+                        (h_start[1:] != h_start[:-1] + h_len[:-1])
+                        | (hit_dst[1:] != hit_dst[:-1] + 1)
+                    )[0] + 1
+                    run_lo = np.concatenate(([0], brk))
+                    run_hi = np.concatenate((brk, [hit_dst.size]))
+                    for lo, hi in zip(run_lo, run_hi):
+                        s = int(h_start[lo])
+                        o = int(out_off[hit_dst[lo]])
+                        ln = int(h_start[hi - 1] + h_len[hi - 1]) - s
+                        arena[o : o + ln] = old_arena[s : s + ln]
+                if d is not None:
+                    for k, i in enumerate(miss_dst):
+                        e = d["encs"][k]
+                        o = int(out_off[i])
+                        arena[o : o + len(e)] = np.frombuffer(e, dtype=np.uint8)
+
+            # -- mutation outside old's lock (no more old reads) --
+            if d is not None:
+                self.bloom[miss_dst] = d["sigs"]
+                self.created[miss_dst] = d["days"]
+                self.created_us[miss_dst] = d["us"]
+                self.created_ts[miss_dst] = d["ts"]
+                self.seqs[miss_dst] = d["seqs"]
+                if d["dim_ok"]:
+                    rows_ok = miss_dst[np.asarray(d["dim_ok"], dtype=np.int64)]
+                    self.emb[rows_ok] = d["normed"]
+                    self.raw_emb[rows_ok] = d["a"]
+                    self.raw_norm_sq[rows_ok] = d["norm_sq"]
+            self._arena = bytearray(memoryview(arena))
+            self.content_off[: nc + 1] = out_off
+            self.valid[:nc] = True
+            self.meta.extend(chunks)
+            self._row_by_chunk_id.update(
+                zip((c.id for c in chunks), range(nc))
+            )
+            by_doc = self._rows_by_doc
+            for row, c in enumerate(chunks):
+                by_doc.setdefault(c.document_id, []).append(row)
+            self._n = nc
+            self._n_valid = nc
+            self._count_valid_added(0, nc)
+            self._mark_dirty(0, nc)
+
+            # device-side plane compaction: when every row reuses an old row
+            # and old's single-device planes are current, the new planes are
+            # one jnp.take over the old ones — no host quantization pass, no
+            # H2D re-upload. Old buffers stay untouched (searches in flight
+            # on the old index keep valid data; _set_slab never donates).
+            if (
+                self.mesh is None and old.mesh is None
+                and self.refine == old.refine
+                and miss_dst.size == 0
+            ):
+                with old._lock:
+                    odev = old._device
+                    planes_ok = (
+                        odev is not None
+                        and old._device_cap == old._cap
+                        and not old._dirty_blocks
+                    )
+                if planes_ok:
+                    try:
+                        self._adopt_compacted_planes(odev, src)
+                    except Exception:
+                        # e.g. HBM exhaustion holding both plane sets at
+                        # very large n: the standard upload path still works
+                        logger.warning(
+                            "on-device index compaction failed; falling "
+                            "back to host-side upload", exc_info=True,
+                        )
+
+    def _adopt_compacted_planes(self, odev: DeviceArrays, src: np.ndarray) -> None:
+        """Install this index's device planes as a row-gather of ``odev``'s
+        (src[i] = old row for new row i; pad rows gather row 0 and are
+        masked by valid=False). created/valid ride up from the (tiny) host
+        mirrors so they are authoritative for pad rows."""
+        cap = self._cap
+        idx = np.zeros(cap, dtype=np.int32)
+        idx[: src.shape[0]] = src
+        idx_dev = jnp.asarray(idx)
+
+        def take(p):
+            return None if p is None else jnp.take(p, idx_dev, axis=0)
+
+        self._device = DeviceArrays(
+            emb=take(odev.emb),
+            bloom=take(odev.bloom),
+            created=jnp.asarray(self.created),
+            valid=jnp.asarray(self.valid),
+            scale=take(odev.scale),
+            err=take(odev.err),
+            emb2=take(odev.emb2),
+            scale2=take(odev.scale2),
+            err2=take(odev.err2),
+        )
+        self._device_cap = cap
+        self._dirty_blocks.clear()
 
     def bulk_load(
         self,

@@ -240,9 +240,11 @@ class RecallEngine:
     def rebuild_index(self) -> None:
         """Shadow rebuild + atomic swap (BASELINE.json config 3): construct a
         fresh device index from the store's current chunks (compacting
-        tombstones and re-deriving signatures/quantization), then swap it in
-        atomically. Searches in flight keep using the old index's arrays —
-        device buffers are immutable — so there is no torn state.
+        tombstones; unchanged records reuse the old index's derived columns
+        and device planes, records the store replaced re-derive — see
+        DeviceIndex.append_from_index), then swap it in atomically. Searches
+        in flight keep using the old index's arrays — device buffers are
+        immutable — so there is no torn state.
 
         Holds ``mutation_lock`` for the whole snapshot→build→swap so a
         concurrent ingest cannot append to the old index between the store
@@ -266,7 +268,10 @@ class RecallEngine:
             for doc in self.store.list_documents(2**31 - 1):
                 chunks.extend(self.store.get_chunks_by_document_id(doc.id))
             chunks.sort(key=lambda c: c.seq)
-            shadow.append(chunks)
+            # compaction fast path: reuse the old index's derived columns
+            # (and, single-device, its quantized planes via one on-device
+            # gather) for unchanged records; replaced records re-derive
+            shadow.append_from_index(old, chunks)
             shadow.device_arrays()  # upload before the swap so search never waits
             self.device_index = shadow
 
