@@ -11,11 +11,17 @@ the seed-0 default is an UNTRAINED model and is only useful for smoke tests
 and as a template for fine-tuning.
 
 Serving mechanics (the TPU-relevant part):
-- prompts are left-padded into power-of-two length buckets and decode runs a
-  fixed number of steps per call, so jit compiles once per (bucket, steps)
-  pair and every later call reuses the compiled prefill+scan executable,
+- prompts are left-padded into power-of-two length buckets, so jit compiles
+  once per bucket and every later call reuses the compiled executables,
+- the default scheduler is CONTINUOUS BATCHING (chat/serving.py): requests
+  join/leave a persistent S-slot decode loop at chunk boundaries, so a
+  request arriving mid-generation waits ~one chunk (default 16 tokens), not
+  a whole generation, and EOS frees a slot early.
+  Ai:LocalScheduler=coalesce keeps the leader/follower whole-generation
+  batcher (_run_batch below),
 - generation is deterministic greedy by default (temperature 0) so answers
-  are reproducible; sampling is opt-in via Ai:LocalTemperature.
+  are reproducible; sampling is opt-in via Ai:LocalTemperature and stays
+  reproducible PER REQUEST under both schedulers.
 """
 
 from __future__ import annotations
@@ -41,6 +47,9 @@ class LocalDecoderChatClient:
         seed: int = 0,
         cfg=None,
         params=None,
+        scheduler: str = "continuous",
+        slots: int = 4,
+        chunk_tokens: int = 16,
     ) -> None:
         import jax
 
@@ -48,6 +57,10 @@ class LocalDecoderChatClient:
 
         self._dec = decoder
         self._jax = jax
+        self._scheduler = (scheduler or "continuous").strip().lower()
+        self._slots = max(1, int(slots))
+        self._chunk_tokens = max(1, int(chunk_tokens))
+        self._batcher = None  # chat/serving.py, created lazily
         # serializes ALL generations, not just compiles: the chip executes
         # one program at a time anyway, and holding the lock across the
         # whole call also prevents duplicate cold compiles of one bucket
@@ -90,14 +103,23 @@ class LocalDecoderChatClient:
         covers the common case (one compile per (bucket, steps) pair)."""
         def _warm():
             try:
-                # compile WITHOUT the instance lock (generate is pure and
-                # the jit cache is thread-safe): a first request for a
-                # different bucket must not block behind this compile
                 max_prompt = "x" * (self.cfg.max_len - self.max_new_tokens - 1)
                 toks = self._dec.encode_text(
                     max_prompt,
                     max_bytes=self.cfg.max_len - self.max_new_tokens - 1,
                 )
+                if self._scheduler == "continuous":
+                    # one full-budget generation through the batcher
+                    # compiles prefill at the maximal bucket + insert_slot +
+                    # every attend-bucket decode_chunk a max-length request
+                    # walks; shallower buckets compile on demand
+                    self._get_batcher().generate_sync(
+                        toks, 0, self.max_new_tokens
+                    )
+                    return
+                # compile WITHOUT the instance lock (generate is pure and
+                # the jit cache is thread-safe): a first request for a
+                # different bucket must not block behind this compile
                 prompt = self._dec.pad_left_batch([toks], self._bucket_for(len(toks)))
                 self._dec.generate(
                     self.params, prompt, self.cfg, self.max_new_tokens,
@@ -112,6 +134,23 @@ class LocalDecoderChatClient:
 
     _MAX_BATCH = 8  # power-of-two serving batches: 1, 2, 4, 8
 
+    def _get_batcher(self):
+        """Lazily build the continuous batcher (chat/serving.py). Double
+        construction is prevented by the queue lock; the batcher owns its
+        own scheduler thread and device state."""
+        if self._batcher is None:
+            with self._queue_lock:
+                if self._batcher is None:
+                    from omni_recall_tpu.chat.serving import ContinuousBatcher
+
+                    self._batcher = ContinuousBatcher(
+                        self._dec, self._jax, self.params, self.cfg,
+                        slots=self._slots, chunk=self._chunk_tokens,
+                        temperature=self.temperature,
+                        prompt_buckets=_PROMPT_BUCKETS,
+                    )
+        return self._batcher
+
     def complete(self, request: AiChatRequest) -> AiChatResponse:
         # stable across processes (built-in hash() is salted per process,
         # which would make temperature>0 sampling non-reproducible)
@@ -120,6 +159,20 @@ class LocalDecoderChatClient:
         toks = self._dec.encode_text(
             request.prompt, max_bytes=self.cfg.max_len - self.max_new_tokens - 1
         )
+        if self._scheduler == "continuous":
+            seed = fnv1a(
+                request.prompt.encode("utf-8", "surrogatepass")
+            ) % (1 << 31)
+            out = self._get_batcher().generate_sync(
+                toks, seed, self.max_new_tokens
+            )
+            text = self._dec.decode_tokens(out).strip()
+            if not text:
+                raise RuntimeError(
+                    "Local decoder produced an empty answer "
+                    "(untrained or out-of-domain checkpoint)."
+                )
+            return AiChatResponse(text, self.model, self.provider_name)
         entry = {
             "toks": toks,
             "seed": fnv1a(request.prompt.encode("utf-8", "surrogatepass")) % (1 << 31),

@@ -52,6 +52,13 @@ class AiOptions:
     # compile the decode executable in a background thread at startup;
     # disable in tests/lightweight configs that never chat
     local_warmup: bool = True
+    # serving scheduler: 'continuous' = slot-based continuous batching
+    # (chat/serving.py — join/leave at chunk boundaries, EOS frees slots
+    # early); 'coalesce' = the round-3 leader/follower whole-generation
+    # batcher (chat/local.py _run_batch)
+    local_scheduler: str = "continuous"
+    local_slots: int = 4          # continuous: concurrent decode slots
+    local_chunk_tokens: int = 16  # continuous: admission granularity
 
 
 @dataclass

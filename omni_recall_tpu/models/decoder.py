@@ -392,6 +392,166 @@ def generate(params: dict, prompt_ids: jax.Array, cfg: DecoderConfig,
     return toks.T  # [B, n_steps]
 
 
+# -- serving: per-slot continuous decode (chat/serving.py) ------------------
+
+def decode_step_multi(params: dict, cache: list[dict], token: jax.Array,
+                      pos: jax.Array, cfg: DecoderConfig,
+                      key_valid: jax.Array, attend_len: int):
+    """decode_step with a PER-SLOT position vector ``pos`` i32[S] instead of
+    one shared scalar: each slot (row) writes its k/v at its own cache
+    position and attends to its own prefix. The per-row cache write is a
+    batched scatter — O(S) rows of a few hundred bytes, negligible next to
+    the cache stream — which is exactly what the shared-position layout
+    avoids for uniform batches; continuous batching needs the general form
+    because slots join and leave at different depths.
+
+    Math per row is identical to decode_step's (attention is row-local), so
+    a slot's output stream does not depend on what the other slots are
+    doing — the isolation property chat/serving.py's tests pin down."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    s = token.shape[0]
+    h_, hd = cfg.n_heads, cfg.head_dim
+    al = min(attend_len, cfg.max_len)
+    rows = jnp.arange(s)
+    x = params["tok_embed"][token] + params["pos_embed"][pos]
+    x = x.astype(dtype)  # [S, d]
+    pos_mask = (jnp.arange(al)[None, :] <= pos[:, None]) & key_valid[:, :al]
+    for li, layer in enumerate(params["layers"]):
+        layer = jax.tree.map(lambda p: p.astype(dtype), layer)
+        h = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
+
+        def proj(w, src=h):
+            return jnp.einsum("sd,dk->sk", src, w,
+                              preferred_element_type=jnp.float32)
+
+        q = proj(layer["wq"]).reshape(s, h_, hd)
+        k = proj(layer["wk"]).reshape(s, h_, hd).astype(dtype)
+        v = proj(layer["wv"]).reshape(s, h_, hd).astype(dtype)
+        ck = cache[li]["k"].at[rows, pos].set(k)
+        cv = cache[li]["v"].at[rows, pos].set(v)
+        cache[li] = {"k": ck, "v": cv}
+        logits = jnp.einsum("she,smhe->shm", q.astype(dtype), ck[:, :al],
+                            preferred_element_type=jnp.float32)
+        logits = logits / np.sqrt(hd)
+        logits = jnp.where(pos_mask[:, None, :], logits, -1e30)
+        weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        out = jnp.einsum("shm,smhe->she", weights, cv[:, :al],
+                         preferred_element_type=jnp.float32)
+        att = jnp.einsum("sk,kd->sd", out.reshape(s, h_ * hd).astype(dtype),
+                         layer["wo"], preferred_element_type=jnp.float32)
+        x = x + att.astype(dtype)
+        h = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
+        ff = jnp.einsum("sd,df->sf", h, layer["w1"],
+                        preferred_element_type=jnp.float32)
+        ff = jax.nn.gelu(ff + layer["b1"]).astype(dtype)
+        ff = jnp.einsum("sf,fd->sd", ff, layer["w2"],
+                        preferred_element_type=jnp.float32)
+        x = x + (ff + layer["b2"]).astype(dtype)
+    x = _layer_norm(
+        x.astype(jnp.float32), params["final_ln"]["scale"], params["final_ln"]["bias"]
+    )
+    return x @ params["lm_head"], cache
+
+
+@partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6),
+         static_argnames=("cfg", "n_steps", "temperature", "attend_len"))
+def decode_chunk(params: dict, cache: list[dict], logits: jax.Array,
+                 pos: jax.Array, done: jax.Array, key_valid: jax.Array,
+                 keys: jax.Array, cfg: DecoderConfig, n_steps: int,
+                 temperature: float, attend_len: int):
+    """``n_steps`` continuous-batching decode steps over S independent
+    slots (the chat/serving.py scheduler's inner loop).
+
+    State per slot: ``logits`` f32[S, vocab] (the next-token distribution),
+    ``pos`` i32[S] (next cache position to write), ``done`` bool[S],
+    ``key_valid`` bool[S, max_len], ``keys`` u32[S, 2] per-slot sampling
+    keys (per-REQUEST reproducibility: a slot's stream depends only on its
+    own seed and step index, never on batch composition). Emits tokens
+    i32[S, n_steps]; rows of finished/empty slots emit PAD. State arrays
+    are donated — the scheduler threads them through chunk after chunk."""
+    emit_ok = jnp.zeros((cfg.vocab_size,), dtype=bool)
+    emit_ok = emit_ok.at[EOS].set(True).at[_BYTE0:_BYTE0 + 256].set(True)
+    s = pos.shape[0]
+    rows = jnp.arange(s)
+
+    def sample(lg, ks):
+        lg = jnp.where(emit_ok[None, :], lg, -1e30)
+        if temperature <= 0.0:
+            return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        smp = jax.vmap(
+            lambda k_, l_: jax.random.categorical(k_, l_ / temperature)
+        )(ks, lg)
+        return smp.astype(jnp.int32)
+
+    def body(carry, _):
+        cache, logits, pos, done, kv, keys = carry
+        # overflow guard: a slot whose position window is exhausted freezes
+        # (the scheduler enforces the budget; this keeps the device state
+        # well-formed even if it retires a slot late)
+        done = done | (pos >= cfg.max_len)
+        wp = jnp.minimum(pos, cfg.max_len - 1)
+        keys, subs = jnp.split(
+            jax.vmap(lambda k_: jax.random.split(k_, 2))(keys), 2, axis=1
+        )
+        keys, subs = keys[:, 0], subs[:, 0]
+        tok = sample(logits, subs)
+        tok = jnp.where(done, PAD, tok)
+        done = done | (tok == EOS)
+        # a PAD write never becomes attendable
+        kv = kv.at[rows, wp].set(tok != PAD)
+        logits, cache = decode_step_multi(
+            params, cache, tok, wp, cfg, kv, attend_len=attend_len
+        )
+        # done slots stop consuming positions (their PAD writes land on the
+        # frozen cell with key_valid False; the next insert resets the row)
+        pos = jnp.where(done, pos, pos + 1)
+        return (cache, logits, pos, done, kv, keys), tok
+
+    (cache, logits, pos, done, kv, keys), toks = jax.lax.scan(
+        body, (cache, logits, pos, done, key_valid, keys),
+        xs=None, length=n_steps,
+    )
+    return cache, logits, pos, done, kv, keys, toks.T  # toks [S, n_steps]
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5), static_argnames=("cfg",))
+def insert_slot(cache: list[dict], key_valid: jax.Array, logits: jax.Array,
+                pos: jax.Array, done: jax.Array, keys: jax.Array,
+                prefill_cache: list[dict], prefill_logits: jax.Array,
+                prompt_ids: jax.Array, seed_key: jax.Array,
+                slot: jax.Array, cfg: DecoderConfig):
+    """Install a freshly prefilled request (batch-1 prefill cache, its
+    last-position logits, its left-padded prompt and sampling key) into
+    slot ``slot`` of the serving state, in one dispatch. Serving-state
+    arrays are donated and threaded. One executable per prompt bucket."""
+    lp = prompt_ids.shape[1]
+    for li in range(cfg.n_layers):
+        for kv in ("k", "v"):
+            cache[li][kv] = jax.lax.dynamic_update_slice(
+                cache[li][kv], prefill_cache[li][kv], (slot, 0, 0, 0)
+            )
+    row_valid = jnp.concatenate(
+        [prompt_ids[0] != PAD,
+         jnp.zeros((cfg.max_len - lp,), dtype=bool)]
+    )
+    key_valid = jax.lax.dynamic_update_slice(
+        key_valid, row_valid[None, :], (slot, 0)
+    )
+    logits = jax.lax.dynamic_update_slice(
+        logits, prefill_logits.astype(logits.dtype), (slot, jnp.int32(0))
+    )
+    pos = jax.lax.dynamic_update_slice(
+        pos, jnp.full((1,), lp, dtype=pos.dtype), (slot,)
+    )
+    done = jax.lax.dynamic_update_slice(
+        done, jnp.zeros((1,), dtype=bool), (slot,)
+    )
+    keys = jax.lax.dynamic_update_slice(
+        keys, seed_key[None, :].astype(keys.dtype), (slot, jnp.int32(0))
+    )
+    return cache, key_valid, logits, pos, done, keys
+
+
 # -- training ---------------------------------------------------------------
 
 def lm_loss(params: dict, token_ids: jax.Array, cfg: DecoderConfig) -> jax.Array:

@@ -176,6 +176,9 @@ class OmniRecallApp(WsgiApp):
                 checkpoint=config.ai.local_checkpoint,
                 max_new_tokens=config.ai.local_max_new_tokens,
                 temperature=config.ai.local_temperature,
+                scheduler=getattr(config.ai, "local_scheduler", "continuous"),
+                slots=getattr(config.ai, "local_slots", 4),
+                chunk_tokens=getattr(config.ai, "local_chunk_tokens", 16),
             )
             if getattr(config.ai, "local_warmup", True):
                 local_client.warmup_async()  # compile overlaps server startup
