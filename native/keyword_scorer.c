@@ -14,6 +14,7 @@
 
 #define _GNU_SOURCE
 #include <stddef.h>
+#include <stdlib.h>
 #include <string.h>
 
 /* ABI version, checked by the ctypes loader (ops/native.py) before any
@@ -480,6 +481,18 @@ int query_bit_weights_batch(const char **terms, const long *term_lens,
                             long bloom_bits, long ngram, long n_hashes,
                             float *weights, double *bias) {
     if (bloom_bits <= 0 || n_hashes <= 0) return 1;
+    /* position set buffer: <= 16 grams * n_hashes probes per term. The
+     * common configs (n_hashes <= 8) use the stack; larger probe counts
+     * heap-allocate so EVERY probe runs — silently capping would break the
+     * bit-identical contract with ops/hashing.py query_bit_weights. */
+    uint64_t pos_stack[16 * 8];
+    uint64_t *pos_set = pos_stack;
+    uint64_t *pos_heap = NULL;
+    if (n_hashes > 8) {
+        pos_heap = (uint64_t *)malloc(16 * (size_t)n_hashes * sizeof(uint64_t));
+        if (!pos_heap) return 1; /* caller falls back to the Python builder */
+        pos_set = pos_heap;
+    }
     for (long q = 0; q < n_queries; q++) {
         long t0 = query_term_off[q], t1 = query_term_off[q + 1];
         long n_terms = t1 - t0;
@@ -507,14 +520,11 @@ int query_bit_weights_batch(const char **terms, const long *term_lens,
                 n_sel = g_count;
                 for (long i = 0; i < n_sel; i++) starts[i] = i;
             }
-            /* position set (<= 16 grams * n_hashes entries) */
-            uint64_t pos_set[16 * 8];
             long n_pos = 0;
-            long cap = n_hashes > 8 ? 8 : n_hashes;
             for (long g = 0; g < n_sel; g++) {
                 uint64_t h1 = fnv1a_seeded(s + starts[g], glen, 1);
                 uint64_t h2 = fnv1a_seeded(s + starts[g], glen, 2) | 1ULL;
-                for (long i = 0; i < cap; i++) {
+                for (long i = 0; i < n_hashes; i++) {
                     uint64_t pos = (h1 + (uint64_t)i * h2) % (uint64_t)bloom_bits;
                     int dup = 0;
                     for (long j = 0; j < n_pos; j++)
@@ -532,5 +542,6 @@ int query_bit_weights_batch(const char **terms, const long *term_lens,
             }
         }
     }
+    free(pos_heap);
     return 0;
 }

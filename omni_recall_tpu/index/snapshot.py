@@ -19,10 +19,12 @@ Format v2 (columnar):
   parameters. Restoring them (``restore_engine``) skips bloom hashing and
   re-quantization entirely: the 10M-chunk restore drops from ~18 minutes of
   re-derivation to array I/O + upload. A sampled integrity check verifies
-  K random rows (bloom signatures bit-compared against a re-derivation;
-  quantization planes checked for SOUNDNESS — f64 residual norms within
-  the stored error bounds) and falls back to the full rebuild on any
-  mismatch, so a stale/foreign slab can never produce an unsound index.
+  K random rows (bloom signatures, recency/tie-break columns and the
+  lowercased arena bit-compared against a re-derivation; quantization
+  planes checked for SOUNDNESS — f64 residual norms within the stored
+  error bounds) and falls back to the full rebuild on any mismatch — or
+  on any exception from malformed arrays — so a stale/foreign slab can
+  never produce an unsound index.
 
 The legacy v1 layouts (single-archive JSON-chunks and the two-file
 meta.json + embeddings.npz) are still loadable.
@@ -475,6 +477,13 @@ def load_snapshot_full(path: str | Path):
         chunks_by_doc.setdefault(doc_id, []).append(rec)
 
     store = InMemoryIngestionStore()
+    # per-document lists were accumulated in global seq order; the store
+    # contract (bulk_restore docstring / upsert_chunks sorting,
+    # InMemoryIngestionStore.cs:17-25) wants chunk_index order — they differ
+    # for documents whose chunk ids were ever replaced (fresh seq mid-list).
+    # sorted() is stable, so equal chunk_index keeps seq order.
+    for doc_chunks in chunks_by_doc.values():
+        doc_chunks.sort(key=lambda c: c.chunk_index)
     store.bulk_restore(documents, chunks_by_doc, next_seq=int(seq.max()) + 1 if n else 0)
 
     aux = {
@@ -527,7 +536,17 @@ def restore_engine(store: InMemoryIngestionStore, engine, aux=None) -> None:
     the persisted derived arrays — no bloom hashing, no re-quantization, no
     per-chunk python append. Any mismatch falls back to the exact rebuild."""
     if aux is not None and aux.get("slabs") is not None:
-        if _try_restore_slabs(store, engine, aux):
+        try:
+            ok = _try_restore_slabs(store, engine, aux)
+        except Exception:
+            # malformed/truncated arrays raise (shape errors from load_slabs,
+            # decode errors, ...) — degrade to the exact rebuild instead of
+            # letting the caller's broad except boot an EMPTY index.
+            # load_slabs validates shapes BEFORE mutating, so the index is
+            # still empty here and the rebuild path below is safe.
+            logger.exception("snapshot slab restore raised; rebuilding")
+            ok = False
+        if ok:
             return
         logger.warning(
             "snapshot slabs unusable (parameter/integrity mismatch); "
@@ -634,12 +653,46 @@ def _try_restore_slabs(store, engine, aux) -> bool:
     # integrity sample: re-derive K rows and bit-compare against the slabs —
     # a stale or foreign slab archive must never produce an unsound index
 
+    if (
+        slabs["bloom"].shape != (n, dix.bloom_bits // 8)
+        or slabs["created"].shape != (n,)
+        or slabs["created_ts"].shape != (n,)
+        or slabs["lower_off"].shape != (n + 1,)
+        or int(slabs["lower_off"][0]) != 0
+        or not bool(np.all(np.diff(slabs["lower_off"]) >= 0))
+        or int(slabs["lower_off"][n]) != slabs["lower_arena"].shape[0]
+    ):
+        return False
+    lows = [lower_invariant(chunks[i].content) for i in sample]
     sig = hashing.chunk_signatures_batch(
-        [lower_invariant(chunks[i].content) for i in sample],
-        dix.bloom_bits, dix.ngram, dix.bloom_hashes,
+        lows, dix.bloom_bits, dix.ngram, dix.bloom_hashes,
     )
     if not np.array_equal(sig, slabs["bloom"][sample]):
         return False
+    # recency/tie-break columns and the lowercased arena feed the device
+    # recency term, the ranking tie-break, and the exact keyword rescore —
+    # a stale created column understates the scan's upper bound (recency
+    # grows toward now), which could silently exclude a true top-k row, so
+    # they are part of the sample, not trusted from the archive
+    from omni_recall_tpu.index.device_index import _aware, to_days
+
+    lower_b = slabs["lower_arena"].tobytes()
+    lower_off = slabs["lower_off"]
+    for i, low in zip(sample, lows):
+        c = chunks[i]
+        if np.float32(to_days(c.created_at_utc)) != np.float32(
+            slabs["created"][i]
+        ):
+            return False
+        if _aware(c.created_at_utc).timestamp() != float(
+            slabs["created_ts"][i]
+        ):
+            return False
+        if (
+            lower_b[int(lower_off[i]) : int(lower_off[i + 1])]
+            != low.encode("utf-8", errors="surrogatepass")
+        ):
+            return False
     # Quantization planes: verify SOUNDNESS, not bit-equality. The saved
     # planes may come from the host quantizer (ops/quantize.py), the
     # on-device quantizer (index/device_index.py _device_quantize) or a

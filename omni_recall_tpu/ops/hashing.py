@@ -148,7 +148,8 @@ def query_bit_weights_batch(
         i for i, terms in enumerate(term_lists)
         if all(t.isascii() for t in terms)
     ]
-    python_idx = [i for i in range(nq) if i not in set(ascii_idx)]
+    ascii_set = set(ascii_idx)
+    python_idx = [i for i in range(nq) if i not in ascii_set]
     if ascii_idx:
         from omni_recall_tpu.ops import native
 

@@ -148,7 +148,15 @@ class CoalescingSearchExecutor:
                 for _, _, future in group:
                     future.set_exception(exc)
                 continue
-            self._finalize_pool.submit(self._finalize_group, ctx, group)
+            try:
+                self._finalize_pool.submit(self._finalize_group, ctx, group)
+            except RuntimeError:
+                # close() joined past its timeout while this thread was
+                # blocked on the in-flight semaphore and already shut the
+                # pool down: finalize inline so the accepted futures still
+                # resolve (an escaping exception here would kill the only
+                # dispatcher thread with callers blocked forever)
+                self._finalize_group(ctx, group)
 
     def _finalize_group(self, ctx, group) -> None:
         # every future resolves exactly once; an exception must never

@@ -153,6 +153,10 @@ class RecallEngine:
         self._coarse_outcomes: list[int] = []
         self._coarse_skip_until = 0
         self._coarse_query_count = 0
+        # gate state is a cross-thread read-modify-write under the pipelined
+        # executor (dispatcher thread advances the clock in
+        # _dispatch_device_batch while the finalize worker records outcomes)
+        self._coarse_gate_lock = threading.Lock()
         # Serializes index mutation (append/update/delete) against shadow
         # rebuild: the ingestion service shares this lock so a chunk upserted
         # to the store can never be appended to the OLD index after the
@@ -393,21 +397,32 @@ class RecallEngine:
         return xla, True
 
     def _coarse_gate_open(self) -> bool:
-        return self._coarse_query_count >= self._coarse_skip_until
+        with self._coarse_gate_lock:
+            return self._coarse_query_count >= self._coarse_skip_until
+
+    def _coarse_gate_advance(self, attempted: int) -> None:
+        """Advance the gate clock for skipped prepasses (closed gate) so the
+        re-probe horizon is reached; called from the dispatcher thread."""
+        with self._coarse_gate_lock:
+            self._coarse_query_count += attempted
 
     def _coarse_gate_record(self, resolved: int, attempted: int) -> None:
-        self._coarse_query_count += attempted
-        self._coarse_outcomes.extend([1] * resolved + [0] * (attempted - resolved))
-        if len(self._coarse_outcomes) > 128:
-            self._coarse_outcomes = self._coarse_outcomes[-128:]
-        if (
-            len(self._coarse_outcomes) >= 32
-            and sum(self._coarse_outcomes) / len(self._coarse_outcomes) < 0.5
-        ):
-            # underperforming: skip the prepass for a while, then re-probe
-            # with a fresh window (the corpus/score distribution may change)
-            self._coarse_skip_until = self._coarse_query_count + 2048
-            self._coarse_outcomes = []
+        with self._coarse_gate_lock:
+            self._coarse_query_count += attempted
+            self._coarse_outcomes.extend(
+                [1] * resolved + [0] * (attempted - resolved)
+            )
+            if len(self._coarse_outcomes) > 128:
+                self._coarse_outcomes = self._coarse_outcomes[-128:]
+            if (
+                len(self._coarse_outcomes) >= 32
+                and sum(self._coarse_outcomes) / len(self._coarse_outcomes) < 0.5
+            ):
+                # underperforming: skip the prepass for a while, then
+                # re-probe with a fresh window (the corpus/score
+                # distribution may change)
+                self._coarse_skip_until = self._coarse_query_count + 2048
+                self._coarse_outcomes = []
 
     def _select_coarse_scorer(self, m: int, n_rows_padded: int):
         """Cosine-only int8 prepass scorer (keyword capped per query), or
@@ -1100,7 +1115,7 @@ class RecallEngine:
         if prepass and not self._coarse_gate_open():
             # closed gate: still advance the clock so the gate re-opens
             # after the skip horizon (re-probe), per _coarse_gate_record
-            self._coarse_query_count += len(prepass)
+            self._coarse_gate_advance(len(prepass))
             prepass = []
         if prepass:
             coarse = self._select_coarse_scorer(m, int(dev.emb.shape[0]))

@@ -227,17 +227,30 @@ async function genCases() {
   $('#eval-status').textContent = `${evalCases.length} cases`;
 }
 function renderEval() {
-  $('#eval-table tbody').innerHTML = evalCases.map(c => {
+  // handlers bind by row index AFTER render — interpolating c.id into an
+  // inline onclick would let a crafted id (localStorage is attacker-
+  // editable; genCases derives ids from document ids) break out of the JS
+  // string and execute script
+  const tbody = $('#eval-table tbody');
+  tbody.innerHTML = evalCases.map((c, i) => {
     const r = evalResults[c.id] || {};
     const status = r.status || 'pending';
-    return `<tr><td class="${esc(status)}">${esc(status)}</td>
-     <td><input type="text" value="${escA(c.question)}" onchange="editCase('${c.id}','question',this.value)"></td>
-     <td><input type="text" value="${escA(c.expectedFile)}" onchange="editCase('${c.id}','expectedFile',this.value)" style="max-width:160px"></td>
-     <td><input type="number" value="${c.topK}" min="1" max="10" onchange="editCase('${c.id}','topK',this.value)"></td>
+    return `<tr data-i="${i}"><td class="${esc(status)}">${esc(status)}</td>
+     <td><input type="text" data-f="question" value="${escA(c.question)}"></td>
+     <td><input type="text" data-f="expectedFile" value="${escA(c.expectedFile)}" style="max-width:160px"></td>
+     <td><input type="number" data-f="topK" value="${c.topK}" min="1" max="10"></td>
      <td>${r.recallHit === undefined ? '' : (r.recallHit ? 'hit' : 'miss')}</td>
      <td title="${escA(r.detail || '')}">${r.chatHit === undefined ? '' : (r.chatHit ? 'hit' : (r.guardBlocked ? 'guard' : 'miss'))}</td>
-     <td><button class="ghost" onclick="removeCase('${c.id}')">x</button></td></tr>`;
+     <td><button class="ghost" data-rm>x</button></td></tr>`;
   }).join('');
+  tbody.querySelectorAll('tr').forEach(tr => {
+    const c = evalCases[+tr.dataset.i];
+    if (!c) return;
+    tr.querySelectorAll('input[data-f]').forEach(inp => {
+      inp.onchange = () => editCase(c.id, inp.dataset.f, inp.value);
+    });
+    tr.querySelector('[data-rm]').onclick = () => removeCase(c.id);
+  });
 }
 function groupByExpectedFile(cases) {
   const groups = new Map();

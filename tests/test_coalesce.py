@@ -184,3 +184,28 @@ def test_concurrent_ingest_and_search_threads():
     stop.set()
     t_ing.join()
     assert not errors
+
+
+def test_flush_finalizes_inline_after_pool_shutdown():
+    """If close() times out waiting for a blocked dispatcher and shuts the
+    finalize pool down, a subsequent _flush must finalize INLINE instead of
+    dying on submit() — accepted futures must always resolve."""
+    from concurrent.futures import Future
+
+    engine = _engine()
+    executor = CoalescingSearchExecutor(engine, max_batch=4, window_ms=1.0)
+    try:
+        # simulate the close()-raced state: pool already shut down while a
+        # batch is still being flushed by the dispatcher
+        executor._finalize_pool.shutdown(wait=True)
+        fut = Future()
+        q = "topic1"
+        executor._flush([((q, hash_embedder.embed_text(q, DIM), 5), NOW, fut)])
+        hits = fut.result(timeout=10)
+        expected = engine.search(q, hash_embedder.embed_text(q, DIM), 5, now=NOW)
+        assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
+        # the in-flight permit was released by the inline finalize
+        assert executor._inflight.acquire(blocking=False)
+        executor._inflight.release()
+    finally:
+        executor.close()

@@ -172,3 +172,40 @@ def test_native_query_bit_weights_batch_bit_identical():
             w_ref, b_ref = hashing.query_bit_weights(terms, bits, ngram, hashes)
             assert np.array_equal(w_batch[i], w_ref), (i, terms, bits)
             assert b_batch[i] == b_ref, (i, terms)
+
+
+def test_native_query_bit_weights_many_hashes_bit_identical():
+    """n_hashes > 8 must run EVERY probe (the native builder once silently
+    capped at 8, diverging from ops/hashing.query_bit_weights)."""
+    import random
+    import string
+
+    import numpy as np
+
+    from omni_recall_tpu.ops import hashing, native
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("no C toolchain")
+    rng = random.Random(9)
+    term_lists = [
+        ["hello", "world"],
+        ["quantization", "soundness"],
+        ["a" * 40],  # sampled grams
+        [
+            "".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 20)))
+            for _ in range(4)
+        ],
+    ]
+    for hashes in (9, 12, 16):
+        out = native.query_bit_weights_batch(
+            [[t.encode("ascii") for t in ts] for ts in term_lists],
+            1024, 3, hashes,
+        )
+        assert out is not None
+        w_n, b_n = out
+        for i, ts in enumerate(term_lists):
+            w_p, b_p = hashing.query_bit_weights(ts, 1024, 3, hashes)
+            assert np.array_equal(w_n[i], w_p), (i, ts, hashes)
+            assert b_n[i] == b_p, (i, ts, hashes)

@@ -417,3 +417,108 @@ def test_save_device_planes_subset_rows(tmp_path):
     for hs, hr in zip(out_src, out_r):
         assert [h.chunk.id for h in hs] == [h.chunk.id for h in hr]
         assert [h.score for h in hs] == [h.score for h in hr]
+
+
+def test_slab_restore_rejects_tampered_recency_and_arena(tmp_path):
+    """The integrity sample must also cover the recency column (a stale
+    `created` understates the scan's upper bound -> unsound certificate),
+    the tie-break timestamps, and the lowercased content arena (exact
+    keyword rescore input); malformed shapes must degrade to the rebuild
+    instead of raising out of restore_engine."""
+    import numpy as np
+
+    from omni_recall_tpu.index.snapshot import load_snapshot_full
+
+    rng = random.Random(7)
+    store, vocab = _build_store(rng)
+    src = _int8_engine()
+    src.store = store
+    chunks = []
+    for doc in store.list_documents(1 << 30):
+        chunks.extend(store.get_chunks_by_document_id(doc.id))
+    chunks.sort(key=lambda c: c.seq)
+    src.device_index.append(chunks)
+    save_snapshot(store, tmp_path / "s", device_index=src.device_index)
+    restored_store, aux = load_snapshot_full(tmp_path / "s")
+
+    def tampered(key, mutate):
+        bad = dict(aux)
+        bad["slabs"] = dict(aux["slabs"])
+        arr = np.array(aux["slabs"][key])
+        mutate(arr)
+        bad["slabs"][key] = arr
+        return bad
+
+    def older_day(a):
+        a[5] -= 30.0  # pretend row 5 is 30 days older
+
+    def shift_ts(a):
+        a[5] += 1.0
+
+    def flip_byte(a):
+        a[1] ^= 0x20
+
+    cases = [
+        tampered("created", older_day),
+        tampered("created_ts", shift_ts),
+        tampered("lower_arena", flip_byte),
+    ]
+    # malformed: truncated created column (shape error must NOT escape)
+    bad_shape = dict(aux)
+    bad_shape["slabs"] = dict(aux["slabs"])
+    bad_shape["slabs"]["created"] = np.array(aux["slabs"]["created"])[:-2]
+    cases.append(bad_shape)
+    # malformed offsets: lower_off not covering the arena
+    bad_off = dict(aux)
+    bad_off["slabs"] = dict(aux["slabs"])
+    off = np.array(aux["slabs"]["lower_off"])
+    off[-1] += 7
+    bad_off["slabs"]["lower_off"] = off
+    cases.append(bad_off)
+
+    reqs = _queries(rng, vocab)
+    out_src = src.search_batch(reqs, now=NOW)
+    for bad_aux in cases:
+        eng = _int8_engine()
+        eng.store = restored_store
+        restore_engine(restored_store, eng, aux=bad_aux)
+        assert eng.device_index._preconverted is None  # rebuild path used
+        assert eng.device_index.n_rows == len(chunks)
+        out_x = eng.search_batch(reqs, now=NOW)
+        for hs, hx in zip(out_src, out_x):
+            assert [h.chunk.id for h in hs] == [h.chunk.id for h in hx]
+            assert [h.score for h in hs] == [h.score for h in hx]
+
+
+def test_restore_orders_doc_chunks_by_chunk_index(tmp_path):
+    """A document whose chunk id was replaced mid-list gets a fresh seq for
+    that chunk; the restored store must still return the doc's chunks in
+    chunk_index order (store contract, InMemoryIngestionStore.cs:17-25)."""
+    store = InMemoryIngestionStore()
+    store.upsert_document(
+        DocumentRecord(
+            id="doc_x", file_name="x.txt", content_hash="hx",
+            chunk_count=5, created_at_utc=T0,
+        )
+    )
+    mk = lambda cid, i: ChunkRecord(  # noqa: E731
+        id=cid, document_id="doc_x", chunk_index=i, content=f"content {i}",
+        embedding=hash_embedder.embed_text(f"x-{i}", DIM),
+        created_at_utc=T0 + timedelta(minutes=i),
+    )
+    store.upsert_chunks([mk(f"doc_x:{i:04d}", i) for i in range(5)])
+    # replace chunk_index 2 under a NEW id (fresh seq; others keep theirs)
+    store.upsert_chunks(
+        [mk("doc_x:0002-v2" if i == 2 else f"doc_x:{i:04d}", i) for i in range(5)]
+    )
+    assert [c.chunk_index for c in store.get_chunks_by_document_id("doc_x")] == [
+        0, 1, 2, 3, 4
+    ]
+
+    save_snapshot(store, tmp_path / "s")
+    restored = load_snapshot(tmp_path / "s")
+    got = restored.get_chunks_by_document_id("doc_x")
+    assert [c.chunk_index for c in got] == [0, 1, 2, 3, 4]
+    assert [c.id for c in got] == [
+        "doc_x:0000", "doc_x:0001", "doc_x:0002-v2", "doc_x:0003", "doc_x:0004"
+    ]

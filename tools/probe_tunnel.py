@@ -120,24 +120,33 @@ for b in (448, 1536):
     rows = jax.random.randint(jax.random.PRNGKey(3), (b, m + 1), 0, n, dtype=jnp.int32)
     vals = jnp.zeros((b, m + 1), jnp.float32)
 
+    # planes/queries passed as ARGUMENTS (a pytree), never closed over:
+    # closures bake them into the executable as XLA constants (CLAUDE.md)
+    plane_args = (emb1, s1, emb2, s2, err2, bloom, created, valid,
+                  qk, kw_w, kw_b, vals)
+
     @jax.jit
-    def mega(carry, rows):
+    def mega(carry, rows, planes):
+        p_emb1, p_s1, p_emb2, p_s2, p_err2, p_bloom, p_created, p_valid, \
+            p_qk, p_kw_w, p_kw_b, p_vals = planes
+
         def body(c, _):
             r = jnp.clip(rows + c.astype(jnp.int32)[:, None], 0, n - 1)
             ro, ub, bound = refine.refine_select_from_scan(
-                emb1, s1, emb2, s2, err2, bloom, created, valid,
-                qk, kw_w, kw_b, jnp.float32(365.0), vals, r, t_out=t_out,
+                p_emb1, p_s1, p_emb2, p_s2, p_err2, p_bloom, p_created,
+                p_valid, p_qk, p_kw_w, p_kw_b, jnp.float32(365.0), p_vals,
+                r, t_out=t_out,
             )
             return ub[:, 0] + ro[:, 0].astype(jnp.float32) * 1e-9, None
         c, _ = jax.lax.scan(body, carry, jnp.arange(4))
         return c
 
     carry = jnp.zeros((b,), jnp.float32)
-    carry = mega(carry, rows)
+    carry = mega(carry, rows, plane_args)
     jax.block_until_ready(carry)
 
     def run():
-        c = mega(jnp.zeros((b,), jnp.float32), rows)
+        c = mega(jnp.zeros((b,), jnp.float32), rows, plane_args)
         jax.block_until_ready(c)
 
     s = timeit(run, reps=3, warm=1)

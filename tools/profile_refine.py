@@ -79,32 +79,35 @@ def main():
     now = jnp.float32(365.0)
     g, steps = 4, 2
 
-    def scan_only(qv):
+    # every megastep takes `dv` (the device arrays) as an ARGUMENT — closing
+    # over them would bake multi-GB XLA constants into the executable
+    # (CLAUDE.md: minutes-long remote compiles on the tunnel)
+    def scan_only(dv, qv):
         return pallas_scorer.score_topm_int8_coarse(
-            dev["e1"], dev["s1"], dev["err1"], dev["created"], dev["valid"],
-            qv, dev["w"], dev["bias"], now, jnp.int32(0), m=m, t=t_c, sub=sub_c,
+            dv["e1"], dv["s1"], dv["err1"], dv["created"], dv["valid"],
+            qv, dv["w"], dv["bias"], now, jnp.int32(0), m=m, t=t_c, sub=sub_c,
             interpret=False,
         )
 
     @jax.jit
-    def mega_scan(carry, q_all):
+    def mega_scan(carry, q_all, dv):
         def body(c, qv):
             qv = qv + 1e-12 * c[:, None]
-            vals, idxs = scan_only(qv)
+            vals, idxs = scan_only(dv, qv)
             return vals[:, 0] + idxs[:, 0].astype(jnp.float32) * 1e-9, None
 
         c, _ = jax.lax.scan(body, carry, q_all)
         return c
 
     @jax.jit
-    def mega_full(carry, q_all):
+    def mega_full(carry, q_all, dv):
         def body(c, qv):
             qv = qv + 1e-12 * c[:, None]
-            vals, idxs = scan_only(qv)
+            vals, idxs = scan_only(dv, qv)
             rows, ubs, bound = refine_mod.refine_select_from_scan(
-                dev["e1"], dev["s1"], dev["e2"], dev["s2"], dev["err2"],
-                dev["bloom"], dev["created"], dev["valid"],
-                qv, dev["w"], dev["bias"], now, vals, idxs,
+                dv["e1"], dv["s1"], dv["e2"], dv["s2"], dv["err2"],
+                dv["bloom"], dv["created"], dv["valid"],
+                qv, dv["w"], dv["bias"], now, vals, idxs,
             )
             return ubs[:, 0] + rows[:, 0].astype(jnp.float32) * 1e-9 + bound, None
 
@@ -117,12 +120,12 @@ def main():
     )
 
     @jax.jit
-    def mega_gather(carry, q_all, cand):
+    def mega_gather(carry, q_all, cand, dv):
         def body(c, qv):
             rows = (cand + c[:, None].astype(jnp.int32)) % n
-            c1 = jnp.take(dev["e1"], rows, axis=0)
-            c2 = jnp.take(dev["e2"], rows, axis=0)
-            bl = jnp.take(dev["bloom"], rows, axis=0)
+            c1 = jnp.take(dv["e1"], rows, axis=0)
+            c2 = jnp.take(dv["e2"], rows, axis=0)
+            bl = jnp.take(dv["bloom"], rows, axis=0)
             out = (
                 c1[:, 0, 0].astype(jnp.float32)
                 + c2[:, 0, 0].astype(jnp.float32)
@@ -135,17 +138,17 @@ def main():
 
     # refine_ub on static candidate rows (gather + dots + bloom dot)
     @jax.jit
-    def mega_refine(carry, q_all, cand):
+    def mega_refine(carry, q_all, cand, dv):
         def body(c, qv):
             qv = qv + 1e-12 * c[:, None]
             vals = jnp.zeros((b, m), dtype=jnp.float32)
             from omni_recall_tpu.ops.pallas_scorer import quantize_kw_weights
 
-            kw8 = quantize_kw_weights(dev["w"])
+            kw8 = quantize_kw_weights(dv["w"])
             ref = refine_mod.refine_ub(
-                dev["e1"], dev["s1"], dev["e2"], dev["s2"], dev["err2"],
-                dev["bloom"], dev["created"], dev["valid"],
-                qv, kw8, dev["bias"], now, cand, vals,
+                dv["e1"], dv["s1"], dv["e2"], dv["s2"], dv["err2"],
+                dv["bloom"], dv["created"], dv["valid"],
+                qv, kw8, dv["bias"], now, cand, vals,
             )
             return ref[:, 0], None
 
@@ -170,11 +173,11 @@ def main():
     )
     carry = jnp.zeros((b,), dtype=jnp.float32)
 
-    timeit(mega_gather, carry, (q_all, cand), g, steps, "gather only (c1+c2+bloom)")
+    timeit(mega_gather, carry, (q_all, cand, dev), g, steps, "gather only (c1+c2+bloom)")
     timeit(mega_select, carry, (q_all, cand, vals0), g, steps, "select only (top_k m->33)")
-    timeit(mega_refine, carry, (q_all, cand), g, steps, "refine_ub (gather+dots)")
-    timeit(mega_scan, carry, (q_all,), g, steps, "coarse scan only")
-    timeit(mega_full, carry, (q_all,), g, steps, "scan + refine_select (serve)")
+    timeit(mega_refine, carry, (q_all, cand, dev), g, steps, "refine_ub (gather+dots)")
+    timeit(mega_scan, carry, (q_all, dev), g, steps, "coarse scan only")
+    timeit(mega_full, carry, (q_all, dev), g, steps, "scan + refine_select (serve)")
 
 
 if __name__ == "__main__":
