@@ -50,6 +50,7 @@ class LocalDecoderChatClient:
         scheduler: str = "continuous",
         slots: int = 4,
         chunk_tokens: int = 16,
+        prefill_chunk: int = 0,
     ) -> None:
         import jax
 
@@ -60,6 +61,7 @@ class LocalDecoderChatClient:
         self._scheduler = (scheduler or "continuous").strip().lower()
         self._slots = max(1, int(slots))
         self._chunk_tokens = max(1, int(chunk_tokens))
+        self._prefill_chunk = max(0, int(prefill_chunk))
         self._batcher = None  # chat/serving.py, created lazily
         # serializes ALL generations, not just compiles: the chip executes
         # one program at a time anyway, and holding the lock across the
@@ -148,6 +150,7 @@ class LocalDecoderChatClient:
                         slots=self._slots, chunk=self._chunk_tokens,
                         temperature=self.temperature,
                         prompt_buckets=_PROMPT_BUCKETS,
+                        prefill_chunk=self._prefill_chunk,
                     )
         return self._batcher
 

@@ -75,7 +75,8 @@ class ContinuousBatcher:
     def __init__(self, dec_module, jax_module, params, cfg, *,
                  slots: int = 4, chunk: int = 16,
                  temperature: float = 0.0,
-                 prompt_buckets=(128, 256, 512)) -> None:
+                 prompt_buckets=(128, 256, 512),
+                 prefill_chunk: int = 0) -> None:
         self._dec = dec_module
         self._jax = jax_module
         self.params = params
@@ -84,6 +85,17 @@ class ContinuousBatcher:
         self.chunk = int(chunk)
         self.temperature = float(temperature)
         self._buckets = tuple(prompt_buckets)
+        # CHUNKED PREFILL (0 = whole-prompt): admission advances one
+        # prefill_chunk-token block per scheduler iteration, interleaved
+        # with decode chunks, so a long prompt's prefill stalls in-flight
+        # decodes by at most one block instead of the whole prompt.
+        # Cross-block attention reads the bf16 cache (decode-grade
+        # numerics, see decoder.prefill_block) — opt-in because the greedy
+        # bit-equality-to-generate() contract holds only for whole-prompt
+        # prefill.
+        self.prefill_chunk = max(0, int(prefill_chunk))
+        self._admissions: list[dict] = []   # in-progress chunked prefills
+        self._reserved: set[int] = set()    # slots held by admissions
         self._cond = threading.Condition()
         self._pending: list[_Request] = []
         self._active: list[_Request | None] = [None] * self.slots
@@ -155,6 +167,60 @@ class ContinuousBatcher:
         self._active[slot] = req
         self._host_pos[slot] = bucket
 
+    def _begin_admission(self, slot: int, req: _Request) -> None:
+        """Chunked-prefill admission: reserve the slot and stage a fresh
+        batch-1 cache; _step_admissions advances one block per scheduler
+        iteration and splices on completion."""
+        dec, jnp, cfg = self._dec, self._jax.numpy, self.cfg
+        bucket = self._bucket_for(len(req.toks), req.max_new)
+        prompt = dec.pad_left_batch([req.toks], bucket)
+        self._reserved.add(slot)
+        self._admissions.append({
+            "req": req, "slot": slot, "prompt": prompt, "bucket": bucket,
+            "pcache": dec.init_cache(cfg, 1),
+            "first_real": jnp.asarray(
+                [bucket - min(len(req.toks), bucket)], jnp.int32
+            ),
+            "next": 0, "logits": None,
+        })
+
+    def _step_admissions(self) -> None:
+        """Advance every in-progress admission by ONE prefill block; splice
+        completed ones into their reserved slot."""
+        dec, jax, cfg = self._dec, self._jax, self.cfg
+        still = []
+        for adm in self._admissions:
+            req = adm["req"]
+            try:
+                t = min(self.prefill_chunk, adm["bucket"] - adm["next"])
+                block = adm["prompt"][:, adm["next"]:adm["next"] + t]
+                adm["logits"], adm["pcache"] = dec.prefill_block(
+                    self.params, adm["pcache"], block, adm["first_real"],
+                    cfg, adm["next"],
+                )
+                adm["next"] += t
+            except Exception as exc:
+                logger.exception("chunked admission failed")
+                self._reserved.discard(adm["slot"])
+                req.err = exc
+                req.event.set()
+                continue
+            if adm["next"] < adm["bucket"]:
+                still.append(adm)
+                continue
+            slot = adm["slot"]
+            st = self._state
+            (st["cache"], st["kv"], st["logits"], st["pos"], st["done"],
+             st["keys"]) = dec.insert_slot(
+                st["cache"], st["kv"], st["logits"], st["pos"], st["done"],
+                st["keys"], adm["pcache"], adm["logits"], adm["prompt"],
+                jax.random.PRNGKey(req.seed), np.int32(slot), cfg,
+            )
+            self._reserved.discard(slot)
+            self._active[slot] = req
+            self._host_pos[slot] = adm["bucket"]
+        self._admissions = still
+
     def _run_chunk(self) -> None:
         dec, cfg = self._dec, self.cfg
         t = self.chunk
@@ -214,6 +280,7 @@ class ContinuousBatcher:
                 while (
                     not self._stop and not self._pending
                     and all(r is None for r in self._active)
+                    and not self._admissions
                 ):
                     self._cond.wait()
                 if self._stop:
@@ -221,13 +288,18 @@ class ContinuousBatcher:
                         r.err = RuntimeError("batcher shut down")
                         r.event.set()
                     self._pending.clear()
+                    for adm in self._admissions:
+                        adm["req"].err = RuntimeError("batcher shut down")
+                        adm["req"].event.set()
+                    self._admissions.clear()
                     return
                 pending, self._pending = self._pending, []
             try:
                 for k, req in enumerate(pending):
                     slot = next(
                         (s for s in range(self.slots)
-                         if self._active[s] is None), None,
+                         if self._active[s] is None
+                         and s not in self._reserved), None,
                     )
                     if slot is None:
                         with self._cond:
@@ -235,11 +307,17 @@ class ContinuousBatcher:
                             self._pending[:0] = pending[k:]
                         break
                     try:
-                        self._admit(slot, req)
+                        if self.prefill_chunk > 0:
+                            self._begin_admission(slot, req)
+                        else:
+                            self._admit(slot, req)
                     except Exception as exc:
                         logger.exception("admission failed")
+                        self._reserved.discard(slot)
                         req.err = exc
                         req.event.set()
+                if self._admissions:
+                    self._step_admissions()
                 if any(r is not None for r in self._active):
                     self._run_chunk()
                     self._retire_stale()
@@ -252,6 +330,11 @@ class ContinuousBatcher:
                         self._active[s].err = exc
                         self._active[s].event.set()
                         self._active[s] = None
+                for adm in self._admissions:
+                    adm["req"].err = exc
+                    adm["req"].event.set()
+                self._admissions.clear()
+                self._reserved.clear()
                 # device state may hold donated/invalid buffers — rebuild
                 try:
                     self._state = self._init_state()

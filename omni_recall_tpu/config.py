@@ -59,6 +59,11 @@ class AiOptions:
     local_scheduler: str = "continuous"
     local_slots: int = 4          # continuous: concurrent decode slots
     local_chunk_tokens: int = 16  # continuous: admission granularity
+    # continuous: CHUNKED PREFILL block size in tokens (0 = whole-prompt).
+    # Bounds the stall a long prompt's prefill causes for in-flight decode
+    # slots to one block; opt-in because cross-block attention reads the
+    # bf16 cache (decode-grade numerics; see decoder.prefill_block)
+    local_prefill_chunk: int = 0
 
 
 @dataclass

@@ -263,6 +263,95 @@ def prefill(params: dict, token_ids: jax.Array, cfg: DecoderConfig):
     return logits_last, cache
 
 
+@partial(jax.jit, donate_argnums=(1,), static_argnames=("cfg", "start"))
+def prefill_block(params: dict, cache: list[dict], block: jax.Array,
+                  first_real: jax.Array, cfg: DecoderConfig, start: int):
+    """One CHUNKED-PREFILL block: run prompt positions [start, start+T) of a
+    left-padded prompt batch against the cache prefix, writing this block's
+    k/v into the cache. ``first_real`` i32[B] is each row's first non-PAD
+    position (left padding ⇒ a prefix of PADs), which masks attention to
+    padded cache cells exactly as prefill()'s valid mask does.
+
+    Chaining blocks start=0, T, 2T, … over a fresh init_cache reproduces
+    prefill() up to cache-dtype rounding: PREVIOUS blocks' keys/values are
+    read back from the compute-dtype (bf16) cache — the same numerics
+    decode_step uses for every generated token — whereas the whole-prompt
+    prefill keeps them in f32 registers. Not bit-identical to prefill();
+    "decode-grade" for the cross-block terms. Executables are shaped by
+    (start, T) and are BUCKET-INDEPENDENT (the cache is [B, max_len, ...]),
+    so every prompt bucket shares the same block executables.
+
+    Purpose: iteration-level scheduling (chat/serving.py) — a long prompt's
+    admission no longer stalls in-flight decode slots for the whole prefill;
+    the scheduler interleaves one block per loop iteration with decode
+    chunks. Returns (last-position logits f32[B, vocab], cache)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    b, t = block.shape
+    al = start + t
+    h_, hd = cfg.n_heads, cfg.head_dim
+    x = params["tok_embed"][block] + params["pos_embed"][None, start:al]
+    x = x.astype(dtype)
+    jpos = jnp.arange(al)[None, None, :]                  # [1, 1, al]
+    qpos = (start + jnp.arange(t))[None, :, None]         # [1, T, 1]
+    mask = (jpos <= qpos) & (jpos >= first_real[:, None, None])  # [B, T, al]
+    for li, layer in enumerate(params["layers"]):
+        layer = jax.tree.map(lambda p: p.astype(dtype), layer)
+        h = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"])
+
+        def proj(w, src=h):
+            return jnp.einsum(
+                "btd,dk->btk", src, w, preferred_element_type=jnp.float32
+            ).reshape(b, t, h_, hd)
+
+        q = proj(layer["wq"])
+        k = proj(layer["wk"]).astype(dtype)
+        v = proj(layer["wv"]).astype(dtype)
+        ck = jax.lax.dynamic_update_slice(cache[li]["k"], k, (0, start, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache[li]["v"], v, (0, start, 0, 0))
+        cache[li] = {"k": ck, "v": cv}
+        # static prefix read: only [0, al) streams (same bound decode uses)
+        logits = jnp.einsum("bthe,bmhe->bhtm", q.astype(dtype), ck[:, :al],
+                            preferred_element_type=jnp.float32)
+        logits = logits / np.sqrt(hd)
+        logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+        weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        out = jnp.einsum("bhtm,bmhe->bthe", weights, cv[:, :al],
+                         preferred_element_type=jnp.float32)
+        att = jnp.einsum(
+            "btk,kd->btd", out.reshape(b, t, h_ * hd).astype(dtype),
+            layer["wo"], preferred_element_type=jnp.float32,
+        )
+        x = x + att.astype(dtype)
+        h = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"])
+        x = x + _ffn(h, layer).astype(dtype)
+    x_last = _layer_norm(
+        x[:, -1].astype(jnp.float32),
+        params["final_ln"]["scale"], params["final_ln"]["bias"],
+    )
+    return x_last @ params["lm_head"], cache
+
+
+def prefill_chunked(params: dict, token_ids, cfg: DecoderConfig, chunk: int):
+    """prefill() via prefill_block chunks (host loop; test/oracle helper —
+    the serving scheduler drives prefill_block itself to interleave decode
+    chunks between blocks). Returns (last-position logits, cache)."""
+    b, lp = token_ids.shape
+    valid = token_ids != PAD
+    # all-PAD rows get first_real = lp (nothing attendable), not argmax's 0
+    first_real = jnp.where(
+        valid.any(axis=1), jnp.argmax(valid, axis=1), lp
+    ).astype(jnp.int32)
+    cache = init_cache(cfg, b)
+    logits = None
+    for start in range(0, lp, chunk):
+        t = min(chunk, lp - start)
+        logits, cache = prefill_block(
+            params, cache, jnp.asarray(token_ids[:, start:start + t]),
+            first_real, cfg, start,
+        )
+    return logits, cache
+
+
 def decode_step(params: dict, cache: list[dict], token: jax.Array,
                 pos: jax.Array, cfg: DecoderConfig,
                 key_valid: jax.Array | None = None,

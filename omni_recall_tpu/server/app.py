@@ -179,6 +179,7 @@ class OmniRecallApp(WsgiApp):
                 scheduler=getattr(config.ai, "local_scheduler", "continuous"),
                 slots=getattr(config.ai, "local_slots", 4),
                 chunk_tokens=getattr(config.ai, "local_chunk_tokens", 16),
+                prefill_chunk=getattr(config.ai, "local_prefill_chunk", 0),
             )
             if getattr(config.ai, "local_warmup", True):
                 local_client.warmup_async()  # compile overlaps server startup

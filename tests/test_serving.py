@@ -160,6 +160,101 @@ def test_budget_retires_and_slot_is_reusable():
     batcher.shutdown()
 
 
+CFG32 = decoder.DecoderConfig(
+    d_model=32, n_layers=2, n_heads=2, d_ff=64, max_len=160,
+    compute_dtype="float32",
+)
+PARAMS32 = decoder.init_params(jax.random.PRNGKey(3), CFG32)
+
+
+def test_prefill_block_chain_matches_prefill_f32():
+    """In f32 the cache holds full-precision k/v, so chaining prefill_block
+    reproduces prefill() exactly (masked softmax terms are exact zeros and
+    XLA's padded tree-reductions make zero tails additive no-ops)."""
+    import jax.numpy as jnp
+
+    toks_a = decoder.encode_text("chunked prefill parity check text here")
+    toks_b = decoder.encode_text("short")
+    prompt = decoder.pad_left_batch([toks_a, toks_b], 64)
+    full_logits, full_cache = decoder.prefill(PARAMS32, jnp.asarray(prompt), CFG32)
+    chk_logits, chk_cache = decoder.prefill_chunked(PARAMS32, prompt, CFG32, chunk=16)
+    np.testing.assert_allclose(
+        np.asarray(chk_logits), np.asarray(full_logits), rtol=1e-5, atol=1e-5
+    )
+    # compare cached k/v only at real (non-PAD) positions: left-PAD cells
+    # hold garbage from fully-masked attention rows (whose uniform-softmax
+    # output depends on the attention window) and are never attendable
+    for row, toks in enumerate((toks_a, toks_b)):
+        first = 64 - len(toks)
+        for li in range(CFG32.n_layers):
+            for kv in ("k", "v"):
+                np.testing.assert_allclose(
+                    np.asarray(chk_cache[li][kv])[row, first:64],
+                    np.asarray(full_cache[li][kv])[row, first:64],
+                    rtol=1e-5, atol=1e-6,
+                )
+
+
+def test_prefill_block_bf16_decode_grade():
+    """bf16 chunked prefill matches whole-prompt prefill to cache-dtype
+    rounding (cross-block keys are read from the bf16 cache, exactly like
+    decode_step reads generated tokens' keys)."""
+    import jax.numpy as jnp
+
+    toks = decoder.encode_text("bfloat16 chunked prefill tolerance probe")
+    prompt = decoder.pad_left_batch([toks], 64)
+    full_logits, _ = decoder.prefill(PARAMS, jnp.asarray(prompt), CFG)
+    chk_logits, _ = decoder.prefill_chunked(PARAMS, prompt, CFG, chunk=16)
+    scale = float(np.max(np.abs(np.asarray(full_logits)))) or 1.0
+    assert np.max(np.abs(np.asarray(chk_logits) - np.asarray(full_logits))) <= 0.05 * scale
+
+
+def test_chunked_prefill_serving_matches_whole_prefill_f32():
+    """With an f32 cache the chunked-prefill scheduler's greedy streams are
+    bit-identical to the whole-prefill scheduler's (and to generate())."""
+    whole = ContinuousBatcher(
+        decoder, jax, PARAMS32, CFG32, slots=2, chunk=4,
+        prompt_buckets=BUCKETS,
+    )
+    chunked = ContinuousBatcher(
+        decoder, jax, PARAMS32, CFG32, slots=2, chunk=4,
+        prompt_buckets=BUCKETS, prefill_chunk=16,
+    )
+    for text, seed in (("hello recall world", 0), ("beta prompt", 5)):
+        toks = decoder.encode_text(text)
+        assert chunked.generate_sync(toks, seed, 12) == \
+            whole.generate_sync(toks, seed, 12), text
+    whole.shutdown()
+    chunked.shutdown()
+
+
+def test_chunked_prefill_isolation_and_completion():
+    """bf16 default config: concurrent requests all complete under chunked
+    admission, a request's stream is deterministic (two runs bit-equal),
+    and admissions interleave with live decodes without corrupting them."""
+    import threading
+
+    batcher = ContinuousBatcher(
+        decoder, jax, PARAMS, CFG, slots=2, chunk=4,
+        prompt_buckets=BUCKETS, prefill_chunk=8,
+    )
+    prompts = [decoder.encode_text(f"prompt number {i} padded out") for i in range(5)]
+    results = [None] * 5
+
+    def run(i):
+        results[i] = batcher.generate_sync(prompts[i], seed=i, max_new=6)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # deterministic: re-run each alone on the same batcher
+    for i in range(5):
+        assert results[i] == batcher.generate_sync(prompts[i], seed=i, max_new=6), i
+    batcher.shutdown()
+
+
 def test_client_continuous_matches_coalesce():
     from omni_recall_tpu.contracts import AiChatRequest
     from omni_recall_tpu.chat.local import LocalDecoderChatClient
