@@ -51,6 +51,7 @@ class LocalDecoderChatClient:
         slots: int = 4,
         chunk_tokens: int = 16,
         prefill_chunk: int = 0,
+        prefill_budget: int = 0,
     ) -> None:
         import jax
 
@@ -62,6 +63,7 @@ class LocalDecoderChatClient:
         self._slots = max(1, int(slots))
         self._chunk_tokens = max(1, int(chunk_tokens))
         self._prefill_chunk = max(0, int(prefill_chunk))
+        self._prefill_budget = max(0, int(prefill_budget))
         self._batcher = None  # chat/serving.py, created lazily
         # serializes ALL generations, not just compiles: the chip executes
         # one program at a time anyway, and holding the lock across the
@@ -151,6 +153,7 @@ class LocalDecoderChatClient:
                         temperature=self.temperature,
                         prompt_buckets=_PROMPT_BUCKETS,
                         prefill_chunk=self._prefill_chunk,
+                        prefill_budget=self._prefill_budget,
                     )
         return self._batcher
 

@@ -76,7 +76,8 @@ class ContinuousBatcher:
                  slots: int = 4, chunk: int = 16,
                  temperature: float = 0.0,
                  prompt_buckets=(128, 256, 512),
-                 prefill_chunk: int = 0) -> None:
+                 prefill_chunk: int = 0,
+                 prefill_budget: int = 0) -> None:
         self._dec = dec_module
         self._jax = jax_module
         self.params = params
@@ -94,7 +95,14 @@ class ContinuousBatcher:
         # bit-equality-to-generate() contract holds only for whole-prompt
         # prefill.
         self.prefill_chunk = max(0, int(prefill_chunk))
+        # per-ITERATION prefill budget (0 = unlimited): at most this many
+        # blocks advance per scheduler iteration across ALL in-progress
+        # admissions, round-robin — with many simultaneous long-prompt
+        # admissions the decode stall per iteration stays one budget's
+        # worth instead of one block per admission.
+        self.prefill_budget = max(0, int(prefill_budget))
         self._admissions: list[dict] = []   # in-progress chunked prefills
+        self._adm_rr = 0                    # round-robin cursor (budgeted)
         self._reserved: set[int] = set()    # slots held by admissions
         self._cond = threading.Condition()
         self._pending: list[_Request] = []
@@ -185,26 +193,34 @@ class ContinuousBatcher:
         })
 
     def _step_admissions(self) -> None:
-        """Advance every in-progress admission by ONE prefill block; splice
-        completed ones into their reserved slot."""
+        """Advance in-progress admissions by ONE prefill block each — at
+        most ``prefill_budget`` blocks total this iteration (0 = all),
+        round-robin so every admission makes progress; splice completed
+        ones into their reserved slot."""
         dec, jax, cfg = self._dec, self._jax, self.cfg
-        still = []
-        for adm in self._admissions:
+        n = len(self._admissions)
+        budget = self.prefill_budget or n
+        # rotate so the budgeted prefix starts at the round-robin cursor
+        order = [(self._adm_rr + i) % n for i in range(n)]
+        self._adm_rr = (self._adm_rr + budget) % max(1, n)
+        advanced, still = set(order[:budget]), []
+        for i, adm in enumerate(self._admissions):
             req = adm["req"]
-            try:
-                t = min(self.prefill_chunk, adm["bucket"] - adm["next"])
-                block = adm["prompt"][:, adm["next"]:adm["next"] + t]
-                adm["logits"], adm["pcache"] = dec.prefill_block(
-                    self.params, adm["pcache"], block, adm["first_real"],
-                    cfg, adm["next"],
-                )
-                adm["next"] += t
-            except Exception as exc:
-                logger.exception("chunked admission failed")
-                self._reserved.discard(adm["slot"])
-                req.err = exc
-                req.event.set()
-                continue
+            if i in advanced:
+                try:
+                    t = min(self.prefill_chunk, adm["bucket"] - adm["next"])
+                    block = adm["prompt"][:, adm["next"]:adm["next"] + t]
+                    adm["logits"], adm["pcache"] = dec.prefill_block(
+                        self.params, adm["pcache"], block, adm["first_real"],
+                        cfg, adm["next"],
+                    )
+                    adm["next"] += t
+                except Exception as exc:
+                    logger.exception("chunked admission failed")
+                    self._reserved.discard(adm["slot"])
+                    req.err = exc
+                    req.event.set()
+                    continue
             if adm["next"] < adm["bucket"]:
                 still.append(adm)
                 continue

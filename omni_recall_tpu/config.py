@@ -64,6 +64,10 @@ class AiOptions:
     # slots to one block; opt-in because cross-block attention reads the
     # bf16 cache (decode-grade numerics; see decoder.prefill_block)
     local_prefill_chunk: int = 0
+    # continuous: max prefill blocks advanced per scheduler iteration across
+    # ALL in-progress chunked admissions (0 = unlimited); bounds the decode
+    # stall under many simultaneous long-prompt admissions
+    local_prefill_budget: int = 0
 
 
 @dataclass

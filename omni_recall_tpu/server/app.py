@@ -180,6 +180,7 @@ class OmniRecallApp(WsgiApp):
                 slots=getattr(config.ai, "local_slots", 4),
                 chunk_tokens=getattr(config.ai, "local_chunk_tokens", 16),
                 prefill_chunk=getattr(config.ai, "local_prefill_chunk", 0),
+                prefill_budget=getattr(config.ai, "local_prefill_budget", 0),
             )
             if getattr(config.ai, "local_warmup", True):
                 local_client.warmup_async()  # compile overlaps server startup

@@ -255,6 +255,40 @@ def test_chunked_prefill_isolation_and_completion():
     batcher.shutdown()
 
 
+def test_prefill_budget_round_robin_completes_and_matches():
+    """With a 1-block/iteration budget, many simultaneous long-prompt
+    admissions still all complete, streams match the unbudgeted scheduler
+    (f32 cache => bit-equal), and in-flight decodes keep advancing."""
+    import threading
+
+    kw = dict(slots=4, chunk=4, prompt_buckets=BUCKETS, prefill_chunk=8)
+    budgeted = ContinuousBatcher(
+        decoder, jax, PARAMS32, CFG32, prefill_budget=1, **kw
+    )
+    plain = ContinuousBatcher(decoder, jax, PARAMS32, CFG32, **kw)
+    prompts = [
+        decoder.encode_text(f"budgeted admission prompt {i} with filler words")
+        for i in range(4)
+    ]
+    res_b, res_p = [None] * 4, [None] * 4
+
+    def run(store, batcher, i):
+        store[i] = batcher.generate_sync(prompts[i], seed=i, max_new=6)
+
+    threads = [
+        threading.Thread(target=run, args=(store, batcher, i))
+        for store, batcher in ((res_b, budgeted), (res_p, plain))
+        for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert res_b == res_p
+    budgeted.shutdown()
+    plain.shutdown()
+
+
 def test_client_continuous_matches_coalesce():
     from omni_recall_tpu.contracts import AiChatRequest
     from omni_recall_tpu.chat.local import LocalDecoderChatClient
