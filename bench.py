@@ -132,7 +132,12 @@ def bench_e2e(
         e /= nrm[:k]
 
     contents = [f"topic c{cid}x synthetic chunk" for cid in range(n_clusters)]
-    created_days = np.linspace(0.0, 365.0, n).astype(np.float32)
+    # 3-decimal days (86.4 ms granularity): the record datetimes below are
+    # built from the ROUNDED value, so the device created column handed to
+    # bulk_load must encode the same instant — snapshot restore's integrity
+    # sample bit-compares created against a re-derivation from the store's
+    # timestamps and correctly rejects the fast path on any mismatch
+    created_days = np.round(np.linspace(0.0, 365.0, n), 3).astype(np.float32)
     day_cache = {}
     meta = []
     for i in range(n):
