@@ -227,6 +227,12 @@ class EngineOptions:
     # phase-1 width when refined device bounds are available (the bounds are
     # within ~1e-4 of truth, so barely more than k candidates can survive)
     rescore_phase1_refined: int = 12
+    # device refine width: only the top-r scan candidates (by scan bound)
+    # are re-scored by the residual-int8 refine stage; the (r+1)-th scan
+    # bound joins the certificate bound, so exactness is unchanged while
+    # the refine gather+kernel cost scales with r (ops/refine.py). 0 = the
+    # full scan width m.
+    refine_width: int = 64
     # coarse prepass (pallas + int8 + exact only): first scan computes
     # cosine + recency with the keyword term bounded per query by
     # 0.2*min(1, sum_w + bias); the certificate still guarantees exactness

@@ -120,48 +120,62 @@ def refine_ub_from_scan(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("t_out",))
+@functools.partial(jax.jit, static_argnames=("t_out", "r"))
 def refine_select_from_scan(
     emb1, scale1, emb2, scale2, err2, bloom, created, valid,
     q, kw_weights, kw_bias, now_days, vals_full, idxs_full,
     t_out: int = 32,
+    r: int | None = None,
 ):
     """Refine + device-side candidate selection in one dispatch.
 
-    Computes the refined bounds for the scan's m candidates, co-sorts the
-    candidate rows by min(scan bound, refined bound) ON DEVICE, and returns
-    only the compact top-t_out slice plus a single certificate bound:
+    Computes the refined bounds for the top-``r`` scan candidates (by scan
+    bound; the scan/merge output arrives sorted descending — ops/merge.py
+    top_k_with_payload), co-sorts those rows by min(scan bound, refined
+    bound) ON DEVICE, and returns only the compact top-t_out slice plus a
+    single certificate bound:
 
-        (rows [B, k], ubs [B, k], bound [B]),  k = min(t_out, m)
-        bound = max(scan boundary,  (t_out+1)-th best refined bound)
+        (rows [B, k], ubs [B, k], bound [B]),  k = min(t_out, r)
+        bound = max(scan boundary,            # rows the scan excluded
+                    (r+1)-th scan bound,      # candidates refine skipped
+                    (t_out+1)-th refined)     # candidates select dropped
 
     ``bound`` is a sound upper bound on EVERY row not in the returned
-    slice — scan-excluded rows are under the scan boundary (vals_full[:, m])
-    and dropped candidates are under the (t_out+1)-th sorted bound — so the
-    engine's certificate check ``exact kth > bound`` retains its exact
-    semantics while the readback shrinks from 3x[B, m+1] to ~3x[B, 32]
-    (the dominant per-batch transport cost at serving batch sizes).
+    slice, so the engine's certificate check ``exact kth > bound`` retains
+    its exact semantics while the readback shrinks from 3x[B, m+1] to
+    ~3x[B, 32] (the dominant per-batch transport cost at serving batch
+    sizes). ``r`` < m additionally halves-or-better the refine stage's
+    gather + kernel cost ([B, r, d] x2 int8 rows — the serving stage's
+    second-largest term, tools/probe_serve.py): on discriminative corpora
+    the exact kth sits far above the (r+1)-th scan bound, so certificates
+    keep resolving; near-tie corpora escalate exactly as before.
     bound == -inf still means the returned slice covers the whole snapshot
     (nothing live was excluded anywhere)."""
     from omni_recall_tpu.ops.merge import top_k_with_payload
     from omni_recall_tpu.ops.pallas_scorer import quantize_kw_weights
 
     kw_w8 = quantize_kw_weights(kw_weights)
-    rows = idxs_full[:, :-1]
-    vals = vals_full[:, :-1]
+    b, m1 = vals_full.shape
+    m = m1 - 1
+    r = m if r is None else max(1, min(r, m))
+    rows = idxs_full[:, :r]
+    vals = vals_full[:, :r]
     refined = _refine_dispatch(
         emb1, scale1, emb2, scale2, err2, bloom, created, valid,
         q, kw_w8, kw_bias, now_days, rows, vals,
     )
     ubs = jnp.minimum(vals, refined)  # min of sound bounds is sound
-    b, m = ubs.shape
-    k = min(t_out, m)
-    top_v, top_i = top_k_with_payload(ubs, rows, min(t_out + 1, m))
+    k = min(t_out, r)
+    top_v, top_i = top_k_with_payload(ubs, rows, min(t_out + 1, r))
     tail = (
         top_v[:, k] if top_v.shape[1] > k
         else jnp.full((b,), -jnp.inf, dtype=top_v.dtype)
     )
     bound = jnp.maximum(vals_full[:, -1], tail)
+    if r < m:
+        # first refine-skipped candidate: sound over positions r..m-1
+        # (sorted descending)
+        bound = jnp.maximum(bound, vals_full[:, r])
     return top_i[:, :k], top_v[:, :k], bound
 
 

@@ -234,11 +234,17 @@ class RecallEngine:
             max_k + 8,
         )
         t_out = 1 << (t_out - 1).bit_length()
+        # refine width: re-scoring only the top-r scan candidates halves the
+        # stage's gather+kernel cost at r = m/2 (ops/refine.py docstring);
+        # the (r+1)-th scan bound folds into the certificate bound
+        r = getattr(self.options, "refine_width", 0) or m
+        r = max(t_out, min(r, m))
+        r = ((r + 7) // 8) * 8  # fused-kernel shape contract (_fused_ok)
         return _refine.refine_select_from_scan(
             dev.emb, dev.scale, dev.emb2, dev.scale2, dev.err2,
             dev.bloom, dev.created, dev.valid,
             q_dev, w_dev, bias_dev, now_dev, vals_d, idxs_d,
-            t_out=t_out,
+            t_out=t_out, r=min(r, m),
         )
 
     def rebuild_index(self) -> None:
