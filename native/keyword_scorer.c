@@ -22,7 +22,7 @@
  * mtime beats the source would otherwise be called with mismatched
  * marshalling (e.g. a weight double landing where the old ABI expected the
  * out pointer -> segfault). */
-#define OMNI_NATIVE_ABI 4
+#define OMNI_NATIVE_ABI 5
 int omni_abi_version(void) { return OMNI_NATIVE_ABI; }
 
 /* Two-way/memmem is glibc; provide a fallback for other libcs. */
@@ -369,6 +369,11 @@ typedef struct {
 
 static void *rescore_worker(void *argp) {
     rescore_job *j = (rescore_job *)argp;
+    /* keyword-only mode (raw_emb == NULL): the device-exact cosine stage
+     * (ops/exact_cos.py) already streamed the embeddings on the TPU, so
+     * this call scores ONLY w_kw * keyword — no embedding/norm reads at
+     * all, cutting host bytes/pair from ~dim*4 to the content bytes. */
+    int with_cos = j->raw_emb != NULL;
     for (long i = j->lo; i < j->hi; i++) {
         if (i + 1 < j->hi) {
             /* candidate rows are scattered through a matrix far larger than
@@ -376,22 +381,26 @@ static void *rescore_worker(void *argp) {
              * content bytes so their DRAM latency overlaps this pair's
              * compute — measured ~2.3x on the dot throughput at d=768 */
             long long nrow = j->rows[i + 1];
-            const char *pe = (const char *)(j->raw_emb + (size_t)nrow * j->dim);
-            long pb = j->dim * (long)sizeof(float);
-            for (long o = 0; o < pb; o += 256) __builtin_prefetch(pe + o, 0, 0);
+            if (with_cos) {
+                const char *pe = (const char *)(j->raw_emb + (size_t)nrow * j->dim);
+                long pb = j->dim * (long)sizeof(float);
+                for (long o = 0; o < pb; o += 256) __builtin_prefetch(pe + o, 0, 0);
+                __builtin_prefetch((const char *)(j->norm_sq + nrow), 0, 0);
+            }
             __builtin_prefetch(j->arena + j->arena_off[nrow], 0, 0);
-            __builtin_prefetch((const char *)(j->norm_sq + nrow), 0, 0);
         }
         long long row = j->rows[i];
         long q = (long)j->owner[i];
         double cos = 0.0;
-        double qn = j->q_norm[q];
-        double ns = j->norm_sq[row];
-        if (qn > 0.0 && ns > 0.0) {
-            double dot = pairwise_prod_f64(j->q_emb + (size_t)q * j->dim,
-                                           j->raw_emb + (size_t)row * j->dim,
-                                           j->dim);
-            cos = dot / (sqrt(qn) * sqrt(ns));
+        if (with_cos) {
+            double qn = j->q_norm[q];
+            double ns = j->norm_sq[row];
+            if (qn > 0.0 && ns > 0.0) {
+                double dot = pairwise_prod_f64(j->q_emb + (size_t)q * j->dim,
+                                               j->raw_emb + (size_t)row * j->dim,
+                                               j->dim);
+                cos = dot / (sqrt(qn) * sqrt(ns));
+            }
         }
         double kw = 0.0;
         long long t_lo = j->query_term_off[q], t_hi = j->query_term_off[q + 1];

@@ -233,6 +233,16 @@ class EngineOptions:
     # the refine gather+kernel cost scales with r (ops/refine.py). 0 = the
     # full scan width m.
     refine_width: int = 64
+    # device-exact cosine (pallas + int8 + refine + exact only): a raw-f32
+    # device plane (+d*4 bytes/row HBM) lets the device compute the final
+    # cosines in double-float arithmetic (ops/exact_cos.py); the host then
+    # scores only keyword+recency (zero embedding bytes streamed) and
+    # certifies that the float64 oracle could not rank or round the DTO
+    # differently, escalating near-ties to the bit-exact host rescore.
+    # Results are DTO-identical to the oracle (ranking + 4-decimal scores);
+    # raw SearchHit.score may differ from the oracle float64 by < ~1e-10
+    # on certified queries (the margin the certificate enforces).
+    device_exact_cos: bool = False
     # coarse prepass (pallas + int8 + exact only): first scan computes
     # cosine + recency with the keyword term bounded per query by
     # 0.2*min(1, sum_w + bias); the certificate still guarantees exactness

@@ -114,8 +114,7 @@ def _upload_slabbed(host: np.ndarray) -> jax.Array:
     return dev
 
 
-@partial(jax.jit, static_argnames=("refine",), donate_argnums=(0,))
-def _device_quantize(x: jax.Array, refine: bool) -> dict[str, jax.Array]:
+def _device_quantize_impl(x: jax.Array, refine: bool) -> dict[str, jax.Array]:
     """int8 (+residual) quantization ON DEVICE for large full uploads: the
     host quantizer (ops/quantize.py) streams multiple f64 passes over the
     whole matrix — ~10s per 65k rows on a burstable 1-core host — while the
@@ -151,6 +150,16 @@ def _device_quantize(x: jax.Array, refine: bool) -> dict[str, jax.Array]:
     return out
 
 
+_device_quantize = partial(
+    jax.jit, static_argnames=("refine",), donate_argnums=(0,)
+)(_device_quantize_impl)
+# non-donating twin: the exact-cosine raw plane keeps the uploaded f32
+# rows alive as dev.raw when raw_emb aliases emb (bulk_load fast path)
+_device_quantize_keep = partial(
+    jax.jit, static_argnames=("refine",)
+)(_device_quantize_impl)
+
+
 @dataclass
 class DeviceArrays:
     emb: jax.Array            # f32 | bf16 | int8 rows, per scan_dtype
@@ -164,6 +173,9 @@ class DeviceArrays:
     emb2: jax.Array | None = None
     scale2: jax.Array | None = None
     err2: jax.Array | None = None
+    # bitwise copy of the host raw_emb mirror (f32) for the device-exact
+    # cosine stage (ops/exact_cos.py); costs d*4 bytes/row of HBM
+    raw: jax.Array | None = None
 
 
 class DeviceIndex:
@@ -178,6 +190,7 @@ class DeviceIndex:
         mesh=None,
         scan_dtype: str = "f32",  # f32 | bf16 | int8 device storage
         refine: bool = False,     # keep a residual int8 plane (ops/refine.py)
+        exact_cos: bool = False,  # keep a raw-f32 plane (ops/exact_cos.py)
     ) -> None:
         if bloom_bits % 8 != 0:
             raise ValueError("bloom_bits must be a multiple of 8")
@@ -187,6 +200,9 @@ class DeviceIndex:
         self.mesh = mesh
         self.scan_dtype = scan_dtype
         self.refine = bool(refine) and scan_dtype == "int8"
+        # raw-f32 device plane for the device-exact cosine (single-device
+        # only: the sharded path keeps the host rescore)
+        self.exact_cos = bool(exact_cos) and mesh is None
         capacity_block = max(128, capacity_block)
         if mesh is not None:
             # even row sharding: capacity must divide by the shard count
@@ -666,6 +682,7 @@ class DeviceIndex:
             emb2=take(odev.emb2),
             scale2=take(odev.scale2),
             err2=take(odev.err2),
+            raw=take(odev.raw),
         )
         self._device_cap = cap
         self._dirty_blocks.clear()
@@ -971,18 +988,31 @@ class DeviceIndex:
     def _device_arrays_locked(self) -> DeviceArrays:
         if self._device is None or self._device_cap != self._cap:
             pre = self._preconverted
+            raw_dev = None
             if pre is not None and pre["emb"].shape[0] == self._cap:
                 converted = pre  # snapshot restore: skip re-quantization
+                if self.exact_cos:
+                    raw_dev = self._put(self.raw_emb)
             elif (
                 self.scan_dtype == "int8"
                 and self.mesh is None
                 and self._cap >= self._DEVICE_QUANTIZE_MIN_ROWS
             ):
-                converted = _device_quantize(
-                    _upload_slabbed(self.emb), self.refine
-                )
+                up = _upload_slabbed(self.emb)
+                if self.exact_cos and self._raw_aliased:
+                    # raw_emb IS emb (bulk_load fast path): ONE f32 upload
+                    # serves both the raw plane and the device quantizer
+                    # (non-donating twin keeps the buffer alive)
+                    raw_dev = up
+                    converted = _device_quantize_keep(up, self.refine)
+                else:
+                    converted = _device_quantize(up, self.refine)
+                    if self.exact_cos:
+                        raw_dev = self._put(self.raw_emb)
             else:
                 converted = self._convert_emb(self.emb)
+                if self.exact_cos:
+                    raw_dev = self._put(self.raw_emb)
             self._preconverted = None
             self._device = DeviceArrays(
                 emb=self._put(converted["emb"]),
@@ -994,6 +1024,7 @@ class DeviceIndex:
                 emb2=self._put(converted["emb2"]) if "emb2" in converted else None,
                 scale2=self._put(converted["scale2"]) if "scale2" in converted else None,
                 err2=self._put(converted["err2"]) if "err2" in converted else None,
+                raw=raw_dev,
             )
             self._device_cap = self._cap
             self._dirty_blocks.clear()
@@ -1033,6 +1064,12 @@ class DeviceIndex:
                     err2=(
                         _set_slab(dev.err2, jnp.asarray(converted["err2"]), start)
                         if dev.err2 is not None else None
+                    ),
+                    raw=(
+                        _set_slab(
+                            dev.raw, jnp.asarray(self.raw_emb[b_lo:b_hi]), start
+                        )
+                        if dev.raw is not None else None
                     ),
                 )
             self._device = dev

@@ -49,7 +49,7 @@ def _build() -> bool:
     return False
 
 
-_ABI_VERSION = 4  # must match OMNI_NATIVE_ABI in keyword_scorer.c
+_ABI_VERSION = 5  # must match OMNI_NATIVE_ABI in keyword_scorer.c
 
 
 def _abi_version(lib) -> int:
@@ -270,7 +270,12 @@ def hybrid_rescore(
     pair in one native call (the caller adds the recency term). The fusion
     weights are passed from ops/oracle.py so they have one source of truth.
     Returns np.float64 [total] or None when the native lib is
-    unavailable/unverified."""
+    unavailable/unverified.
+
+    ``raw_emb=None`` selects KEYWORD-ONLY mode (ABI 5): the cosine term is
+    skipped entirely (no embedding/norm stream) and out = KEYWORD_WEIGHT*kw.
+    The device-exact cosine path (ops/exact_cos.py) uses this to keep the
+    host's bytes/pair at just the candidate content."""
     import numpy as np
 
     from omni_recall_tpu.ops.oracle import COSINE_WEIGHT, KEYWORD_WEIGHT
@@ -318,9 +323,9 @@ def hybrid_rescore(
     owner_c = np.ascontiguousarray(owner, dtype=np.int64)
     try:
         rc = lib.hybrid_rescore(
-            raw_emb.ctypes.data_as(f32p),
-            norm_sq.ctypes.data_as(f64p),
-            raw_emb.shape[1],
+            raw_emb.ctypes.data_as(f32p) if raw_emb is not None else None,
+            norm_sq.ctypes.data_as(f64p) if raw_emb is not None else None,
+            raw_emb.shape[1] if raw_emb is not None else 0,
             buf_ptr(arena),
             arena_off.ctypes.data_as(i64p),
             rows_c.ctypes.data_as(i64p),

@@ -112,6 +112,13 @@ class RecallEngine:
                 mesh=mesh,
                 scan_dtype=self.options.scan_dtype if self.options.backend == "pallas" else "f32",
                 refine=getattr(self.options, "refine", False) and mesh is None,
+                exact_cos=(
+                    getattr(self.options, "device_exact_cos", False)
+                    and getattr(self.options, "refine", False)
+                    and mesh is None
+                    and self.options.backend == "pallas"
+                    and self.options.scan_dtype == "int8"
+                ),
             )
         self.device_index = device_index
         self.mesh = mesh if mesh is not None else (
@@ -145,6 +152,8 @@ class RecallEngine:
             "rescore_pairs_total": 0,       # (query,row) pairs exact-rescored
             "rescore_pairs_saved_total": 0, # pairs skipped by the 2-phase prune
             "kw_only_resolved_total": 0,    # resolved by the keyword-only scan
+            "dd_resolved_total": 0,         # certified via device-exact cosine
+            "dd_escalations_total": 0,      # DD margin failures -> host rescore
         }
         # Adaptive prepass gate: on corpora with near-tie score distributions
         # the coarse certificate keeps failing and the prepass only adds
@@ -839,6 +848,71 @@ class RecallEngine:
             for qi in range(nq)
         ]
 
+    def _kw_scores_flat(
+        self,
+        rows: np.ndarray,
+        owner: np.ndarray,
+        term_lists: list[list[str]],
+        dix,
+    ) -> np.ndarray:
+        """KEYWORD_WEIGHT * exact-substring keyword score per (query, row)
+        pair — the host half of the device-exact-cosine path. Native
+        keyword-only rescore (hybrid_rescore with a NULL embedding plane:
+        zero embedding bytes streamed) with the same numpy/python fallbacks
+        as _exact_rescore_rows; values are bit-identical to the full host
+        path's keyword term either way."""
+        from omni_recall_tpu.ops import native
+
+        total = len(rows)
+        nq = len(term_lists)
+        if total == 0:
+            return np.zeros(0, dtype=np.float64)
+        if native.rescore_available():
+            flat_terms: list[bytes] = []
+            q_term_off = [0]
+            for terms in term_lists:
+                flat_terms.extend(t.encode("utf-8") for t in terms)
+                q_term_off.append(len(flat_terms))
+            term_off = np.zeros(len(flat_terms) + 1, dtype=np.int64)
+            np.cumsum([len(t) for t in flat_terms], out=term_off[1:])
+            dummy_q = np.zeros((nq, 1), dtype=np.float32)
+            dummy_qn = np.zeros(nq, dtype=np.float64)
+            with dix._lock:  # arena stability (bytearray growth reallocates)
+                out = native.hybrid_rescore(
+                    None, None, dix._arena, dix.content_off,
+                    rows, owner, dummy_q, dummy_qn,
+                    b"".join(flat_terms), term_off,
+                    np.asarray(q_term_off, dtype=np.int64),
+                )
+            if out is not None:
+                return out
+        kw = np.zeros(total, dtype=np.float64)
+        if any(term_lists):
+            meta = dix.meta
+            contents = [
+                m.content_lower_utf8() if (m := meta[r]) is not None else b""
+                for r in rows
+            ]
+            flat_terms = []
+            offsets = [0]
+            for terms in term_lists:
+                flat_terms.extend(t.encode("utf-8") for t in terms)
+                offsets.append(len(flat_terms))
+            kws = native.keyword_scores_multi(
+                contents, owner.tolist(), flat_terms, offsets
+            )
+            if kws is not None:
+                kw = np.asarray(kws, dtype=np.float64)
+            else:  # pure-python fallback (no native lib at all)
+                for i, r in enumerate(rows):
+                    terms = term_lists[owner[i]]
+                    m = meta[r]
+                    if m is not None and terms and m.content.strip():
+                        kw[i] = oracle.keyword_score_terms(
+                            terms, oracle.lower_invariant(m.content)
+                        )
+        return oracle.KEYWORD_WEIGHT * kw
+
     def _exact_rescore_rows_pruned(
         self,
         queries: list[tuple[str, list[float] | None]],
@@ -1088,6 +1162,24 @@ class RecallEngine:
         # ~bits/(d+bits) of the fused scan cost with no emb stream. This is
         # the primary serving path of the default Embeddings:Provider=None
         # config. Certificate failures continue into the full fused loop.
+        def chain_dd(sel):
+            """Chain the device-exact cosine stage onto a compact selection
+            (ops/exact_cos.py): DD-dot the selected rows against the RAW
+            query matrix, in the same dispatch stream. Returns the (hi, lo,
+            sabs) device triple or None when the raw plane is absent."""
+            if dev.raw is None or not getattr(
+                self.options, "device_exact_cos", False
+            ):
+                return None
+            from omni_recall_tpu.ops import exact_cos as _ec
+
+            q_raw_dev = ctx.get("q_raw_dev")
+            if q_raw_dev is None:
+                q_raw_dev = ctx["q_raw_dev"] = jnp.asarray(q_raw)
+            dd = _ec.exact_cos_rows(dev.raw, sel[0], q_raw_dev)
+            _start_host_copies(dd)
+            return dd
+
         kw_only = [
             i for i in range(b)
             if i not in host_set and not q_live[i]
@@ -1101,6 +1193,7 @@ class RecallEngine:
                     m, max(ks),
                 )
                 if sel is not None:
+                    ctx["kw_dd"] = chain_dd(sel)
                     _start_host_copies(sel)
                     ctx["kw_scan"] = ("compact", kw_only, *sel)
                 else:
@@ -1132,6 +1225,7 @@ class RecallEngine:
                     m, max(ks),
                 )
                 if sel is not None:
+                    ctx["coarse_dd"] = chain_dd(sel)
                     _start_host_copies(sel)
                     ctx["coarse_scan"] = ("compact", prepass, *sel)
                 else:
@@ -1306,7 +1400,157 @@ class RecallEngine:
                 ]
             return unresolved
 
-        def consume_prepass(scan):
+        def rescore_and_certify_compact_dd(
+            pending, rows_a, ubs_a, bounds_a, hi_a, lo_a, sabs_a
+        ):
+            """Certify from the compact selection using the DEVICE-exact
+            cosines (ops/exact_cos.py): the host computes only keyword (via
+            the native keyword-only rescorer — no embedding stream) and
+            recency, fuses in f64 with the device double-float cosines, and
+            certifies per query that the numpy-oracle scores could not
+            rank or round differently (margins from finish_cosines; see the
+            exact_cos module docstring). Queries failing any certificate —
+            near-tie scores, rounding-midpoint proximity, kth-vs-bound
+            margin — escalate to rescore_and_certify_compact (the bit-exact
+            host float64 path) over the same candidate slice. Returns the
+            still-unresolved indices."""
+            from omni_recall_tpu.ops import exact_cos as _ec
+            from omni_recall_tpu.index.device_index import to_micros
+
+            row_lists, dd_pos = [], []
+            for i in pending:
+                rows, ubs = rows_a[i], ubs_a[i]
+                live = (ubs > -np.inf) & (rows >= 0)
+                pos = np.nonzero(live)[0]
+                rows = rows[pos]
+                if len(rows):
+                    keep = dix.valid[rows]  # concurrent-delete tombstones
+                    rows, pos = rows[keep], pos[keep]
+                row_lists.append(rows.astype(np.int64))
+                dd_pos.append(pos)
+            lens = [len(r) for r in row_lists]
+            total = int(sum(lens))
+            if total == 0:
+                return rescore_and_certify_compact(
+                    pending, rows_a, ubs_a, bounds_a
+                )
+            rows_flat = np.concatenate(row_lists)
+            owner = np.repeat(np.arange(len(pending)), lens)
+            own_q = np.asarray(pending)[owner]  # batch-level query index
+            hi = np.concatenate(
+                [hi_a[i][dd_pos[pi]] for pi, i in enumerate(pending)]
+            )
+            lo = np.concatenate(
+                [lo_a[i][dd_pos[pi]] for pi, i in enumerate(pending)]
+            )
+            sabs = np.concatenate(
+                [sabs_a[i][dd_pos[pi]] for pi, i in enumerate(pending)]
+            )
+            self.stats["rescore_pairs_total"] += total
+
+            cos, m_cos = _ec.finish_cosines(
+                hi, lo, sabs, ctx["q_norms"][own_q], dix.raw_norm_sq[rows_flat]
+            )
+            kw_term = self._kw_scores_flat(
+                rows_flat, owner, [ctx["terms"][i] for i in pending], dix
+            )
+            now_us = to_micros(now)
+            age = np.maximum(
+                0.0,
+                ((now_us - dix.created_us[rows_flat]).astype(np.float64) / 1e6)
+                / 86400.0,
+            )
+            rec = np.exp(-age / oracle.RECENCY_HALF_LIFE_DAYS)
+            # EXACTLY the oracle expression order (fl(fl(0.7c)+fl(0.2kw)) +
+            # fl(0.1rec)): given equal cosines the result is bit-identical
+            # to the host float64 path
+            scores = (
+                oracle.COSINE_WEIGHT * cos + kw_term
+            ) + oracle.RECENCY_WEIGHT * rec
+            # score-level margin: 0 where the cosine is exact (zero-norm
+            # guard / zero products) — equal scores then certify as ties
+            margins = np.where(
+                m_cos > 0.0,
+                oracle.COSINE_WEIGHT * m_cos + 4e-16 * (np.abs(scores) + 1.0),
+                0.0,
+            )
+            if dix.update_seq != upd_seq0:
+                oracle_fill(pending)  # reindex race: same as the host path
+                return []
+
+            order = np.lexsort(
+                (-dix.seqs[rows_flat], -dix.created_ts[rows_flat], -scores, owner)
+            )
+            rows_s = rows_flat[order]
+            scores_s = scores[order]
+            margins_s = margins[order]
+            seg = np.zeros(len(pending) + 1, dtype=np.int64)
+            np.cumsum(lens, out=seg[1:])
+
+            unresolved: list[int] = []
+            escalate: list[int] = []
+            for pi, i in enumerate(pending):
+                k = ks[i]
+                s = scores_s[seg[pi]: seg[pi + 1]]
+                mg = margins_s[seg[pi]: seg[pi + 1]]
+                r = rows_s[seg[pi]: seg[pi + 1]]
+                boundary = bounds_a[i]
+                kk = min(k, len(s))
+                if boundary != -np.inf:
+                    if len(s) < k or s[k - 1] + mg[k - 1] <= boundary:
+                        # PROVABLE certificate failure: the exact kth (which
+                        # lies within the margin) cannot beat the device
+                        # bound — the host rescore would fail identically,
+                        # so skip it and go straight to the scan escalation
+                        unresolved.append(i)
+                        continue
+                    if not (s[k - 1] - mg[k - 1] > boundary):
+                        # kth within the DD margin of the bound: only the
+                        # bit-exact host score can decide — DD-attributable
+                        escalate.append(i)
+                        continue
+                ok = True
+                # ranking: adjacent non-overlap among the top k (+1) entries
+                for j in range(min(kk, len(s) - 1)):
+                    gap_ok = s[j] - s[j + 1] > mg[j] + mg[j + 1]
+                    tie_ok = (
+                        s[j] == s[j + 1] and mg[j] == 0.0 and mg[j + 1] == 0.0
+                    )
+                    if not (gap_ok or tie_ok):
+                        ok = False
+                        break
+                # tail domination: the kth strictly above every dropped row
+                # (or exact-tied with margin 0 — both paths tie-break alike)
+                if ok and len(s) > kk and kk >= 1:
+                    tail_s, tail_m = s[kk:], mg[kk:]
+                    lead = s[kk - 1] - mg[kk - 1]
+                    bad = ~(
+                        (lead > tail_s + tail_m)
+                        | ((tail_s == s[kk - 1]) & (tail_m == 0.0)
+                           & (mg[kk - 1] == 0.0))
+                    )
+                    if bad.any():
+                        ok = False
+                # DTO rounding: the 4-decimal edge must be margin-invariant
+                if ok and not _ec.round4_certified(s[:kk], mg[:kk]).all():
+                    ok = False
+                if not ok:
+                    escalate.append(i)
+                    continue
+                self.stats["dd_resolved_total"] += 1
+                results[i] = [
+                    SearchHit(meta[int(row)], float(sc))
+                    for row, sc in zip(r[:kk], s[:kk])
+                    if meta[int(row)] is not None
+                ]
+            if escalate:
+                self.stats["dd_escalations_total"] += len(escalate)
+                unresolved.extend(
+                    rescore_and_certify_compact(escalate, rows_a, ubs_a, bounds_a)
+                )
+            return unresolved
+
+        def consume_prepass(scan, dd=None):
             import jax as _jax
 
             tag, pending = scan[0], scan[1]
@@ -1314,6 +1558,15 @@ class RecallEngine:
                 # ONE batched readback: per-array np.asarray costs a full
                 # tunnel round trip each (~40 ms measured); the dispatch
                 # phase already started the host copies asynchronously
+                if dd is not None:
+                    rows_h, ubs_h, bound_h, hi_h, lo_h, sabs_h = (
+                        _jax.device_get(
+                            (scan[2], scan[3], scan[4], dd[0], dd[1], dd[2])
+                        )
+                    )
+                    return pending, rescore_and_certify_compact_dd(
+                        pending, rows_h, ubs_h, bound_h, hi_h, lo_h, sabs_h
+                    )
                 rows_h, ubs_h, bound_h = _jax.device_get(
                     (scan[2], scan[3], scan[4])
                 )
@@ -1328,7 +1581,9 @@ class RecallEngine:
 
         # Keyword-only prepass results (dispatched in _dispatch_device_batch)
         if ctx["kw_scan"] is not None:
-            kw_only, unresolved = consume_prepass(ctx["kw_scan"])
+            kw_only, unresolved = consume_prepass(
+                ctx["kw_scan"], ctx.get("kw_dd")
+            )
             self.stats["kw_only_resolved_total"] += (
                 len(kw_only) - len(unresolved)
             )
@@ -1336,7 +1591,9 @@ class RecallEngine:
         # Coarse prepass results (dispatched in _dispatch_device_batch)
         self.last_coarse_resolved = 0
         if ctx["coarse_scan"] is not None:
-            prepass, unresolved = consume_prepass(ctx["coarse_scan"])
+            prepass, unresolved = consume_prepass(
+                ctx["coarse_scan"], ctx.get("coarse_dd")
+            )
             self.last_coarse_resolved = len(prepass) - len(unresolved)
             self.stats["coarse_resolved_total"] += self.last_coarse_resolved
             self._coarse_gate_record(self.last_coarse_resolved, len(prepass))
