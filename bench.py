@@ -152,10 +152,14 @@ def bench_e2e(
                 embedding=emb[i], created_at_utc=when, seq=i,
             )
         )
+    dd_on = os.environ.get("OMNI_BENCH_DD", "1") == "1"
     opts = EngineOptions(
         backend="pallas", embedding_dim=d, recent_window=0,
         candidate_m=128, bloom_bits=bits, scan_dtype="int8",
         capacity_block=max(8192, n // 64),
+        # device-exact cosine serving (ops/exact_cos.py): the host streams
+        # zero embedding bytes on certified queries; +d*4 bytes/row HBM
+        device_exact_cos=dd_on,
     )
     engine = RecallEngine(InMemoryIngestionStore(), options=opts)
     # signatures MUST use the index's exact bloom params (bits/ngram/hashes)
@@ -262,6 +266,29 @@ def bench_e2e(
         )
     os.environ.pop("OMNI_RESCORE_THREADS", None)
 
+    # DD-mode host stage: keyword-only rescore (zero embedding bytes) at the
+    # device-selection width — the host's whole per-pair work when the
+    # device-exact cosine certifies (ops/exact_cos.py)
+    dd_stage = {}
+    if dd_on:
+        t_sel = 32
+        cand_k = np.random.default_rng(9).integers(0, n, size=(b, t_sel))
+        rows_flat = cand_k.reshape(-1).astype(np.int64)
+        owner_k = np.repeat(np.arange(b), t_sel)
+        tl = [oracle.query_terms(qt) for qt, _, _ in reqs]
+        engine._kw_scores_flat(rows_flat, owner_k, tl, engine.device_index)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            engine._kw_scores_flat(rows_flat, owner_k, tl, engine.device_index)
+        dd_stage["host_kw_rescore_qps"] = round(
+            b / ((time.perf_counter() - t0) / reps), 1
+        )
+        tot = max(1, engine.stats["dd_resolved_total"]
+                  + engine.stats["dd_escalations_total"])
+        dd_stage["dd_resolved_frac"] = round(
+            engine.stats["dd_resolved_total"] / tot, 4
+        )
+
     # Refined device stage in isolation (chained megastep, one readback):
     # the exact per-batch device work of the serving path — coarse scan +
     # merge + refine/select at the throughput batch. Arrays are passed as
@@ -281,10 +308,12 @@ def bench_e2e(
         sub_c, t_c = layout
         g_s, steps_s = 4, 2
         interp = jax.default_backend() != "tpu"
+        r_w = getattr(opts, "refine_width", 0) or 128
+        raw_plane = dev.raw  # None when OMNI_BENCH_DD=0
 
         @jax.jit
         def serve_mega(carry, emb8, scale, err, emb2, scale2, err2, bloom,
-                       created, valid, q_all, w_all, bias_all):
+                       created, valid, raw_or_none, q_all, w_all, bias_all):
             def body(c, inp):
                 qv, wv, biasv = inp
                 qv = qv + 1e-12 * c[:, None]
@@ -296,8 +325,15 @@ def bench_e2e(
                 rows, ubs, bound = refine_mod.refine_select_from_scan(
                     emb8, scale, emb2, scale2, err2, bloom, created, valid,
                     qv, wv, biasv, jnp.float32(365.0), vals, idxs,
+                    r=min(r_w, 128),
                 )
                 new_c = ubs[:, 0] + rows[:, 0].astype(jnp.float32) * 1e-9 + bound
+                if raw_or_none is not None:
+                    # device-exact cosine stage (the full serving device work)
+                    from omni_recall_tpu.ops import exact_cos as _ec
+
+                    hi, lo, sabs = _ec.exact_cos_rows(raw_or_none, rows, qv)
+                    new_c = new_c + hi[:, 0] + lo[:, 0] + sabs[:, 0] * 1e-9
                 return new_c, None
             carry, _ = jax.lax.scan(body, carry, (q_all, w_all, bias_all))
             return carry
@@ -314,7 +350,7 @@ def bench_e2e(
                 )
         args = (
             dev.emb, dev.scale, dev.err, dev.emb2, dev.scale2, dev.err2,
-            dev.bloom, dev.created, dev.valid,
+            dev.bloom, dev.created, dev.valid, raw_plane,
             jnp.asarray(q_all), jnp.asarray(w_all), jnp.asarray(bias_all),
         )
         carry = jnp.zeros((bt,), dtype=jnp.float32)
@@ -463,6 +499,7 @@ def bench_e2e(
         "rescore_pairs_per_query": round(pairs_per_query, 1),
         "host_rescore_pruned_qps": round(rescore_pruned_qps, 1),
         **thread_sweep,
+        **dd_stage,
         **serve_stage,
         **restore_stage,
         "ingest_chunks_per_s": round(ingest_cps, 1),
@@ -890,6 +927,16 @@ def main() -> None:
             details["e2e_qps_projected_unpruned"] = round(
                 1.0 / (1.0 / qps + 1.0 / details["host_rescore_qps"]), 1
             )
+            if "host_kw_rescore_qps" in details:
+                # device-exact cosine mode: serve_device_qps already
+                # includes the DD stage; the host stage is keyword-only
+                # (plus the dd_resolved_frac complement's full rescore)
+                kwq = details["host_kw_rescore_qps"]
+                miss = 1.0 - details.get("dd_resolved_frac", 1.0)
+                host_dd = 1.0 / (1.0 / kwq + miss / r)
+                details["e2e_qps_projected_dd_pipelined"] = round(
+                    min(dev_eff, host_dd), 1
+                )
 
     if os.environ.get("OMNI_BENCH_10M", "1") == "1" and not interpret:
         if not freed:

@@ -110,12 +110,65 @@ def _extract_topt(scores, c: int, sub: int, t1: int, vals_ref, idxs_ref):
     read by the merge). All nt columns are buffered and written with ONE
     [B, nt] store per output ref — per-column [B, 1] stores are masked
     single-lane writes that dominated the extraction cost (~1.7 ms/scan at
-    B=1536, 1M rows; measured)."""
+    B=1536, 1M rows; measured).
+
+    PACKED-KEY extraction (power-of-two sub): scores map through the
+    monotone IEEE-f32 -> signed-i32 key transform (negatives: flip all
+    non-sign bits), the low log2(sub) key bits are REPLACED by
+    (sub-1 - lane), and each round is ONE i32 max + ONE equality mask —
+    half the vector passes of the value/index two-reduce scheme, which
+    dominated the scan at extraction depth t=4 (tools/probe_serve.py:
+    28.5 ms vs the 12 ms t=1 scan at 1M x 1536).
+
+    Soundness of the lane-bit sacrifice: emitted values decode with the
+    lane bits forced to 1 — in key space ``k | (sub-1) >= key(score)`` and
+    the map is monotone, so every emitted value and every bound is >= the
+    true lane score (an upper bound inflated by < 2^ceil(log2(sub)) ulps,
+    ~1.2e-4 relative at sub=1024 — far inside the 4e-3/8e-3 certificate
+    eps). Ties in the truncated key resolve to the LOWEST lane (the
+    inverted lane bits make i32 max prefer it): a truncation-tied slightly
+    larger score may be emitted one round later or fall to the bound —
+    still covered by an upper bound, so the engine's certificate and the
+    exact host rescore are unaffected. Keys are unique per lane, so the
+    equality mask removes exactly one lane per round (deterministic)."""
     b = scores.shape[0]
     n_sub = c // sub
     block_base = pl.program_id(0) * c
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, sub), 1)
     vcols, icols = [], []
+    # the packed path amortizes its 4-pass key setup over the rounds: at
+    # t1=2 (top-1 + bound) the classic 2-reduce scheme is cheaper
+    if sub & (sub - 1) == 0 and sub >= 2 and t1 >= 3:
+        lmask = sub - 1
+        s_i = jax.lax.bitcast_convert_type(scores, jnp.int32)
+        key_full = s_i ^ ((s_i >> 31) & jnp.int32(0x7FFFFFFF))
+        # lane-in-slice = column & (sub-1) (slices are contiguous
+        # power-of-two runs), inverted so i32 max prefers the LOWEST lane
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, key_full.shape, 1)
+        keys = (key_full & jnp.int32(~lmask)) | (
+            lmask - (lane_c & jnp.int32(lmask))
+        )  # [B, c]
+
+        def decode_up(kmax):  # key -> f32 upper bound (lane bits -> 1s)
+            y = kmax | jnp.int32(lmask)
+            y = y ^ ((y >> 31) & jnp.int32(0x7FFFFFFF))
+            return jax.lax.bitcast_convert_type(y, jnp.float32)
+
+        for j in range(n_sub):
+            k = keys[:, j * sub : (j + 1) * sub]
+            for _ in range(t1 - 1):
+                kmax = jnp.max(k, axis=1, keepdims=True)  # [B, 1]
+                vcols.append(decode_up(kmax))
+                icols.append(
+                    (lmask - (kmax & jnp.int32(lmask)))
+                    + (block_base + j * sub)
+                )
+                k = jnp.where(k == kmax, jnp.int32(-(2**31)), k)
+            vcols.append(decode_up(jnp.max(k, axis=1, keepdims=True)))
+            icols.append(jnp.full((b, 1), -2, dtype=jnp.int32))
+        vals_ref[0] = jnp.concatenate(vcols, axis=1)
+        idxs_ref[0] = jnp.concatenate(icols, axis=1)
+        return
     for j in range(n_sub):
         s = scores[:, j * sub : (j + 1) * sub]
         for t in range(t1 - 1):

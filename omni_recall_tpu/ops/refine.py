@@ -337,12 +337,12 @@ def _make_refine_kernel_full(qg: int, ct: int, m: int):
             + KEYWORD_WEIGHT * kw
             + add_ref[:]  # 0.1*recency + REFINE_EPS, or _NEG_INF (invalid)
         )
-        # block-diagonal extraction: local query g owns tile columns
-        # [g*m, (g+1)*m) — static lane slices + static row picks
-        out_ref[:] = jnp.concatenate(
-            [refined[g : g + 1, g * m : (g + 1) * m] for g in range(qg)],
-            axis=0,
-        )
+        # emit the FULL [qg, ct] tile; the caller extracts the block
+        # diagonal (query g owns columns [g*m, (g+1)*m)) in XLA — in-kernel
+        # lane slices at non-128-aligned offsets (m = 64 refine width) are
+        # unsupported by Mosaic ("offset mismatch on non-concat dimension"),
+        # and the extra [B, ct] f32 write is ~13 MB/batch, negligible
+        out_ref[:] = refined
 
     return kernel
 
@@ -419,12 +419,16 @@ def _refine_bounds_fused(
             pl.BlockSpec((1, ct), lambda k: (0, k), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (qg, m), lambda k: (k, 0), memory_space=pltpu.VMEM
+            (qg, ct), lambda k: (k, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ct), jnp.float32),
         interpret=interpret,
     )(
         q1, q2, t1, t2, eq2, qn, kw_bias[:, None].astype(jnp.float32),
         kw_w8, gc1, gc2, gbloom, gs1, gs2, gec2, add,
     )
+    # block-diagonal extraction: query q (local index g = q % qg within its
+    # tile) owns columns [g*m, (g+1)*m) of its row
+    g_idx = (jnp.arange(b, dtype=jnp.int32) % qg)[:, None, None]
+    out = jnp.take_along_axis(out.reshape(b, qg, m), g_idx, axis=1)[:, 0, :]
     return jnp.where(out <= _NEG_INF * 0.5, -jnp.inf, out)

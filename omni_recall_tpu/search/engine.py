@@ -25,7 +25,10 @@ from __future__ import annotations
 import threading
 from dataclasses import dataclass
 from datetime import datetime, timezone
+from functools import partial
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from omni_recall_tpu.config import EngineOptions
@@ -51,6 +54,36 @@ def _start_host_copies(arrays) -> None:
                 fn()
             except Exception:  # transfer still happens synchronously later
                 pass
+
+
+@jax.jit
+def _normalize_q(q_raw: jax.Array, inv_norm: jax.Array) -> jax.Array:
+    """Normalize the raw query matrix ON DEVICE with host-computed f64
+    inverse norms rounded to f32 (6 KB instead of a second [B, d] f32
+    upload — the dev tunnel uploads at ~10-50 MB/s, so per-batch upload
+    bytes bound the measured serving rate). q_raw * f32(1/sqrt(qn)) differs
+    from the host's f32(f64(q_raw)/sqrt(qn)) by <= ~2 ulps per element
+    (vector error ~3e-7) — inside the documented normalized-vs-oracle slack
+    of both bound budgets (ops/refine.py REFINE_EPS, ops/pallas_scorer.py
+    PALLAS_CERT_EPS*): a slightly different device query only shifts the
+    SOUND upper bounds, never the host-exact scores."""
+    return q_raw * inv_norm[:, None]
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def _densify_kw(idx: jax.Array, val: jax.Array, bits: int) -> jax.Array:
+    """Scatter the sparse per-query keyword weights (idx i32[B, T] with -1
+    padding, val f32[B, T]) into the dense [B, bits] matrix the kernels
+    consume. Indices are UNIQUE per query (np.nonzero extraction), so the
+    scatter-add reproduces the host-built dense weights bit-for-bit: each
+    real cell receives exactly one add onto 0.0, pads add 0.0 at column 0.
+    Cuts the dominant per-batch upload ([B, bits] f32, 6.3 MB at B=1536)
+    to ~T*8 bytes/query."""
+    b, t = idx.shape
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, t))
+    safe = jnp.maximum(idx, 0)
+    zeros = jnp.zeros((b, bits), dtype=val.dtype)
+    return zeros.at[rows, safe].add(jnp.where(idx >= 0, val, 0.0))
 
 
 def _coarse_layout(n_rows: int, m: int, block: int) -> tuple[int, int] | None:
@@ -1137,8 +1170,41 @@ class RecallEngine:
 
         upd_seq0 = dix.update_seq  # read BEFORE the snapshot (reindex race)
         dev = dix.device_arrays()
-        q_dev = jnp.asarray(q)
-        w_dev = jnp.asarray(weights)
+        if self._sharded_scorer is not None:
+            # multi-chip path: operands must carry the mesh sharding that
+            # shard_map expects — keep the direct replicated uploads
+            q_dev = jnp.asarray(q)
+            w_dev = jnp.asarray(weights)
+        else:
+            # upload-lean operands (the dev tunnel uploads at ~10-50 MB/s,
+            # so per-batch bytes bound the measured serving rate):
+            # ONE raw [B, d] f32 query upload + 4-byte inverse norms,
+            # normalized on device (_normalize_q soundness note)...
+            inv = np.zeros(b, dtype=np.float32)
+            if ok.any():
+                inv[ok] = (1.0 / np.sqrt(q_norms[ok])).astype(np.float32)
+            q_raw_dev = ctx["q_raw_dev"] = jnp.asarray(q_raw)
+            q_dev = _normalize_q(q_raw_dev, jnp.asarray(inv))
+            # ...and SPARSE keyword weights (most of the [B, bits] f32
+            # matrix is zeros — a query probes a few dozen bloom bits),
+            # densified on device bit-for-bit (_densify_kw)
+            nzq, nzb = np.nonzero(weights)
+            counts = np.bincount(nzq, minlength=b) if len(nzq) else np.zeros(b, np.int64)
+            t_max = int(counts.max()) if len(nzq) else 0
+            t_pad = max(16, 1 << (t_max - 1).bit_length()) if t_max else 16
+            if t_pad <= dix.bloom_bits // 4:
+                off = np.zeros(b + 1, dtype=np.int64)
+                np.cumsum(counts, out=off[1:])
+                pos = np.arange(len(nzq), dtype=np.int64) - off[nzq]
+                idx = np.full((b, t_pad), -1, dtype=np.int32)
+                val = np.zeros((b, t_pad), dtype=np.float32)
+                idx[nzq, pos] = nzb
+                val[nzq, pos] = weights[nzq, nzb]
+                w_dev = _densify_kw(
+                    jnp.asarray(idx), jnp.asarray(val), dix.bloom_bits
+                )
+            else:  # pathologically dense query terms: dense upload
+                w_dev = jnp.asarray(weights)
         bias_dev = jnp.asarray(biases)
         now_dev = jnp.float32(to_days(now))
         r0_dev = jnp.int32(r0)
