@@ -109,8 +109,11 @@ def main() -> None:
     mono = bool((np.diff(vh[:, :m], axis=1) <= 1e-12).all())
     print(f"scan candidate bounds sorted desc: {mono}", flush=True)
 
-    # SR: scan + refine_select (the serving megastep)
-    def sr_body(c, e1, s1, er1, e2, s2, er2, bl, cr, va, qv, kwv, bv):
+    # SR: scan + refine_select at the serving width (r=64) + DD stage —
+    # the full serving device work
+    raw = jax.random.normal(k4, (n, d), dtype=jnp.float32)
+
+    def sr_body(c, e1, s1, er1, e2, s2, er2, bl, cr, va, rw, qv, kwv, bv):
         qv = qv + 1e-12 * c[:, None]
         vals, idxs = pallas_scorer.score_topm_int8_coarse(
             e1, s1, er1, cr, va, qv, kwv, bv,
@@ -118,14 +121,38 @@ def main() -> None:
         )
         rows, ubs, bound = refine.refine_select_from_scan(
             e1, s1, e2, s2, er2, bl, cr, va,
-            qv, kwv, bv, now1, vals, idxs,
+            qv, kwv, bv, now1, vals, idxs, r=64,
         )
-        return ubs[:, 0] + rows[:, 0].astype(jnp.float32) * 1e-9 + bound
+        out = ubs[:, 0] + rows[:, 0].astype(jnp.float32) * 1e-9 + bound
+        if rw is not None:
+            from omni_recall_tpu.ops import exact_cos as _ec
+
+            hi, lo, sabs = _ec.exact_cos_rows(rw, rows, qv)
+            out = out + hi[:, 0] + lo[:, 0] + sabs[:, 0] * 1e-9
+        return out
 
     t_sr = mega(sr_body, jnp.zeros((bt,), jnp.float32),
                 (emb1, scale1, err1, emb2, scale2, err2, bloom, created,
-                 valid, q, kw, bias),
-                g, reps, "SR scan + refine_select")
+                 valid, raw, q, kw, bias),
+                g, reps, "SR scan + refine_select(r=64) + DD")
+
+    t_sr_nodd = mega(sr_body, jnp.zeros((bt,), jnp.float32),
+                     (emb1, scale1, err1, emb2, scale2, err2, bloom, created,
+                      valid, None, q, kw, bias),
+                     g, reps, "SR scan + refine_select(r=64), no DD")
+
+    # DD stage alone (gather + TwoSum tree at t_out=32)
+    rows32 = jnp.asarray(rng.integers(0, n, size=(bt, 32)).astype(np.int32))
+
+    def dd_body(c, rw, rf, qv):
+        from omni_recall_tpu.ops import exact_cos as _ec
+
+        qv = qv + 1e-12 * c[:, None]
+        hi, lo, sabs = _ec.exact_cos_rows(rw, rf, qv)
+        return c * 0 + hi[:, 0] + lo[:, 0] + sabs[:, 0] * 1e-9
+
+    t_dd = mega(dd_body, jnp.zeros((bt,), jnp.float32), (raw, rows32, q),
+                g, reps, "DD exact_cos_rows(t=32) alone")
 
     # fixed candidate rows for isolated stages
     rows_fix = jnp.asarray(rng.integers(0, n, size=(bt, m)).astype(np.int32))
