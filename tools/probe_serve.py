@@ -221,8 +221,8 @@ def main() -> None:
                 pl.BlockSpec((1, ct), lambda k: (0, k), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ct), lambda k: (0, k), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((qg, m), lambda k: (k, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((bt, m), jnp.float32),
+            out_specs=pl.BlockSpec((qg, ct), lambda k: (k, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bt, ct), jnp.float32),
         )(q1v, q2v, t1v, t2v, eq2v, qnv, kwbv, kw8v, c1v, c2v, bv, s1v, s2v, e2v, addv)
         return c * 0 + out[:, 0]
 
