@@ -296,58 +296,6 @@ def _make_topt_kernel_int8_coarse(t1: int, c: int, sub: int):
     return kernel
 
 
-def _make_topt_kernel_int8_coarse_pipe(t1: int, c: int, sub: int):
-    """Software-pipelined coarse int8 kernel: grid step k computes block
-    k's scores (MXU) into a two-slot VMEM scratch and extracts block k-1
-    (VPU) from the other slot — the units overlap, so the scan runs at
-    ~max(matmul, extraction) instead of their sum (measured 27.5 -> 15.7
-    ms/batch at 1M x 1536 x t=4, bit-identical outputs;
-    tools/probe_pipe.py). Grid is nblocks+1: the first step only computes,
-    the last only extracts (its score compute targets a re-fetched last
-    block and is discarded). Output block k-1 is revisited by steps k-1
-    and k — Pallas writes a revisited block back once, after the last
-    visit, so step 0's untouched garbage never reaches HBM."""
-
-    def kernel(emb_ref, q_ref, add_row_ref, scale_row_ref, q_scale_ref,
-               q_bias_ref, vals_ref, idxs_ref, s0, s1):
-        k = pl.program_id(0)
-        cosd = jax.lax.dot_general(
-            q_ref[:], emb_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)  # [B, C]
-        scores = (
-            cosd * q_scale_ref[:] * scale_row_ref[:]
-            + add_row_ref[:]
-            + q_bias_ref[:]
-            + PALLAS_CERT_EPS_INT8
-        )
-
-        @pl.when(k % 2 == 0)
-        def _():
-            s0[:] = scores
-
-        @pl.when(k % 2 == 1)
-        def _():
-            s1[:] = scores
-
-        @pl.when(k > 0)
-        def _():
-            base = (k - 1) * c
-
-            @pl.when((k - 1) % 2 == 0)
-            def _():
-                _extract_topt(s0[:], c, sub, t1, vals_ref, idxs_ref,
-                              block_base=base)
-
-            @pl.when((k - 1) % 2 == 1)
-            def _():
-                _extract_topt(s1[:], c, sub, t1, vals_ref, idxs_ref,
-                              block_base=base)
-
-    return kernel
-
-
 def _make_topt_kernel_kw_only(t1: int, c: int, sub: int):
     """Bloom-only scan for keyword-only queries (empty query embedding):
     their cosine term is EXACTLY 0 (RecallSearchService.cs:70-71), so
@@ -492,57 +440,15 @@ def block_topt_int8_coarse(
     nblocks = n // c
     q_scale = COSINE_WEIGHT * q_scale  # folded into the kernel's scale product
 
-    # deep extraction (t1 >= 3): software-pipeline the MXU matmul of block
-    # k against the VPU extraction of block k-1 (two-slot score scratch) —
-    # the extraction passes dominate at t=4 and the matmul hides behind
-    # them (see _make_topt_kernel_int8_coarse_pipe; 27.5 -> 15.7 ms/batch
-    # measured, bit-identical). The two score slots need the scoped-vmem
-    # budget raised past the 16 MB default (v5e carries 128 MB).
-    # n_sub == 1 only: sub < c measured SLOWER pipelined than the baseline
-    # (28.2 vs 27.5 ms — the per-slice loop defeats the schedule overlap)
-    if t1 >= 3 and nblocks >= 2 and n_sub == 1:
-        vals, idxs = pl.pallas_call(
-            _make_topt_kernel_int8_coarse_pipe(t1, c, sub),
-            grid=(nblocks + 1,),
-            in_specs=[
-                pl.BlockSpec((c, d), lambda i: (jnp.minimum(i, nblocks - 1), 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c), lambda i: (0, jnp.minimum(i, nblocks - 1)),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c), lambda i: (0, jnp.minimum(i, nblocks - 1)),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, b, n_sub * t1),
-                             lambda i: (jnp.maximum(i - 1, 0), 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b, n_sub * t1),
-                             lambda i: (jnp.maximum(i - 1, 0), 0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.float32),
-                jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.int32),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((b, c), jnp.float32),
-                pltpu.VMEM((b, c), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * n * b * d,
-                bytes_accessed=n * d + b * nblocks * n_sub * t1 * 8,
-                transcendentals=0,
-            ),
-            interpret=interpret,
-        )(emb8, q8, add_row, scale_row, q_scale, q_bias)
-        vals = jnp.transpose(vals, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
-        idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
-        return vals, idxs
-
+    # NOTE: a software-pipelined variant (MXU block k overlapping VPU
+    # extraction of block k-1 via two-slot scratch) was tried and REVERTED:
+    # honest megastep timing (f32-perturbed carry; an int8 carry injection
+    # gets constant-folded and the scan hoists the loop-invariant kernel,
+    # under-reporting by the chain length) measured it at 51.6 ms/batch vs
+    # 27.5 baseline at (1M, 768, b=1536, t=4) — the two-slot scratch serves
+    # VPU reads from the same VMEM ports the extraction already saturates,
+    # so deferring the dependency only added traffic. tools/probe_pipe.py
+    # keeps the prototype + the measurement-artifact note.
     kernel = pl.pallas_call(
         _make_topt_kernel_int8_coarse(t1, c, sub),
         grid=(nblocks,),

@@ -161,9 +161,14 @@ def main() -> None:
 
     g, reps = 4, 2
 
+    # carry must perturb an f32 operand: an int8 `q8 + carry*0` is folded
+    # by XLA (int x*0=0, x+0=x), leaving the kernel loop-invariant — the
+    # scan hoists it and the probe under-reports by g. (This bug produced
+    # the bogus 15.7 ms "pipelined win"; honest numbers are ~51 ms
+    # pipelined vs ~27.5 baseline at 1M x 1536 x t=4.)
     for c, sub in ((512, 512), (1024, 1024), (1024, 512)):
         def body(cr, e, s, ar, q8v, qs, qb, c=c, sub=sub):
-            q8v = q8v + (cr[:1].astype(jnp.int8)[0] * 0)
+            qs = qs + 1e-12 * cr[:, None]
             vals, idxs = pipe_scan(e, q8v, ar, s[None, :], qs, qb,
                                    t=t, sub=sub, c=c)
             # vals is [nblocks, b, nt]

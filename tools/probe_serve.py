@@ -163,7 +163,11 @@ def main() -> None:
     )
 
     def g_body(c, e1, e2, bl, sc, rf):
-        flat = rf.reshape(-1) + (c[:1].astype(jnp.int32)[0] * 0)
+        # serialize via an f32-derived index term: int-typed `x + carry*0`
+        # is folded by XLA (int *0 -> 0), the gather turns loop-invariant,
+        # and the scan hoists it — under-reporting by the chain length g.
+        # f32 `carry*0` is NOT folded (NaN/-0), so the cast stays symbolic.
+        flat = rf.reshape(-1) + (c[:1] * 0.0).astype(jnp.int32)[0]
         g1 = jnp.take(e1, flat, axis=0)
         g2 = jnp.take(e2, flat, axis=0)
         gb = jnp.take(bl, flat, axis=0)
@@ -200,7 +204,9 @@ def main() -> None:
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        q1v = q1v + (c[:1].astype(jnp.int8)[0] * 0)
+        # f32 perturbation: an int8 carry injection is constant-folded and
+        # the kernel hoists out of the scan (4x under-report)
+        s1v = s1v + 1e-12 * c[None, :1]
         out = pl.pallas_call(
             refine._make_refine_kernel_full(qg, ct, m),
             grid=(bt * m // ct,),
