@@ -228,6 +228,49 @@ def bench_e2e(
         engine.stats["coarse_resolved_total"] - res0
     ) / (g_pipe * bt)
 
+    # Device-resident query serving (engine.attach_device_embedder): the
+    # requests carry TEXT ONLY — query embeddings are computed on device
+    # inside the dispatch, so the per-batch upload is token ids + sparse
+    # keyword weights (~0.2 KB/query) instead of the raw f32 vectors
+    # (~3.1 KB/query), and the raw matrix never crosses the tunnel on
+    # certified queries. Same pipelined executor, same certificates.
+    localq_stats = {}
+    if os.environ.get("OMNI_BENCH_LOCALQ", "1") == "1":
+        from omni_recall_tpu.ingest.embedding import LocalEncoderEmbeddingClient
+
+        _mark("e2e: device-query serving")
+        engine.attach_device_embedder(LocalEncoderEmbeddingClient(d))
+
+        def make_text_requests(seed, nb):
+            r = np.random.default_rng(seed)
+            return [
+                (f"c{int(r.integers(n_clusters))}x", None, 10)
+                for _ in range(nb)
+            ]
+
+        engine.search_batches_pipelined(
+            [make_text_requests(60, bt)], now=now
+        )  # compile (encoder forward + assemble + self-norm shapes)
+        lq_batches = [make_text_requests(200 + i, bt) for i in range(g_pipe)]
+        dd0 = engine.stats["dd_resolved_total"]
+        esc0 = engine.stats["dd_escalations_total"]
+        hf0 = engine.stats["host_fallbacks_total"]
+        t0 = time.perf_counter()
+        outs_lq = engine.search_batches_pipelined(lq_batches, now=now)
+        lq_elapsed = time.perf_counter() - t0
+        assert sum(len(h) for out in outs_lq for h in out) == g_pipe * bt * 10
+        lq_n = g_pipe * bt
+        localq_stats = {
+            "e2e_qps_tunnel_localq": round(lq_n / lq_elapsed, 1),
+            "e2e_localq_batch_ms": round(lq_elapsed / g_pipe * 1000.0, 2),
+            "localq_dd_resolved_frac": round(
+                (engine.stats["dd_resolved_total"] - dd0) / lq_n, 4
+            ),
+            "localq_dd_escalations": engine.stats["dd_escalations_total"] - esc0,
+            "localq_host_fallbacks": engine.stats["host_fallbacks_total"] - hf0,
+        }
+        engine.attach_device_embedder(None)
+
     # Host-rescore throughput in isolation (no device round trip), at the
     # legacy unrefined width (128) and at the width the engine ACTUALLY
     # rescored per query (refined bounds + two-phase prune), plus a thread
@@ -397,7 +440,17 @@ def bench_e2e(
             # two trials, best kept: the tunnel's upload throughput varies
             # run to run (measured 0.4s..10s for the same 0.5 GB upload)
             # and the first trial additionally pays cold disk cache
-            best_idx = best_e2e = 0.0
+            @jax.jit
+            def _touch(*arrs):
+                # one executable consuming every restored plane: forces the
+                # async device_put transfers to LAND before the timer stops
+                # (device_put returns at dispatch; block_until_ready lies
+                # on this tunnel — only a readback is trustworthy)
+                return sum(
+                    jnp.ravel(a)[0].astype(jnp.float32) for a in arrs
+                )
+
+            best_idx = best_e2e = best_host = 0.0
             fast_path = False
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -409,8 +462,16 @@ def bench_e2e(
                 t_restore = time.perf_counter() - t0
                 fast_path = eng2.device_index._preconverted is not None
                 t0 = time.perf_counter()
-                eng2.device_index.device_arrays()
+                dev2 = eng2.device_index.device_arrays()
+                _ = np.asarray(_touch(*[
+                    a for a in (
+                        dev2.emb, dev2.bloom, dev2.created, dev2.valid,
+                        dev2.scale, dev2.err, dev2.emb2, dev2.scale2,
+                        dev2.err2, dev2.raw,
+                    ) if a is not None
+                ]))
                 t_upload = time.perf_counter() - t0
+                best_host = max(best_host, n_res / t_restore)
                 best_idx = max(best_idx, n_res / (t_restore + t_upload))
                 best_e2e = max(
                     best_e2e, n_res / (t_load + t_restore + t_upload)
@@ -420,7 +481,13 @@ def bench_e2e(
                 "restore_n_chunks": n_res,
                 "restore_fast_path": fast_path,
                 "snapshot_save_s": round(t_save, 2),
-                # index restore: slabs -> searchable device index
+                # host-side restore work only (mmap + adopt + integrity
+                # sample): the hardware-independent framework cost — the
+                # upload term below is bounded by the dev tunnel's
+                # ~10-50 MB/s, three orders of magnitude under real PCIe
+                "restore_host_chunks_per_s": round(best_host, 1),
+                # index restore: slabs -> searchable device index, uploads
+                # forced to completion (readback-verified)
                 "restore_chunks_per_s": round(best_idx, 1),
                 # end to end: archive on disk -> store + device index ready
                 "restore_e2e_chunks_per_s": round(best_e2e, 1),
@@ -500,6 +567,7 @@ def bench_e2e(
         "host_rescore_pruned_qps": round(rescore_pruned_qps, 1),
         **thread_sweep,
         **dd_stage,
+        **localq_stats,
         **serve_stage,
         **restore_stage,
         "ingest_chunks_per_s": round(ingest_cps, 1),

@@ -160,6 +160,12 @@ class EmbeddingsOptions:
     # optional fine-tuned local-encoder checkpoint (models/encoder.py
     # save_params format); used only when provider == "Local"
     checkpoint: str = ""
+    # device-resident query pipeline (provider == "Local" + device engine
+    # only): query embeddings are computed ON DEVICE inside the search
+    # dispatch — no host embed round trip, no per-query vector upload;
+    # certificate escalations materialize the rows lazily
+    # (search/engine.py attach_device_embedder)
+    device_query: bool = True
 
 
 @dataclass

@@ -176,6 +176,48 @@ class LocalEncoderEmbeddingClient:
         prefers this over bounded-parallel single calls when present."""
         return self._embed_many(texts)
 
+    @property
+    def dim(self) -> int:
+        return self.cfg.out_dim
+
+    def embed_device(self, texts: list[str]):
+        """Device-resident query embeddings: forward the batch and return
+        the f32[len(texts), out_dim] rows as a DEVICE array — no host
+        readback, no per-query vector upload. The engine chains this
+        straight into the scan dispatch (search/engine.py device-query
+        pipeline) and materializes host copies lazily (only for the rare
+        certificate escalations).
+
+        Shapes are bucketed (batch to the next power of two, token length
+        to the next power-of-two >= the batch's longest query, capped at
+        cfg.max_len) so jit compiles stay bounded. Padding positions are
+        masked in the forward, so the embedding VALUES are
+        length-independent; the f32 BITS may differ between bucket shapes
+        (XLA fusion/layout), which is fine — the engine's exactness
+        certificates are relative to the materialized bits of THIS forward,
+        mirroring the reference, whose remote embeddings carry no
+        cross-call bit guarantee at all (GeminiEmbeddingClient.cs)."""
+        import numpy as np
+
+        assert texts, "embed_device requires a non-empty batch"
+        b = len(texts)
+        ids_full = self._enc.tokenize_batch(texts, self.cfg)
+        n_tok = int((ids_full > 0).sum(axis=1).max()) if b else 0
+        l_bucket = 16
+        while l_bucket < min(max(n_tok, 1), self.cfg.max_len):
+            l_bucket *= 2
+        l_bucket = min(l_bucket, self.cfg.max_len)
+        ids = ids_full[:, :l_bucket]
+        b_bucket = next(
+            (bb for bb in self._BUCKETS if bb >= b),
+            ((b + 127) // 128) * 128,
+        )
+        if b_bucket > b:
+            ids = np.concatenate(
+                [ids, np.zeros((b_bucket - b, l_bucket), ids.dtype)]
+            )
+        return self._forward(self.params, ids)[:b]
+
 
 class FakeEmbeddingClient:
     """Scripted test double (reference pattern:

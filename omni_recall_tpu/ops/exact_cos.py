@@ -69,6 +69,16 @@ import numpy as np
 DD_SUM_REL = 1e-8     # double-float pairwise tree (provable ~7e-13; 4 oom slack)
 NP_SUM_REL = 1.6e-15  # numpy pairwise-f64 over exact f32 products, d <= 8192
 SABS_REL = 1e-4       # f32 tree-sum rounding on sum|p| itself (d*u ~ 5e-5)
+# Device-computed query self-norm (device-resident query pipeline): the
+# engine's qn = hi + lo from dd_sum_products(q, q). For a self-dot every
+# product is non-negative, so sum|p| == sum p == qn_true and the DD bound
+# gives |qn_dd - qn_true| <= DD_SUM_REL * qn_true; the oracle's numpy
+# pairwise sum deviates by <= NP_SUM_REL * qn_true. Through the cosine's
+# 1/sqrt(qn) the relative effect halves, so
+# |cos(qn_dd) - cos(qn_np)| <= 0.5 * (DD_SUM_REL + NP_SUM_REL) / (1 - e)
+# * |cos| — QN_DD_REL = 2e-8 keeps ~4x headroom on top of DD_SUM_REL's own
+# four orders of magnitude.
+QN_DD_REL = 2e-8
 
 
 def _two_sum(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -140,9 +150,24 @@ def exact_cos_rows(raw: jax.Array, rows: jax.Array, q_raw: jax.Array):
 # ---- host-side finalization helpers (numpy; exact f64) ----
 
 
+@functools.partial(jax.jit, static_argnames=())
+def self_norm_dd(q_raw: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Double-float squared L2 norms of the raw query rows, ON DEVICE.
+
+    q_raw: f32[B, d]. Returns (hi, lo) f32[B] with
+    |(hi + lo) - sum_true(fl32(q_i^2))| <= DD_SUM_REL * qn_true (self-dot
+    products are non-negative, so sabs == the sum itself — see QN_DD_REL).
+    The device-resident query pipeline reads these 8 bytes/query back
+    instead of the [B, d] raw matrix; escalations that need the oracle's
+    exact numpy norm materialize the raw rows lazily."""
+    hi, lo, _ = dd_sum_products(q_raw, q_raw)
+    return hi, lo
+
+
 def finish_cosines(
     hi: np.ndarray, lo: np.ndarray, sabs: np.ndarray,
     q_norm_sq: np.ndarray, row_norm_sq: np.ndarray,
+    qn_rel: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """f64 cosines + sound margins vs the numpy-oracle cosine.
 
@@ -150,7 +175,13 @@ def finish_cosines(
     (owner-expanded), row_norm_sq f64[P]. Returns (cos f64[P],
     margin f64[P]) with |cos - cos_oracle| <= margin, margin == 0.0 exactly
     where the oracle's cosine is forced to 0 (zero norms — both paths guard
-    identically)."""
+    identically).
+
+    ``qn_rel`` (optional f64[P]): per-pair relative uncertainty of
+    q_norm_sq vs the oracle's numpy-computed norm — nonzero for
+    device-embedded queries whose norm came from self_norm_dd (QN_DD_REL)
+    — folded into the margin as qn_rel * |cos| (the true sensitivity is
+    0.5 * rel; the 2x slack is deliberate)."""
     dot = hi.astype(np.float64) + lo.astype(np.float64)
     ok = (q_norm_sq > 0.0) & (row_norm_sq > 0.0)
     # same f64 expression the oracle evaluates: sqrt(qn) * sqrt(ns), then
@@ -168,6 +199,8 @@ def finish_cosines(
         (DD_SUM_REL + NP_SUM_REL) * sabs_ub / denom + 4e-16 * np.abs(cos),
         0.0,
     )
+    if qn_rel is not None:
+        margin = margin + np.where(ok, qn_rel * np.abs(cos), 0.0)
     return cos, margin
 
 

@@ -70,6 +70,32 @@ def _normalize_q(q_raw: jax.Array, inv_norm: jax.Array) -> jax.Array:
     return q_raw * inv_norm[:, None]
 
 
+@jax.jit
+def _assemble_q(enc_rows: jax.Array, enc_idx: jax.Array,
+                host_rows: jax.Array, host_idx: jax.Array,
+                base: jax.Array) -> jax.Array:
+    """Assemble the raw [B, d] query matrix ON DEVICE from device-embedded
+    rows (the local encoder's forward output — never leaves the device) and
+    the (usually empty) minority of host-supplied rows, uploaded as a
+    compact [h, d] slab. ``base`` is a zeros template carrying the target
+    shape."""
+    out = base.at[enc_idx].set(enc_rows)
+    return out.at[host_idx].set(host_rows)
+
+
+@jax.jit
+def _normalize_q_dd(q_raw: jax.Array, qhi: jax.Array) -> jax.Array:
+    """Normalize device-resident raw queries with the double-float self-norm
+    hi word (ops/exact_cos.self_norm_dd): inv = 1/sqrt(qhi) in f32 deviates
+    from the host path's f32(1/sqrt(qn_f64)) by <= ~2 ulps + 0.5*DD_SUM_REL
+    (~1.3e-7 relative) — inside the same documented normalized-vs-oracle
+    slack of the scan/refine bound budgets as _normalize_q (ops/refine.py
+    REFINE_EPS, ops/pallas_scorer.py PALLAS_CERT_EPS*). Zero-norm rows
+    normalize to 0, exactly like the host path."""
+    inv = jnp.where(qhi > 0.0, 1.0 / jnp.sqrt(qhi), 0.0)
+    return q_raw * inv[:, None]
+
+
 @partial(jax.jit, static_argnames=("bits",))
 def _densify_kw(idx: jax.Array, val: jax.Array, bits: int) -> jax.Array:
     """Scatter the sparse per-query keyword weights (idx i32[B, T] with -1
@@ -173,6 +199,11 @@ class RecallEngine:
             from omni_recall_tpu.ops import native as _native
 
             _native.rescore_available()
+        # device-resident query pipeline (attach_device_embedder): when set,
+        # requests arriving WITHOUT an embedding are embedded on device and
+        # the raw query matrix never crosses the host boundary on certified
+        # queries (escalations materialize rows lazily)
+        self._device_embedder = None
         self.last_escalations = 0  # observability: cert escalations on the last search
         self.last_coarse_resolved = 0  # queries resolved by the coarse prepass
         # cumulative counters for /metrics (single-writer-ish; GIL-atomic
@@ -206,6 +237,34 @@ class RecallEngine:
         # would silently drop it from the new index). Searches never take it.
         self.mutation_lock = threading.RLock()
 
+    def attach_device_embedder(self, embedder) -> None:
+        """Enable the device-resident query pipeline: requests whose
+        query_embedding is None (and whose text is non-blank) are embedded
+        ON DEVICE by ``embedder.embed_device(texts) -> f32[B, dim]`` and
+        chained straight into the scan dispatch — no per-query vector
+        upload, no embedding readback on certified queries. The exactness
+        contract is unchanged: every certificate is evaluated against the
+        materialized bits of the device forward (the canonical query
+        embedding), and escalations read those bits back losslessly.
+
+        Requires a single-device engine (the sharded path replicates
+        host-built operands) and a non-oracle backend. NEW vs the
+        reference, whose query embeddings are remote HTTPS round trips
+        (GeminiEmbeddingClient.cs → RecallSearchService.cs:25)."""
+        if embedder is None:
+            self._device_embedder = None
+            return
+        if self.options.backend == "oracle" or self.device_index is None:
+            raise ValueError("device embedder requires a device backend")
+        if self._sharded_scorer is not None:
+            raise ValueError("device embedder is single-device only")
+        dim = getattr(embedder, "dim", None)
+        if dim != self.device_index.dim:
+            raise ValueError(
+                f"embedder dim {dim} != index dim {self.device_index.dim}"
+            )
+        self._device_embedder = embedder
+
     # -- index lifecycle hooks (called by the ingestion service) --
 
     def on_chunks_upserted(self, chunks: list[ChunkRecord], *, new: bool) -> None:
@@ -235,6 +294,27 @@ class RecallEngine:
     # the (few) stragglers, and extraction depth t grows with m until the
     # fused kernel's VMEM budget breaks at serving batch sizes
     _ESCALATION_MAX_M = 2048
+
+    @staticmethod
+    def _sparse_w_dev(weights: np.ndarray, b: int, bits: int):
+        """SPARSE keyword-weight upload: most of the [B, bits] f32 matrix is
+        zeros (a query probes a few dozen bloom bits), so upload (index,
+        value) pairs and densify on device bit-for-bit (_densify_kw).
+        Pathologically dense queries fall back to the dense upload."""
+        nzq, nzb = np.nonzero(weights)
+        counts = np.bincount(nzq, minlength=b) if len(nzq) else np.zeros(b, np.int64)
+        t_max = int(counts.max()) if len(nzq) else 0
+        t_pad = max(16, 1 << (t_max - 1).bit_length()) if t_max else 16
+        if t_pad > bits // 4:
+            return jnp.asarray(weights)
+        off = np.zeros(b + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        pos = np.arange(len(nzq), dtype=np.int64) - off[nzq]
+        idx = np.full((b, t_pad), -1, dtype=np.int32)
+        val = np.zeros((b, t_pad), dtype=np.float32)
+        idx[nzq, pos] = nzb
+        val[nzq, pos] = weights[nzq, nzb]
+        return _densify_kw(jnp.asarray(idx), jnp.asarray(val), bits)
 
     def _refine_call(self, dev, q_dev, w_dev, bias_dev, now_dev, vals_d, idxs_d, m):
         """Dispatch the device-assisted rescore over the scan's candidate
@@ -1128,6 +1208,10 @@ class RecallEngine:
         q_raw = np.zeros((b, dix.dim), dtype=np.float32)
         host_only: list[int] = []
         has_vec = np.zeros(b, dtype=bool)
+        dev_embed_idx: list[int] = []
+        use_dev_embed = (
+            self._device_embedder is not None and self._sharded_scorer is None
+        )
         for i, (query, query_embedding, _) in enumerate(requests):
             if (
                 query_embedding is not None
@@ -1146,6 +1230,13 @@ class RecallEngine:
                 # bound and the certificate would be vacuous. Route this
                 # query to the exact host scan instead.
                 host_only.append(i)
+            elif query_embedding is None and use_dev_embed and query.strip():
+                # device-resident query pipeline: embed on device below.
+                # ONLY for None (caller delegated embedding to the engine);
+                # an explicit empty vector keeps the reference's
+                # embed-failure semantics — keyword-only scoring
+                # (RecallSearchService.cs:70-71)
+                dev_embed_idx.append(i)
         # batch normalization, bit-identical to _normalize per row (f32
         # products f64-accumulated, f64 divide, f32 round)
         q_norms = np.sum(q_raw * q_raw, axis=1, dtype=np.float64)
@@ -1158,6 +1249,23 @@ class RecallEngine:
         # zero-norm vectors of matching dim also go host-only (the device
         # bound would be vacuous, exactly as with a dim mismatch)
         host_only.extend(int(i) for i in np.nonzero(has_vec & ~ok)[0])
+
+        # Device-resident query embeddings (attach_device_embedder): one
+        # forward for the batch's embedding-less queries; the rows stay on
+        # device. A forward failure degrades those queries to keyword-only
+        # scoring — the reference's embed-failure semantics (empty vector →
+        # cosine 0, RecallSearchService.cs:70-71 / IEmbeddingClient.cs).
+        dev_embedded = np.zeros(b, dtype=bool)
+        q_enc = None
+        if dev_embed_idx:
+            try:
+                q_enc = self._device_embedder.embed_device(
+                    [requests[i][0] for i in dev_embed_idx]
+                )
+            except Exception:
+                q_enc = None
+            if q_enc is not None:
+                dev_embedded[np.asarray(dev_embed_idx)] = True
         terms_all = [oracle.query_terms(query) for query, _, _ in requests]
         weights, biases = hashing.query_bit_weights_batch(
             terms_all, dix.bloom_bits, dix.ngram, dix.bloom_hashes,
@@ -1170,41 +1278,47 @@ class RecallEngine:
 
         upd_seq0 = dix.update_seq  # read BEFORE the snapshot (reindex race)
         dev = dix.device_arrays()
+        qn_dd_dev = None
         if self._sharded_scorer is not None:
             # multi-chip path: operands must carry the mesh sharding that
             # shard_map expects — keep the direct replicated uploads
             q_dev = jnp.asarray(q)
             w_dev = jnp.asarray(weights)
+        elif q_enc is not None:
+            # device-embedded batch: assemble the raw query matrix on
+            # device (encoder rows never leave the device; any explicit
+            # host vectors upload as a compact minority slab), take the
+            # double-float self-norms (8 B/query readback instead of the
+            # [B, d] matrix), and normalize on device
+            from omni_recall_tpu.ops import exact_cos as _ec
+
+            host_idx = np.nonzero(ok)[0]
+            if len(dev_embed_idx) == b:
+                q_raw_dev = q_enc
+            else:
+                q_raw_dev = _assemble_q(
+                    q_enc, jnp.asarray(np.asarray(dev_embed_idx, np.int32)),
+                    jnp.asarray(q_raw[host_idx]),
+                    jnp.asarray(host_idx.astype(np.int32)),
+                    jnp.zeros((b, dix.dim), dtype=jnp.float32),
+                )
+            ctx["q_raw_dev"] = q_raw_dev
+            qn_dd_dev = _ec.self_norm_dd(q_raw_dev)
+            _start_host_copies(qn_dd_dev)
+            q_dev = _normalize_q_dd(q_raw_dev, qn_dd_dev[0])
+            w_dev = self._sparse_w_dev(weights, b, dix.bloom_bits)
         else:
             # upload-lean operands (the dev tunnel uploads at ~10-50 MB/s,
             # so per-batch bytes bound the measured serving rate):
             # ONE raw [B, d] f32 query upload + 4-byte inverse norms,
-            # normalized on device (_normalize_q soundness note)...
+            # normalized on device (_normalize_q soundness note), and
+            # SPARSE keyword weights (_sparse_w_dev)
             inv = np.zeros(b, dtype=np.float32)
             if ok.any():
                 inv[ok] = (1.0 / np.sqrt(q_norms[ok])).astype(np.float32)
             q_raw_dev = ctx["q_raw_dev"] = jnp.asarray(q_raw)
             q_dev = _normalize_q(q_raw_dev, jnp.asarray(inv))
-            # ...and SPARSE keyword weights (most of the [B, bits] f32
-            # matrix is zeros — a query probes a few dozen bloom bits),
-            # densified on device bit-for-bit (_densify_kw)
-            nzq, nzb = np.nonzero(weights)
-            counts = np.bincount(nzq, minlength=b) if len(nzq) else np.zeros(b, np.int64)
-            t_max = int(counts.max()) if len(nzq) else 0
-            t_pad = max(16, 1 << (t_max - 1).bit_length()) if t_max else 16
-            if t_pad <= dix.bloom_bits // 4:
-                off = np.zeros(b + 1, dtype=np.int64)
-                np.cumsum(counts, out=off[1:])
-                pos = np.arange(len(nzq), dtype=np.int64) - off[nzq]
-                idx = np.full((b, t_pad), -1, dtype=np.int32)
-                val = np.zeros((b, t_pad), dtype=np.float32)
-                idx[nzq, pos] = nzb
-                val[nzq, pos] = weights[nzq, nzb]
-                w_dev = _densify_kw(
-                    jnp.asarray(idx), jnp.asarray(val), dix.bloom_bits
-                )
-            else:  # pathologically dense query terms: dense upload
-                w_dev = jnp.asarray(weights)
+            w_dev = self._sparse_w_dev(weights, b, dix.bloom_bits)
         bias_dev = jnp.asarray(biases)
         now_dev = jnp.float32(to_days(now))
         r0_dev = jnp.int32(r0)
@@ -1216,11 +1330,17 @@ class RecallEngine:
             upd_seq0=upd_seq0, dev=dev, q_dev=q_dev, w_dev=w_dev,
             bias_dev=bias_dev, now_dev=now_dev, r0_dev=r0_dev, m=m,
             kw_scan=None, coarse_scan=None,
+            dev_embedded=dev_embedded if q_enc is not None else None,
+            qn_dd_dev=qn_dd_dev,
+            # host-materialized mask for the lazy query readback: host rows
+            # already carry exact values; device rows materialize on demand
+            q_ready=(~dev_embedded if q_enc is not None else None),
         )
         if not self.options.exact:
             return ctx
         host_set = set(host_only)
-        q_live = ok  # embedding-backed queries (nonzero normalized vector)
+        # embedding-backed queries: nonzero host vector, or device-embedded
+        q_live = ok | dev_embedded
 
         # Keyword-only prepass (exact profile): queries WITHOUT an embedding
         # have cosine exactly 0 (RecallSearchService.cs:70-71), so a
@@ -1316,14 +1436,76 @@ class RecallEngine:
         results: list[list[SearchHit] | None] = [None] * b
         self.last_escalations = 0
 
+        # Device-resident query pipeline (attach_device_embedder): the raw
+        # query rows live on device; only their double-float self-norms come
+        # back eagerly (8 B/query). Exact rows + oracle norms materialize
+        # lazily via ensure_host_q — only escalations pay that readback.
+        dev_embedded = ctx.get("dev_embedded")
+        q_ready = ctx.get("q_ready")
+        qn_rel: np.ndarray | None = None
+        suspect_q: list[int] = []
+        if dev_embedded is not None:
+            qhi, qlo = jax.device_get(ctx["qn_dd_dev"])
+            qn_dd = qhi.astype(np.float64) + qlo.astype(np.float64)
+            ctx["q_norms"][dev_embedded] = qn_dd[dev_embedded]
+            # margin for the DD certificate: the device norm deviates from
+            # the oracle's numpy norm by <= QN_DD_REL relative (exact_cos)
+            from omni_recall_tpu.ops import exact_cos as _ec_mod
+
+            qn_rel = np.where(dev_embedded, _ec_mod.QN_DD_REL, 0.0)
+            # Sub-relative-regime guard: QN_DD_REL (and the scan bounds'
+            # device normalization) are RELATIVE bounds — f32 underflow in
+            # the self-dot could break them for pathologically tiny rows
+            # (the encoder emits unit-norm rows, so this is defensive).
+            # Such queries bypass every bound-based path: exact host scan.
+            suspect_q = [
+                int(i) for i in np.nonzero(dev_embedded & (qn_dd < 1e-26))[0]
+            ]
+
+        def ensure_host_q(indices) -> None:
+            """Materialize exact f32 query rows + oracle f64 norms for
+            device-embedded queries (lossless device->host copy of the
+            canonical forward bits; np.sum matches the dispatch-phase host
+            expression bit-for-bit)."""
+            if dev_embedded is None:
+                return
+            need = [i for i in indices if dev_embedded[i] and not q_ready[i]]
+            if not need:
+                return
+            rows = np.asarray(
+                jnp.take(
+                    ctx["q_raw_dev"],
+                    jnp.asarray(np.asarray(need, dtype=np.int32)),
+                    axis=0,
+                )
+            )
+            ctx["q_raw"][need] = rows
+            ctx["q_norms"][need] = np.sum(rows * rows, axis=1, dtype=np.float64)
+            q_ready[need] = True
+
+        def emb_for(i):
+            """The request's embedding for host-oracle use: explicit vectors
+            pass through; device-embedded queries hand back their
+            materialized canonical bits."""
+            query, emb, _ = requests[i]
+            if dev_embedded is not None and dev_embedded[i]:
+                ensure_host_q([i])
+                return ctx["q_raw"][i].tolist()
+            return emb
+
         def oracle_fill(indices):
             self.stats["host_fallbacks_total"] += len(indices)
+            ensure_host_q(indices)
             for i in indices:
-                query, emb, _ = requests[i]
-                results[i] = self._search_full_host(query, emb, ks[i], window, now)
+                query, _, _ = requests[i]
+                results[i] = self._search_full_host(
+                    query, emb_for(i), ks[i], window, now
+                )
 
         if host_only:
             oracle_fill(host_only)
+        if suspect_q:
+            oracle_fill(suspect_q)
 
         meta = dix.meta
 
@@ -1371,6 +1553,7 @@ class RecallEngine:
                 row_lists.append(rows.astype(np.int64))
                 ub_lists.append(ubs)
             prune = self.options.rescore_prune
+            ensure_host_q(pending)  # exact query bits for the f64 rescore
             ranked = self._exact_rescore_rows(
                 [(requests[i][0], requests[i][1]) for i in pending],
                 row_lists, now, dix=dix,
@@ -1434,6 +1617,7 @@ class RecallEngine:
                 row_lists.append(rows.astype(np.int64))
                 ub_lists.append(ubs)
             prune = self.options.rescore_prune
+            ensure_host_q(pending)  # exact query bits for the f64 rescore
             ranked = self._exact_rescore_rows(
                 [(requests[i][0], requests[i][1]) for i in pending],
                 row_lists, now, dix=dix,
@@ -1515,7 +1699,8 @@ class RecallEngine:
             self.stats["rescore_pairs_total"] += total
 
             cos, m_cos = _ec.finish_cosines(
-                hi, lo, sabs, ctx["q_norms"][own_q], dix.raw_norm_sq[rows_flat]
+                hi, lo, sabs, ctx["q_norms"][own_q], dix.raw_norm_sq[rows_flat],
+                qn_rel=qn_rel[own_q] if qn_rel is not None else None,
             )
             kw_term = self._kw_scores_flat(
                 rows_flat, owner, [ctx["terms"][i] for i in pending], dix
@@ -1620,6 +1805,12 @@ class RecallEngine:
             import jax as _jax
 
             tag, pending = scan[0], scan[1]
+            # skip queries already resolved ahead of the prepass (the
+            # sub-relative-regime guard routes them to the exact host scan;
+            # their device bounds must not overwrite those results)
+            pending = [i for i in pending if results[i] is None]
+            if not pending:
+                return pending, []
             if tag == "compact":
                 # ONE batched readback: per-array np.asarray costs a full
                 # tunnel round trip each (~40 ms measured); the dispatch

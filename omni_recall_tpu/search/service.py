@@ -18,21 +18,30 @@ from omni_recall_tpu.snippets import SEARCH_SNIPPET_LEN, build_snippet
 
 
 class RecallSearchService:
-    def __init__(self, engine: RecallEngine, embedding_client, executor=None) -> None:
+    def __init__(
+        self, engine: RecallEngine, embedding_client, executor=None,
+        device_query: bool = False,
+    ) -> None:
         self.engine = engine
         self.embedding_client = embedding_client
         # optional CoalescingSearchExecutor: concurrent requests share scans
         self.executor = executor
+        # device-resident query pipeline: skip the host embed round trip and
+        # let the engine embed the (coalesced) batch on device — no
+        # per-query vector upload (engine.attach_device_embedder)
+        self.device_query = device_query
 
     def search(self, query: str, top_k: int, now: datetime | None = None) -> RecallSearchResponse:
         if not query or not query.strip():
             raise ValueError("Query is required.")
 
-        embedding = self.embedding_client.embed(query)
+        vector = None
+        if not self.device_query:
+            vector = self.embedding_client.embed(query).vector
         if self.executor is not None:
-            hits = self.executor.search(query, embedding.vector, top_k, now=now)
+            hits = self.executor.search(query, vector, top_k, now=now)
         else:
-            hits = self.engine.search(query, embedding.vector, top_k, now=now)
+            hits = self.engine.search(query, vector, top_k, now=now)
 
         doc_ids = list(dict.fromkeys(h.chunk.document_id for h in hits))
         documents = self.engine.store.get_documents_by_ids(doc_ids)

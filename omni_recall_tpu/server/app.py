@@ -155,8 +155,30 @@ class OmniRecallApp(WsgiApp):
                 window_ms=config.engine.coalesce_window_ms,
                 max_batch=max(1, config.engine.coalesce_max_batch),
             )
+        # device-resident query pipeline: with the local on-device encoder
+        # and a device engine, query embeddings are computed inside the
+        # search dispatch — no host embed round trip, no per-query vector
+        # upload (engine.attach_device_embedder docstring)
+        device_query = False
+        if (
+            config.embeddings.device_query
+            and (config.embeddings.provider or "").strip().lower() == "local"
+            and config.engine.backend != "oracle"
+            and self.engine.device_index is not None
+            and self.engine._sharded_scorer is None
+            and getattr(self.embedding_client, "dim", None)
+            == self.engine.device_index.dim
+        ):
+            try:
+                self.engine.attach_device_embedder(self.embedding_client)
+                device_query = True
+            except ValueError:
+                logging.getLogger(__name__).exception(
+                    "device query pipeline unavailable; using host embeds"
+                )
         self.search_service = RecallSearchService(
-            self.engine, self.embedding_client, executor=self.search_executor
+            self.engine, self.embedding_client, executor=self.search_executor,
+            device_query=device_query,
         )
         self.ingestion_service = DocumentIngestionService(
             self.store, self.raw_store, self.embedding_client,
