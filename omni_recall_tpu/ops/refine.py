@@ -75,9 +75,25 @@ _NEG_INF = -1e30  # finite in-kernel mask value; mapped to -inf outside
 REFINE_EPS = 3e-5
 
 
-def _fused_ok(d: int, m: int, bits: int) -> bool:
-    """Shapes the Pallas refine kernel supports on its MXU fast path."""
-    return d % 128 == 0 and bits % 128 == 0 and m % 8 == 0 and m >= 8
+def _fused_qg(b: int, m: int) -> int:
+    """Queries per kernel step: the VMEM budget caps the candidate tile at
+    ~2048 rows, and the batch must divide evenly."""
+    qg = max(1, min(16, 2048 // max(m, 1)))
+    while qg > 1 and b % qg:
+        qg //= 2
+    return qg
+
+
+def _fused_ok(d: int, b: int, m: int, bits: int) -> bool:
+    """Shapes the Pallas refine kernel supports on its MXU fast path.
+    Mosaic requires the q-tile's sublane dim (qg) divisible by 8 or equal
+    to the full batch — large escalation widths (m >= 512 forces qg <= 4)
+    fall back to the pure-XLA refine, which handles any m."""
+    qg = _fused_qg(b, m)
+    return (
+        d % 128 == 0 and bits % 128 == 0 and m % 8 == 0 and m >= 8
+        and (qg % 8 == 0 or qg == b)
+    )
 
 
 def _refine_dispatch(
@@ -88,7 +104,7 @@ def _refine_dispatch(
     refine_ub otherwise. Both compute the same sound bounds; the choice is
     resolved at trace time (backend is fixed per process)."""
     if jax.default_backend() == "tpu" and _fused_ok(
-        emb1.shape[1], rows.shape[1], kw_w8.shape[1]
+        emb1.shape[1], rows.shape[0], rows.shape[1], kw_w8.shape[1]
     ):
         return _refine_bounds_fused(
             emb1, scale1, emb2, scale2, err2, bloom, created, valid,
@@ -358,9 +374,7 @@ def _refine_bounds_fused(
     d = emb1.shape[1]
     w = bloom.shape[1]
 
-    qg = max(1, min(16, 2048 // max(m, 1)))
-    while qg > 1 and b % qg:
-        qg //= 2  # b is a serving bucket (multiple of 16 in practice)
+    qg = _fused_qg(b, m)  # gated by _fused_ok: qg % 8 == 0 or qg == b
     ct = qg * m
 
     safe_rows = jnp.maximum(rows, 0)

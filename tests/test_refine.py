@@ -286,3 +286,19 @@ def test_fused_pallas_kernel_matches_xla_refine():
     assert np.array_equal(np.isfinite(ref_xla), np.isfinite(ref_pl))
     fin = np.isfinite(ref_xla)
     assert np.max(np.abs(ref_xla[fin] - ref_pl[fin])) < 1e-6
+
+
+def test_fused_ok_rejects_sub8_query_tiles():
+    """Mosaic requires the fused kernel's q-tile sublane dim (qg) to be a
+    multiple of 8 (or the whole batch). Escalation widths m >= 512 force
+    qg <= 4 at serving batches — those must route to the XLA refine
+    (regression: m=512 at B=1536 crashed the fused lowering)."""
+    from omni_recall_tpu.ops.refine import _fused_ok, _fused_qg
+
+    assert _fused_ok(768, 1536, 128, 1024)      # qg=16
+    assert _fused_ok(768, 1536, 256, 1024)      # qg=8
+    assert not _fused_ok(768, 1536, 512, 1024)  # qg=4 -> XLA path
+    assert not _fused_ok(768, 1536, 2048, 1024)  # qg=1 -> XLA path
+    assert _fused_ok(768, 4, 128, 1024)         # qg == b: full-batch tile
+    assert _fused_qg(1536, 512) == 4
+    assert not _fused_ok(768, 1536, 120, 1024) or 120 % 8 == 0
