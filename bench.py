@@ -234,42 +234,121 @@ def bench_e2e(
     # keyword weights (~0.2 KB/query) instead of the raw f32 vectors
     # (~3.1 KB/query), and the raw matrix never crosses the tunnel on
     # certified queries. Same pipelined executor, same certificates.
+    #
+    # This stage runs on its OWN corpus whose row embeddings come from the
+    # SAME encoder that embeds the queries (a quick contrastive fine-tune —
+    # the train-your-own-memory-embedder workflow, eval/quality.py). With
+    # the main corpus's synthetic cluster embeddings, text queries embed
+    # into an unrelated geometry: every score near-ties and the exactness
+    # certificate CORRECTLY escalates ~half the batch to full host scans —
+    # measuring the corpus/query mismatch, not the pipeline (a random-init
+    # encoder maps all short texts into a narrow cone: measured cross-text
+    # cosine 0.72+-0.06 vs trained 0.03+-0.17).
     localq_stats = {}
     if os.environ.get("OMNI_BENCH_LOCALQ", "1") == "1":
-        from omni_recall_tpu.ingest.embedding import LocalEncoderEmbeddingClient
+        import jax as _jax
+        import jax.numpy as _jnp
+        import optax
 
-        _mark("e2e: device-query serving")
-        engine.attach_device_embedder(LocalEncoderEmbeddingClient(d))
+        from omni_recall_tpu.ingest.embedding import LocalEncoderEmbeddingClient
+        from omni_recall_tpu.models import encoder as _enc
+
+        _mark("e2e: localq fine-tune")
+        lq_n = min(n, int(os.environ.get("OMNI_BENCH_LOCALQ_N", 1 << 16)))
+        lq_steps = int(os.environ.get("OMNI_BENCH_LOCALQ_STEPS", 600))
+        # ~24 rows/cluster: the compact selection's certificate bound (the
+        # 33rd candidate's refined bound) then usually sits CROSS-cluster,
+        # far below the kth in-cluster score — at 64 rows/cluster the bound
+        # row is in-cluster and the margin thins to the within-cluster
+        # score spread
+        lq_clusters = max(256, lq_n // 24)
+        lq_cfg = _enc.EncoderConfig(
+            vocab_size=8192, d_model=128, n_layers=2, n_heads=4, d_ff=256,
+            max_len=32, out_dim=d,
+        )
+        lq_assign = np.random.default_rng(7).integers(0, lq_clusters, size=lq_n)
+        lq_contents = [f"topic c{lq_assign[i]}x note r{i}" for i in range(lq_n)]
+        lq_params = _enc.init_params(_jax.random.PRNGKey(0), lq_cfg)
+        lq_opt, lq_step = _enc.make_train_step(lq_cfg, optax.adamw(3e-4))
+        lq_opt_state = lq_opt.init(lq_params)
+        lq_step_fn = _jax.jit(lq_step)
+        lq_rng = np.random.default_rng(3)
+        for _ in range(lq_steps):
+            rows = lq_rng.integers(0, lq_n, size=256)
+            q_ids = _jnp.asarray(_enc.tokenize_batch(
+                [f"c{lq_assign[i]}x" for i in rows], lq_cfg))
+            c_ids = _jnp.asarray(_enc.tokenize_batch(
+                [lq_contents[i] for i in rows], lq_cfg))
+            lq_params, lq_opt_state, _ = lq_step_fn(
+                lq_params, lq_opt_state, q_ids, c_ids)
+
+        _mark("e2e: localq encode corpus")
+        lq_client = LocalEncoderEmbeddingClient(d, cfg=lq_cfg)
+        lq_client.params = lq_params
+        slab = 4096
+        lq_emb = np.empty((lq_n, d), dtype=np.float32)
+        for s0 in range(0, lq_n, slab):
+            s1 = min(s0 + slab, lq_n)
+            ids = _enc.tokenize_batch(lq_contents[s0:s1], lq_cfg)
+            if s1 - s0 < slab:
+                ids = np.concatenate(
+                    [ids, np.zeros((slab - (s1 - s0), ids.shape[1]), ids.dtype)])
+            lq_emb[s0:s1] = np.asarray(
+                lq_client._forward(lq_client.params, ids))[: s1 - s0]
+
+        _mark("e2e: localq index build")
+        lq_engine = RecallEngine(InMemoryIngestionStore(), options=opts)
+        lq_dix = lq_engine.device_index
+        lq_bloom = hashing.chunk_signatures_batch(
+            [c.lower() for c in lq_contents],
+            lq_dix.bloom_bits, lq_dix.ngram, lq_dix.bloom_hashes)
+        lq_days = np.round(np.linspace(0.0, 365.0, lq_n), 3).astype(np.float32)
+        lq_day_cache = {}
+        lq_meta = []
+        for i in range(lq_n):
+            day = round(float(lq_days[i]), 3)
+            when = lq_day_cache.get(day)
+            if when is None:
+                when = lq_day_cache[day] = EPOCH + timedelta(days=day)
+            lq_meta.append(ChunkRecord(
+                id=f"lq:{i}", document_id="lq", chunk_index=i,
+                content=lq_contents[i], embedding=lq_emb[i],
+                created_at_utc=when, seq=i))
+        lq_dix.bulk_load(lq_emb, lq_bloom, lq_days, lq_meta)
+        lq_dix.device_arrays()
+        lq_engine.attach_device_embedder(lq_client)
 
         def make_text_requests(seed, nb):
             r = np.random.default_rng(seed)
             return [
-                (f"c{int(r.integers(n_clusters))}x", None, 10)
+                (f"c{int(r.integers(lq_clusters))}x", None, 10)
                 for _ in range(nb)
             ]
 
-        engine.search_batches_pipelined(
+        _mark("e2e: device-query serving")
+        lq_engine.search_batches_pipelined(
             [make_text_requests(60, bt)], now=now
         )  # compile (encoder forward + assemble + self-norm shapes)
         lq_batches = [make_text_requests(200 + i, bt) for i in range(g_pipe)]
-        dd0 = engine.stats["dd_resolved_total"]
-        esc0 = engine.stats["dd_escalations_total"]
-        hf0 = engine.stats["host_fallbacks_total"]
+        dd0 = lq_engine.stats["dd_resolved_total"]
+        esc0 = lq_engine.stats["dd_escalations_total"]
+        hf0 = lq_engine.stats["host_fallbacks_total"]
         t0 = time.perf_counter()
-        outs_lq = engine.search_batches_pipelined(lq_batches, now=now)
+        outs_lq = lq_engine.search_batches_pipelined(lq_batches, now=now)
         lq_elapsed = time.perf_counter() - t0
         assert sum(len(h) for out in outs_lq for h in out) == g_pipe * bt * 10
-        lq_n = g_pipe * bt
+        lq_q = g_pipe * bt
         localq_stats = {
-            "e2e_qps_tunnel_localq": round(lq_n / lq_elapsed, 1),
+            "e2e_qps_tunnel_localq": round(lq_q / lq_elapsed, 1),
             "e2e_localq_batch_ms": round(lq_elapsed / g_pipe * 1000.0, 2),
+            "localq_n_chunks": lq_n,
             "localq_dd_resolved_frac": round(
-                (engine.stats["dd_resolved_total"] - dd0) / lq_n, 4
+                (lq_engine.stats["dd_resolved_total"] - dd0) / lq_q, 4
             ),
-            "localq_dd_escalations": engine.stats["dd_escalations_total"] - esc0,
-            "localq_host_fallbacks": engine.stats["host_fallbacks_total"] - hf0,
+            "localq_dd_escalations": lq_engine.stats["dd_escalations_total"] - esc0,
+            "localq_host_fallbacks": lq_engine.stats["host_fallbacks_total"] - hf0,
         }
-        engine.attach_device_embedder(None)
+        del lq_engine, lq_dix, lq_emb, lq_meta, lq_client, lq_params
 
     # Host-rescore throughput in isolation (no device round trip), at the
     # legacy unrefined width (128) and at the width the engine ACTUALLY

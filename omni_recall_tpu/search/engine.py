@@ -112,6 +112,95 @@ def _densify_kw(idx: jax.Array, val: jax.Array, bits: int) -> jax.Array:
     return zeros.at[rows, safe].add(jnp.where(idx >= 0, val, 0.0))
 
 
+def _dd_certify_batch(
+    scores_s: np.ndarray,
+    margins_s: np.ndarray,
+    seg: np.ndarray,
+    lens: np.ndarray,
+    k_arr: np.ndarray,
+    bnd: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized device-exact-cosine certification over a batch of queries
+    (the per-query python loop was the serving pipeline's host bottleneck at
+    B=1536 on quota'd hosts).
+
+    Inputs are the owner-contiguous flat candidate arrays (``scores_s``,
+    ``margins_s`` sorted descending within each segment; ``seg`` the P+1
+    segment offsets; ``lens`` per-query candidate counts; ``k_arr`` requested
+    top-k; ``bnd`` the per-query device certificate bound, -inf when the
+    candidate slice covers the whole snapshot). Returns boolean masks
+    ``(resolved, provable_fail, kk)``:
+
+    - ``provable_fail`` — the exact kth (which lies within the margin)
+      cannot beat the device bound; the bit-exact host rescore would fail
+      identically, so the caller skips it and goes straight to the scan
+      escalation.
+    - ``resolved`` — every certificate holds: kth-above-bound with margin,
+      adjacent ranking non-overlap among the top k (or exact zero-margin
+      ties — both paths tie-break alike), tail domination of every dropped
+      candidate, and 4-decimal DTO-rounding invariance.
+    - queries in neither mask escalate to the bit-exact host rescore
+      (margin failures: only exact scores can decide).
+
+    Every comparison is the same f64 arithmetic as the scalar loop it
+    replaced (tests/test_device_exact_cos.py pins equivalence against a
+    scalar reference)."""
+    from omni_recall_tpu.ops.exact_cos import round4_certified
+
+    p = len(lens)
+    total = int(seg[-1])
+    lmax = max(int(lens.max()), 1)
+    rowix = np.arange(p)
+    col = np.arange(lmax)[None, :]
+    owner_flat = np.repeat(rowix, lens)
+    pos_flat = np.arange(total) - np.repeat(seg[:-1], lens)
+    s = np.full((p, lmax), -np.inf)
+    m = np.zeros((p, lmax))
+    s[owner_flat, pos_flat] = scores_s
+    m[owner_flat, pos_flat] = margins_s
+    kk_arr = np.minimum(k_arr, lens)
+
+    has_b = bnd != -np.inf
+    idxk = np.clip(k_arr - 1, 0, lmax - 1)
+    sk, mk = s[rowix, idxk], m[rowix, idxk]
+    provable = has_b & ((lens < k_arr) | (sk + mk <= bnd))
+    margin_fail = has_b & ~provable & ~(sk - mk > bnd)
+
+    # ranking: adjacent non-overlap among the top k (+1) entries
+    # (pairs j, j+1 for j < min(kk, len-1))
+    n_pairs = np.minimum(kk_arr, np.maximum(lens - 1, 0))
+    if lmax > 1:
+        # errstate: padded cells are -inf, so (-inf) - (-inf) = nan in
+        # lanes the pair mask drops anyway (nan > x is False either way)
+        with np.errstate(invalid="ignore"):
+            gap_ok = s[:, :-1] - s[:, 1:] > m[:, :-1] + m[:, 1:]
+        tie_ok = (
+            (s[:, :-1] == s[:, 1:]) & (m[:, :-1] == 0.0) & (m[:, 1:] == 0.0)
+        )
+        pair_m = col[:, : lmax - 1] < n_pairs[:, None]
+        rank_fail = (~(gap_ok | tie_ok) & pair_m).any(axis=1)
+    else:
+        rank_fail = np.zeros(p, dtype=bool)
+    # tail domination: the kth strictly above every dropped row (or
+    # exact-tied with margin 0 — both paths tie-break alike)
+    idxkk = np.clip(kk_arr - 1, 0, lmax - 1)
+    top_s, top_m = s[rowix, idxkk][:, None], m[rowix, idxkk][:, None]
+    tail_mask = (col >= kk_arr[:, None]) & (col < lens[:, None])
+    tail_bad = ~(
+        ((top_s - top_m) > s + m)
+        | ((s == top_s) & (m == 0.0) & (top_m == 0.0))
+    )
+    tail_fail = (tail_bad & tail_mask).any(axis=1) & (kk_arr >= 1)
+    # DTO rounding: the 4-decimal edge must be margin-invariant (padded
+    # cells are -inf/0: round4 certifies them trivially)
+    r4_fail = (
+        ~round4_certified(s, m) & (col < kk_arr[:, None])
+    ).any(axis=1)
+
+    resolved = ~provable & ~margin_fail & ~(rank_fail | tail_fail | r4_fail)
+    return resolved, provable, kk_arr
+
+
 def _coarse_layout(n_rows: int, m: int, block: int) -> tuple[int, int] | None:
     """Pick the coarse-scan (sub, t): the widest sub-slice (fastest scan —
     sub=1024 swept optimal at 1M/10M rows, tools/sweep_{coarse,10m}.py)
@@ -1738,60 +1827,27 @@ class RecallEngine:
             seg = np.zeros(len(pending) + 1, dtype=np.int64)
             np.cumsum(lens, out=seg[1:])
 
-            unresolved: list[int] = []
-            escalate: list[int] = []
-            for pi, i in enumerate(pending):
-                k = ks[i]
-                s = scores_s[seg[pi]: seg[pi + 1]]
-                mg = margins_s[seg[pi]: seg[pi + 1]]
-                r = rows_s[seg[pi]: seg[pi + 1]]
-                boundary = bounds_a[i]
-                kk = min(k, len(s))
-                if boundary != -np.inf:
-                    if len(s) < k or s[k - 1] + mg[k - 1] <= boundary:
-                        # PROVABLE certificate failure: the exact kth (which
-                        # lies within the margin) cannot beat the device
-                        # bound — the host rescore would fail identically,
-                        # so skip it and go straight to the scan escalation
-                        unresolved.append(i)
-                        continue
-                    if not (s[k - 1] - mg[k - 1] > boundary):
-                        # kth within the DD margin of the bound: only the
-                        # bit-exact host score can decide — DD-attributable
-                        escalate.append(i)
-                        continue
-                ok = True
-                # ranking: adjacent non-overlap among the top k (+1) entries
-                for j in range(min(kk, len(s) - 1)):
-                    gap_ok = s[j] - s[j + 1] > mg[j] + mg[j + 1]
-                    tie_ok = (
-                        s[j] == s[j + 1] and mg[j] == 0.0 and mg[j + 1] == 0.0
-                    )
-                    if not (gap_ok or tie_ok):
-                        ok = False
-                        break
-                # tail domination: the kth strictly above every dropped row
-                # (or exact-tied with margin 0 — both paths tie-break alike)
-                if ok and len(s) > kk and kk >= 1:
-                    tail_s, tail_m = s[kk:], mg[kk:]
-                    lead = s[kk - 1] - mg[kk - 1]
-                    bad = ~(
-                        (lead > tail_s + tail_m)
-                        | ((tail_s == s[kk - 1]) & (tail_m == 0.0)
-                           & (mg[kk - 1] == 0.0))
-                    )
-                    if bad.any():
-                        ok = False
-                # DTO rounding: the 4-decimal edge must be margin-invariant
-                if ok and not _ec.round4_certified(s[:kk], mg[:kk]).all():
-                    ok = False
-                if not ok:
-                    escalate.append(i)
-                    continue
-                self.stats["dd_resolved_total"] += 1
+            k_arr = np.asarray([ks[i] for i in pending], dtype=np.int64)
+            bnd = np.asarray([bounds_a[i] for i in pending], dtype=np.float64)
+            resolved, provable, kk_arr = _dd_certify_batch(
+                scores_s, margins_s, seg,
+                np.asarray(lens, dtype=np.int64), k_arr, bnd,
+            )
+            unresolved = [pending[pi] for pi in np.nonzero(provable)[0]]
+            escalate = [
+                pending[pi]
+                for pi in np.nonzero(~provable & ~resolved)[0]
+            ]
+            self.stats["dd_resolved_total"] += int(resolved.sum())
+            for pi in np.nonzero(resolved)[0]:
+                i = pending[pi]
+                kk = int(kk_arr[pi])
+                lo = seg[pi]
                 results[i] = [
                     SearchHit(meta[int(row)], float(sc))
-                    for row, sc in zip(r[:kk], s[:kk])
+                    for row, sc in zip(
+                        rows_s[lo: lo + kk], scores_s[lo: lo + kk]
+                    )
                     if meta[int(row)] is not None
                 ]
             if escalate:

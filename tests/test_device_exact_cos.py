@@ -167,3 +167,95 @@ def test_dd_mode_off_keeps_bit_exact_scores():
     expected = oracle_engine.search(q, emb, 5, now=NOW)
     assert [h.score for h in hits] == [h.score for h in expected]
     assert engine.stats["dd_resolved_total"] == 0
+
+
+def test_dd_certify_batch_matches_scalar_reference():
+    """The vectorized batch certification (engine._dd_certify_batch) must
+    classify every query exactly as the per-query scalar loop it replaced:
+    same provable-failure set, same resolved set (and hence the same
+    escalation set). Randomized segments probe empty/short/long candidate
+    lists, exact zero-margin ties, boundary-straddling margins, and
+    round4 midpoints."""
+    import numpy as np
+
+    from omni_recall_tpu.ops.exact_cos import round4_certified
+    from omni_recall_tpu.search.engine import _dd_certify_batch
+
+    def scalar_reference(scores_s, margins_s, seg, lens, k_arr, bnd):
+        p = len(lens)
+        resolved = np.zeros(p, dtype=bool)
+        provable = np.zeros(p, dtype=bool)
+        for pi in range(p):
+            k = int(k_arr[pi])
+            s = scores_s[seg[pi]: seg[pi + 1]]
+            mg = margins_s[seg[pi]: seg[pi + 1]]
+            boundary = bnd[pi]
+            kk = min(k, len(s))
+            if boundary != -np.inf:
+                if len(s) < k or s[k - 1] + mg[k - 1] <= boundary:
+                    provable[pi] = True
+                    continue
+                if not (s[k - 1] - mg[k - 1] > boundary):
+                    continue  # escalate
+            ok = True
+            for j in range(min(kk, len(s) - 1)):
+                gap_ok = s[j] - s[j + 1] > mg[j] + mg[j + 1]
+                tie_ok = s[j] == s[j + 1] and mg[j] == 0.0 and mg[j + 1] == 0.0
+                if not (gap_ok or tie_ok):
+                    ok = False
+                    break
+            if ok and len(s) > kk and kk >= 1:
+                tail_s, tail_m = s[kk:], mg[kk:]
+                lead = s[kk - 1] - mg[kk - 1]
+                bad = ~(
+                    (lead > tail_s + tail_m)
+                    | ((tail_s == s[kk - 1]) & (tail_m == 0.0)
+                       & (mg[kk - 1] == 0.0))
+                )
+                if bad.any():
+                    ok = False
+            if ok and not round4_certified(s[:kk], mg[:kk]).all():
+                ok = False
+            resolved[pi] = ok
+        return resolved, provable
+
+    rng = np.random.default_rng(20260819)
+    for trial in range(200):
+        p = int(rng.integers(1, 12))
+        lens = rng.integers(0, 24, size=p)
+        if lens.sum() == 0:
+            lens[rng.integers(p)] = 1
+        total = int(lens.sum())
+        # clustered scores with frequent exact ties and near-boundary gaps
+        base = np.round(rng.uniform(0.0, 1.0, size=total), 3)
+        jitter = rng.choice(
+            [0.0, 1e-12, 5e-5, 2.5e-5], size=total, p=[0.5, 0.2, 0.2, 0.1]
+        )
+        scores = base + jitter
+        margins = rng.choice(
+            [0.0, 1e-13, 3e-5, 1e-4], size=total, p=[0.35, 0.35, 0.2, 0.1]
+        )
+        seg = np.zeros(p + 1, dtype=np.int64)
+        np.cumsum(lens, out=seg[1:])
+        # descending within each segment (the caller's lexsort invariant)
+        for pi in range(p):
+            sl = slice(seg[pi], seg[pi + 1])
+            order = np.argsort(-scores[sl], kind="stable")
+            scores[sl] = scores[sl][order]
+            margins[sl] = margins[sl][order]
+        k_arr = rng.integers(1, 12, size=p)
+        bnd = np.where(
+            rng.random(p) < 0.25,
+            -np.inf,
+            np.round(rng.uniform(0.0, 1.1, size=p), 2),
+        )
+        got_res, got_prov, got_kk = _dd_certify_batch(
+            scores, margins, seg, lens.astype(np.int64),
+            k_arr.astype(np.int64), bnd,
+        )
+        want_res, want_prov = scalar_reference(
+            scores, margins, seg, lens, k_arr, bnd
+        )
+        np.testing.assert_array_equal(got_prov, want_prov, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(got_res, want_res, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(got_kk, np.minimum(k_arr, lens))
