@@ -63,31 +63,20 @@ def _mark(stage: str) -> None:
               file=sys.stderr, flush=True)
 
 
-def bench_e2e(
-    n: int, d: int, b: int, bits: int, batches: int = 3, bt: int = 1536,
-) -> dict:
-    """End-to-end certified-exact engine throughput at the headline corpus
-    scale: device scan + device refine/select + certificate + host float64
-    rescore + ranking, via engine.search_batch (sequential, latency view)
-    AND engine.search_batches_pipelined (throughput view: device scans of
-    later batches overlap the host rescore + readback of earlier ones —
-    the serving architecture; on the dev tunnel it also pipelines the
-    ~40 ms per-readback RPC latency that does not exist in production).
-
-    Also measures: the refined device stage in isolation (chained megastep:
-    coarse scan -> merge -> refine_select, the exact per-batch device work
-    of the serving path), host rescore at the measured pruned pair width
-    with an explicit thread sweep, snapshot save/restore rates, ingest
-    append, and the shadow rebuild."""
+def build_e2e_engine(n: int, d: int, bits: int):
+    """Build the bench's cluster-structured corpus and a certified-exact
+    engine over it at scale (shared by bench_e2e and
+    tools/sweep_serving_layout.py). Returns (engine, make_requests, now,
+    opts); engine.bench_n_clusters carries the cluster count."""
     from datetime import timedelta
 
     from omni_recall_tpu.config import EngineOptions
-    from omni_recall_tpu.index.device_index import EPOCH, DeviceIndex
+    from omni_recall_tpu.index.device_index import EPOCH
     from omni_recall_tpu.index.records import ChunkRecord
     from omni_recall_tpu.index.store import InMemoryIngestionStore
     from omni_recall_tpu.search.engine import RecallEngine
 
-    from omni_recall_tpu.ops import hashing, oracle
+    from omni_recall_tpu.ops import hashing
 
     _mark("e2e: corpus gen")
     rng = np.random.default_rng(0)
@@ -191,8 +180,41 @@ def bench_e2e(
             reqs.append((f"c{cluster}x", q, 10))
         return reqs
 
-    _mark("e2e: warmup search_batch (compiles)")
+    engine.bench_n_clusters = n_clusters
     now = EPOCH + timedelta(days=365.0)
+    return engine, make_requests, now, opts
+
+
+def bench_e2e(
+    n: int, d: int, b: int, bits: int, batches: int = 3, bt: int = 1536,
+) -> dict:
+    """End-to-end certified-exact engine throughput at the headline corpus
+    scale: device scan + device refine/select + certificate + host float64
+    rescore + ranking, via engine.search_batch (sequential, latency view)
+    AND engine.search_batches_pipelined (throughput view: device scans of
+    later batches overlap the host rescore + readback of earlier ones —
+    the serving architecture; on the dev tunnel it also pipelines the
+    ~40 ms per-readback RPC latency that does not exist in production).
+
+    Also measures: the refined device stage in isolation (chained megastep:
+    coarse scan -> merge -> refine_select, the exact per-batch device work
+    of the serving path), host rescore at the measured pruned pair width
+    with an explicit thread sweep, snapshot save/restore rates, ingest
+    append, and the shadow rebuild."""
+    from datetime import timedelta
+
+    from omni_recall_tpu.index.device_index import EPOCH
+    from omni_recall_tpu.index.records import ChunkRecord
+    from omni_recall_tpu.index.store import InMemoryIngestionStore
+    from omni_recall_tpu.search.engine import RecallEngine
+
+    from omni_recall_tpu.ops import hashing, oracle
+
+    engine, make_requests, now, opts = build_e2e_engine(n, d, bits)
+    n_clusters = engine.bench_n_clusters
+    dix = engine.device_index
+    dd_on = getattr(opts, "device_exact_cos", False)
+    _mark("e2e: warmup search_batch (compiles)")
     engine.search_batch(make_requests(99, b), now=now)  # warmup/compile
     pairs0 = engine.stats["rescore_pairs_total"]
     start = time.perf_counter()
@@ -425,7 +447,14 @@ def bench_e2e(
     dev = engine.device_index.device_arrays()
     n_pad = int(dev.emb.shape[0])
     blk = pallas_scorer._pick_block_coarse(n_pad)
-    layout = _coarse_layout(n_pad, 128, blk) if blk else None
+    layout = (
+        _coarse_layout(
+            n_pad, 128, blk,
+            getattr(opts, "coarse_sub", 0), getattr(opts, "coarse_t", 0),
+            prefer_shallow=True,
+        )
+        if blk else None
+    )
     if layout is not None and dev.emb2 is not None:
         sub_c, t_c = layout
         g_s, steps_s = 4, 2

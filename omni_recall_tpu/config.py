@@ -255,6 +255,15 @@ class EngineOptions:
     # and failures escalate to the full fused scan. Cuts per-query scan work
     # from 2N(d + bloom_bits) to 2Nd ops on embedding-backed queries.
     coarse_prepass: bool = True
+    # coarse-scan extraction layout override (0 = auto, search/engine.py
+    # _coarse_layout): sub-slice width and per-slice extraction depth. The
+    # (sub, t) pair trades extraction passes (scan cost grows ~linearly
+    # with t; tools/sweep_serving_layout.py) against collision safety (a
+    # true top row is lost only when > t of a query's top rows land in one
+    # sub-slice — the certificate then fails and the query escalates, so
+    # exactness is never at risk, only throughput).
+    coarse_sub: int = 0
+    coarse_t: int = 0
 
 
 @dataclass

@@ -201,7 +201,11 @@ def _dd_certify_batch(
     return resolved, provable, kk_arr
 
 
-def _coarse_layout(n_rows: int, m: int, block: int) -> tuple[int, int] | None:
+def _coarse_layout(
+    n_rows: int, m: int, block: int,
+    sub_override: int = 0, t_override: int = 0,
+    prefer_shallow: bool = False,
+) -> tuple[int, int] | None:
     """Pick the coarse-scan (sub, t): the widest sub-slice (fastest scan —
     sub=1024 swept optimal at 1M/10M rows, tools/sweep_{coarse,10m}.py)
     whose extraction budget slices*t still covers ~4m candidates, for
@@ -217,14 +221,43 @@ def _coarse_layout(n_rows: int, m: int, block: int) -> tuple[int, int] | None:
     whose slice bound then exceeds the exact kth (measured at 1M: coarse
     resolution collapsed to 0 and every failure cascaded into full-scan
     fallbacks). At t=4 a loss needs 5 co-located top rows — vanishing —
-    and the extra extraction rounds cost ~2 ms per 1536-query batch."""
+    and the extra extraction rounds cost ~2 ms per 1536-query batch.
+
+    ``sub_override``/``t_override`` (EngineOptions.coarse_sub/coarse_t)
+    force the layout: extraction cost grows ~linearly with t (each round
+    is a full VPU pass over the score tiles — tools/sweep_serving_layout),
+    while collision safety needs > t co-located top rows per sub-slice to
+    fail, so (smaller sub, smaller t) can dominate (1024, 4) when the
+    corpus's per-slice collision mass allows it. A forced layout can only
+    cost throughput (escalations), never exactness.
+
+    ``prefer_shallow`` (the coarse serving scorer): at >= 2048 slices of
+    512 rows the per-slice collision mass is low enough that depth 2
+    suffices — swept at 1M x 1536 on the bench corpus (64-row clusters):
+    (512, 2) scans in 16.7 ms vs 22.9 for (1024, 4) with coarse
+    resolution 0.9998 vs 1.0, and the rare misses re-scan at the sliced
+    pending width. (1024, 2) is faster still (14.0 ms) but its 4x
+    per-slice collision mass drops resolution to 0.9978 — every batch
+    then pays the rescue. Applied to the coarse prepass only; the
+    kw-only scan keeps the deep floor (its tie structure is unswept)."""
     import math
 
-    for sub_try in (1024, 512, 256, 128, 64, 32):
+    if prefer_shallow and not sub_override and not t_override:
+        sub = min(512, block)
+        if sub == 512 and n_rows // sub >= 2048 and m <= (n_rows // sub) * 2:
+            return sub, 2
+
+    subs = (sub_override,) if sub_override else (1024, 512, 256, 128, 64, 32)
+    for sub_try in subs:
         sub = min(sub_try, block)
         slices = n_rows // sub
-        t = min(PALLAS_BLOCK_T, sub - 1, max(4, math.ceil(4 * m / slices)))
-        if m <= slices * t:
+        if slices < 1:
+            continue
+        if t_override:
+            t = min(t_override, PALLAS_BLOCK_T, sub - 1)
+        else:
+            t = min(PALLAS_BLOCK_T, sub - 1, max(4, math.ceil(4 * m / slices)))
+        if t >= 1 and m <= slices * t:
             return sub, t
     return None
 
@@ -307,6 +340,7 @@ class RecallEngine:
             "kw_only_resolved_total": 0,    # resolved by the keyword-only scan
             "dd_resolved_total": 0,         # certified via device-exact cosine
             "dd_escalations_total": 0,      # DD margin failures -> host rescore
+            "rescue_sliced_total": 0,       # rescue scans run at sliced width
         }
         # Adaptive prepass gate: on corpora with near-tie score distributions
         # the coarse certificate keeps failing and the prepass only adds
@@ -665,7 +699,11 @@ class RecallEngine:
             c = pallas_scorer._pick_block_coarse(n_local)
             if c == 0:
                 return None
-            layout = _coarse_layout(n_local, m, c)
+            layout = _coarse_layout(
+                n_local, m, c,
+                self.options.coarse_sub, self.options.coarse_t,
+                prefer_shallow=True,
+            )
             if layout is None:
                 return None
             sub, t = layout
@@ -684,7 +722,11 @@ class RecallEngine:
         c = pallas_scorer._pick_block_coarse(n_rows_padded)
         if c == 0:
             return None
-        layout = _coarse_layout(n_rows_padded, m, c)
+        layout = _coarse_layout(
+            n_rows_padded, m, c,
+            self.options.coarse_sub, self.options.coarse_t,
+            prefer_shallow=True,
+        )
         if layout is None:
             return None
         sub, t = layout
@@ -1346,11 +1388,20 @@ class RecallEngine:
         # cosine 0, RecallSearchService.cs:70-71 / IEmbeddingClient.cs).
         dev_embedded = np.zeros(b, dtype=bool)
         q_enc = None
+        n_dev = len(dev_embed_idx)
         if dev_embed_idx:
+            # mixed batches pad the embed list to a power-of-two bucket:
+            # every distinct row count otherwise compiles a fresh
+            # slice/assemble executable (minutes each through the dev
+            # tunnel's remote-compile service, once per batch since the
+            # explicit-vector minority varies). Padded rows embed "" —
+            # finite by construction (masked pool, norm floor) — and their
+            # scatter indices are out of bounds below, so XLA drops them.
+            dev_bucket = b if n_dev == b else 1 << (n_dev - 1).bit_length()
+            texts_dev = [requests[i][0] for i in dev_embed_idx]
+            texts_dev += [""] * (dev_bucket - n_dev)
             try:
-                q_enc = self._device_embedder.embed_device(
-                    [requests[i][0] for i in dev_embed_idx]
-                )
+                q_enc = self._device_embedder.embed_device(texts_dev)
             except Exception:
                 q_enc = None
             if q_enc is not None:
@@ -1382,13 +1433,23 @@ class RecallEngine:
             from omni_recall_tpu.ops import exact_cos as _ec
 
             host_idx = np.nonzero(ok)[0]
-            if len(dev_embed_idx) == b:
+            if n_dev == b:
                 q_raw_dev = q_enc
             else:
+                # bucketed assemble: index pads point AT b (out of bounds),
+                # which XLA scatter drops — so executables are shared
+                # across batches with different embed/vector splits
+                enc_idx = np.full(dev_bucket, b, dtype=np.int32)
+                enc_idx[:n_dev] = dev_embed_idx
+                h = len(host_idx)
+                h_bucket = 1 << max(h - 1, 0).bit_length() if h else 1
+                hi = np.full(h_bucket, b, dtype=np.int32)
+                hi[:h] = host_idx
+                hr = np.zeros((h_bucket, dix.dim), dtype=np.float32)
+                hr[:h] = q_raw[host_idx]
                 q_raw_dev = _assemble_q(
-                    q_enc, jnp.asarray(np.asarray(dev_embed_idx, np.int32)),
-                    jnp.asarray(q_raw[host_idx]),
-                    jnp.asarray(host_idx.astype(np.int32)),
+                    q_enc, jnp.asarray(enc_idx),
+                    jnp.asarray(hr), jnp.asarray(hi),
                     jnp.zeros((b, dix.dim), dtype=jnp.float32),
                 )
             ctx["q_raw_dev"] = q_raw_dev
@@ -1555,19 +1616,22 @@ class RecallEngine:
             """Materialize exact f32 query rows + oracle f64 norms for
             device-embedded queries (lossless device->host copy of the
             canonical forward bits; np.sum matches the dispatch-phase host
-            expression bit-for-bit)."""
+            expression bit-for-bit). The gather index is padded to a
+            power-of-two bucket: every distinct index-vector length is a
+            fresh executable (minutes of remote compile through the dev
+            tunnel, and one per batch since escalation counts vary), while
+            a padded gather re-reads a few duplicate rows."""
             if dev_embedded is None:
                 return
             need = [i for i in indices if dev_embedded[i] and not q_ready[i]]
             if not need:
                 return
+            bucket = 1 << (len(need) - 1).bit_length()
+            idx = np.zeros(bucket, dtype=np.int32)
+            idx[: len(need)] = need
             rows = np.asarray(
-                jnp.take(
-                    ctx["q_raw_dev"],
-                    jnp.asarray(np.asarray(need, dtype=np.int32)),
-                    axis=0,
-                )
-            )
+                jnp.take(ctx["q_raw_dev"], jnp.asarray(idx), axis=0)
+            )[: len(need)]
             ctx["q_raw"][need] = rows
             ctx["q_norms"][need] = np.sum(rows * rows, axis=1, dtype=np.float64)
             q_ready[need] = True
@@ -1918,16 +1982,47 @@ class RecallEngine:
                 # quantized storage with no fast path left: exact host scan
                 oracle_fill(pending)
                 break
-            all_vals, all_idxs = scorer(dev, q_dev, w_dev, bias_dev, now_dev, r0_dev, m)
+            # Slice the rescue scan to the PENDING queries (bucketed pow2
+            # width, duplicate-of-first pads): the fused scan streams the
+            # same index bytes regardless of batch width, but the refine
+            # width, readback bytes (the tunnel's per-batch cost), and host
+            # rescore all scale with it — a prepass-certificate miss of a
+            # few queries out of 1536 previously re-paid the WHOLE batch.
+            # Full-width batches (e.g. prepass disabled) skip the gather.
+            sliced = self.options.exact and len(pending) <= b // 2
+            if sliced:
+                self.stats["rescue_sliced_total"] += 1
+                pb = 1 << (len(pending) - 1).bit_length()
+                sel = np.zeros(pb, dtype=np.int32)
+                sel[: len(pending)] = pending
+                sel_dev = jnp.asarray(sel)
+                q_s = jnp.take(q_dev, sel_dev, axis=0)
+                w_s = jnp.take(w_dev, sel_dev, axis=0)
+                bias_s = jnp.take(bias_dev, sel_dev, axis=0)
+            else:
+                q_s, w_s, bias_s = q_dev, w_dev, bias_dev
+            all_vals, all_idxs = scorer(dev, q_s, w_s, bias_s, now_dev, r0_dev, m)
             all_ref = (
                 self._refine_call(
-                    dev, q_dev, w_dev, bias_dev, now_dev, all_vals, all_idxs, m
+                    dev, q_s, w_s, bias_s, now_dev, all_vals, all_idxs, m
                 )
                 if self.options.exact else None
             )
             all_vals = np.asarray(all_vals)
             all_idxs = np.asarray(all_idxs)
             all_ref = np.asarray(all_ref) if all_ref is not None else None
+            if sliced:
+                # re-home the sliced rows at their batch indices (the
+                # certify helpers index by batch position)
+                vf = np.full((b,) + all_vals.shape[1:], -np.inf, all_vals.dtype)
+                vf[pending] = all_vals[: len(pending)]
+                xf = np.full((b,) + all_idxs.shape[1:], -1, all_idxs.dtype)
+                xf[pending] = all_idxs[: len(pending)]
+                all_vals, all_idxs = vf, xf
+                if all_ref is not None:
+                    rf = np.full((b,) + all_ref.shape[1:], -np.inf, all_ref.dtype)
+                    rf[pending] = all_ref[: len(pending)]
+                    all_ref = rf
 
             if not self.options.exact:
                 # approximate profile: rank by the device upper bound

@@ -21,7 +21,8 @@ def _setup(rng, backend="xla", n=150, **opts):
         store,
         options=EngineOptions(
             backend=backend, embedding_dim=DIM, capacity_block=128,
-            candidate_m=8, bloom_bits=256, recent_window=0, **opts,
+            bloom_bits=256, recent_window=0,
+            **{"candidate_m": 8, **opts},
         ),
     )
     oracle_engine = RecallEngine(store, None, EngineOptions(backend="oracle", recent_window=0))
@@ -99,6 +100,47 @@ def test_approximate_profile_ranks_by_upper_bound():
     exact_by_id = {h.chunk.id: h.score for h in oracle_engine.search(query, emb, 200, now=NOW)}
     for h in hits:
         assert h.score + 1e-9 >= exact_by_id[h.chunk.id]
+
+
+def test_rescue_scan_sliced_to_pending_parity():
+    """A prepass-certificate miss of a few queries re-scans at the sliced
+    pending width (bucketed pow2 gather) — results must stay bit-identical
+    to the oracle after re-homing the sliced rows at their batch indices."""
+    rng = random.Random(97)
+    engine, oracle_engine, vocab = _setup(
+        rng, backend="pallas", n=300, scan_dtype="int8", candidate_m=4,
+    )
+    # most queries ask k=1 (resolve in the prepass at m=4); a minority ask
+    # k=10 > m, which cannot certify at the prepass width and must escalate
+    # into the while-loop rescue — len(pending) <= b//2 triggers slicing
+    requests = []
+    for i in range(12):
+        k = 10 if i in (3, 7) else 1
+        query = " ".join(rng.choices(vocab, k=2))
+        requests.append((query, hash_embedder.embed_text(f"q{i}", DIM), k))
+    before = engine.stats["rescue_sliced_total"]
+    batch = engine.search_batch(requests, now=NOW)
+    assert engine.stats["rescue_sliced_total"] > before
+    for (query, emb, k), hits in zip(requests, batch):
+        expected = oracle_engine.search(query, emb, k, now=NOW)
+        assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
+        assert [h.score for h in hits] == [h.score for h in expected]
+
+
+def test_coarse_layout_overrides_and_shallow():
+    from omni_recall_tpu.search.engine import _coarse_layout
+
+    # prefer_shallow: at >= 2048 slices of 512 the shallow (512, 2) layout
+    # wins (swept at 1M x 1536); below the slice threshold it falls back to
+    # the auto deep layout
+    assert _coarse_layout(1 << 20, 128, 1024, prefer_shallow=True) == (512, 2)
+    auto_small = _coarse_layout(1 << 16, 128, 1024)
+    assert _coarse_layout(1 << 16, 128, 1024, prefer_shallow=True) == auto_small
+    # explicit overrides are honored and clamped to the kernel's bounds
+    assert _coarse_layout(1 << 20, 128, 1024, 256, 3) == (256, 3)
+    assert _coarse_layout(1 << 20, 128, 1024, 512, 99)[1] <= 8  # PALLAS_BLOCK_T
+    # infeasible override (extraction budget below m) yields no layout
+    assert _coarse_layout(4096, 512, 1024, 1024, 1) is None
 
 
 def test_rebuild_index_atomic_swap_compacts_tombstones():
