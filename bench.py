@@ -181,6 +181,11 @@ def build_e2e_engine(n: int, d: int, bits: int):
         return reqs
 
     engine.bench_n_clusters = n_clusters
+    # corpus artifacts the bench's ingest/rebuild/restore stages reuse
+    # (references, not copies — meta rows alias emb)
+    engine.bench_corpus = {
+        "meta": meta, "contents": contents, "assign": assign, "emb": emb,
+    }
     now = EPOCH + timedelta(days=365.0)
     return engine, make_requests, now, opts
 
@@ -212,6 +217,9 @@ def bench_e2e(
 
     engine, make_requests, now, opts = build_e2e_engine(n, d, bits)
     n_clusters = engine.bench_n_clusters
+    corpus = engine.bench_corpus
+    meta, contents = corpus["meta"], corpus["contents"]
+    assign, emb = corpus["assign"], corpus["emb"]
     dix = engine.device_index
     dd_on = getattr(opts, "device_exact_cos", False)
     _mark("e2e: warmup search_batch (compiles)")
@@ -1020,13 +1028,17 @@ def main() -> None:
         # sharded_1dev_scan_ms is the shard_map DEVICE overhead, not the
         # ~30 ms/dispatch tunnel RTT a per-call loop measures
         # (tools/probe_sharded_timing.py isolates both).
+        # extraction depth scaled so the emitted-candidate budget
+        # n/sub * t covers m at any corpus size (t=1 at the 1M default;
+        # smaller OMNI_BENCH_N smokes need deeper extraction)
+        t_sh = max(1, -(-128 * 1024 // n))
         sh_v, _ = ss.score_topm(
             emb, bloom, created, valid, q1, kw1, bias1, now1, r01,
-            m=128, mode="pallas_int8_coarse", t=1, sub=1024,
+            m=128, mode="pallas_int8_coarse", t=t_sh, sub=1024,
             scale=r_scale, err=row_err,
         )
         _ = np.asarray(sh_v[:2, :2])  # warm/compile before timing
-        sh_fn = ss._fns[("pallas_int8_coarse", 128, 1, 1024)]
+        sh_fn = ss._fns[("pallas_int8_coarse", 128, t_sh, 1024)]
         g_sh = 8
 
         def sh_mega(emb_, scale_, err_, bloom_, created_, valid_, q0, kw_, bias_):
