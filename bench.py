@@ -190,6 +190,102 @@ def build_e2e_engine(n: int, d: int, bits: int):
     return engine, make_requests, now, opts
 
 
+def build_localq_engine(n: int, d: int, bits: int, opts):
+    """Build the device-resident-query serving corpus + engine: a quick
+    corpus-fine-tuned encoder (eval/quality.py workflow) embeds both the
+    rows and the queries, so text queries land in the corpus geometry and
+    the exactness certificates discriminate (see the localq comment in
+    bench_e2e). Returns (engine, make_text_requests, lq_n) — shared by the
+    bench localq stage and tools/probe_localq.py."""
+    from datetime import timedelta
+
+    import jax as _jax
+    import jax.numpy as _jnp
+    import optax
+
+    from omni_recall_tpu.index.device_index import EPOCH
+    from omni_recall_tpu.index.records import ChunkRecord
+    from omni_recall_tpu.index.store import InMemoryIngestionStore
+    from omni_recall_tpu.ingest.embedding import LocalEncoderEmbeddingClient
+    from omni_recall_tpu.models import encoder as _enc
+    from omni_recall_tpu.ops import hashing
+    from omni_recall_tpu.search.engine import RecallEngine
+
+    _mark("e2e: localq fine-tune")
+    lq_n = min(n, int(os.environ.get("OMNI_BENCH_LOCALQ_N", 1 << 16)))
+    lq_steps = int(os.environ.get("OMNI_BENCH_LOCALQ_STEPS", 600))
+    # ~24 rows/cluster: the compact selection's certificate bound (the
+    # 33rd candidate's refined bound) then usually sits CROSS-cluster,
+    # far below the kth in-cluster score — at 64 rows/cluster the bound
+    # row is in-cluster and the margin thins to the within-cluster
+    # score spread
+    lq_clusters = max(256, lq_n // 24)
+    lq_cfg = _enc.EncoderConfig(
+        vocab_size=8192, d_model=128, n_layers=2, n_heads=4, d_ff=256,
+        max_len=32, out_dim=d,
+    )
+    lq_assign = np.random.default_rng(7).integers(0, lq_clusters, size=lq_n)
+    lq_contents = [f"topic c{lq_assign[i]}x note r{i}" for i in range(lq_n)]
+    lq_params = _enc.init_params(_jax.random.PRNGKey(0), lq_cfg)
+    lq_opt, lq_step = _enc.make_train_step(lq_cfg, optax.adamw(3e-4))
+    lq_opt_state = lq_opt.init(lq_params)
+    lq_step_fn = _jax.jit(lq_step)
+    lq_rng = np.random.default_rng(3)
+    for _ in range(lq_steps):
+        rows = lq_rng.integers(0, lq_n, size=256)
+        q_ids = _jnp.asarray(_enc.tokenize_batch(
+            [f"c{lq_assign[i]}x" for i in rows], lq_cfg))
+        c_ids = _jnp.asarray(_enc.tokenize_batch(
+            [lq_contents[i] for i in rows], lq_cfg))
+        lq_params, lq_opt_state, _ = lq_step_fn(
+            lq_params, lq_opt_state, q_ids, c_ids)
+
+    _mark("e2e: localq encode corpus")
+    lq_client = LocalEncoderEmbeddingClient(d, cfg=lq_cfg)
+    lq_client.params = lq_params
+    slab = 4096
+    lq_emb = np.empty((lq_n, d), dtype=np.float32)
+    for s0 in range(0, lq_n, slab):
+        s1 = min(s0 + slab, lq_n)
+        ids = _enc.tokenize_batch(lq_contents[s0:s1], lq_cfg)
+        if s1 - s0 < slab:
+            ids = np.concatenate(
+                [ids, np.zeros((slab - (s1 - s0), ids.shape[1]), ids.dtype)])
+        lq_emb[s0:s1] = np.asarray(
+            lq_client._forward(lq_client.params, ids))[: s1 - s0]
+
+    _mark("e2e: localq index build")
+    lq_engine = RecallEngine(InMemoryIngestionStore(), options=opts)
+    lq_dix = lq_engine.device_index
+    lq_bloom = hashing.chunk_signatures_batch(
+        [c.lower() for c in lq_contents],
+        lq_dix.bloom_bits, lq_dix.ngram, lq_dix.bloom_hashes)
+    lq_days = np.round(np.linspace(0.0, 365.0, lq_n), 3).astype(np.float32)
+    lq_day_cache = {}
+    lq_meta = []
+    for i in range(lq_n):
+        day = round(float(lq_days[i]), 3)
+        when = lq_day_cache.get(day)
+        if when is None:
+            when = lq_day_cache[day] = EPOCH + timedelta(days=day)
+        lq_meta.append(ChunkRecord(
+            id=f"lq:{i}", document_id="lq", chunk_index=i,
+            content=lq_contents[i], embedding=lq_emb[i],
+            created_at_utc=when, seq=i))
+    lq_dix.bulk_load(lq_emb, lq_bloom, lq_days, lq_meta)
+    lq_dix.device_arrays()
+    lq_engine.attach_device_embedder(lq_client)
+
+    def make_text_requests(seed, nb):
+        r = np.random.default_rng(seed)
+        return [
+            (f"c{int(r.integers(lq_clusters))}x", None, 10)
+            for _ in range(nb)
+        ]
+
+    return lq_engine, make_text_requests, lq_n
+
+
 def bench_e2e(
     n: int, d: int, b: int, bits: int, batches: int = 3, bt: int = 1536,
 ) -> dict:
@@ -276,85 +372,9 @@ def bench_e2e(
     # cosine 0.72+-0.06 vs trained 0.03+-0.17).
     localq_stats = {}
     if os.environ.get("OMNI_BENCH_LOCALQ", "1") == "1":
-        import jax as _jax
-        import jax.numpy as _jnp
-        import optax
-
-        from omni_recall_tpu.ingest.embedding import LocalEncoderEmbeddingClient
-        from omni_recall_tpu.models import encoder as _enc
-
-        _mark("e2e: localq fine-tune")
-        lq_n = min(n, int(os.environ.get("OMNI_BENCH_LOCALQ_N", 1 << 16)))
-        lq_steps = int(os.environ.get("OMNI_BENCH_LOCALQ_STEPS", 600))
-        # ~24 rows/cluster: the compact selection's certificate bound (the
-        # 33rd candidate's refined bound) then usually sits CROSS-cluster,
-        # far below the kth in-cluster score — at 64 rows/cluster the bound
-        # row is in-cluster and the margin thins to the within-cluster
-        # score spread
-        lq_clusters = max(256, lq_n // 24)
-        lq_cfg = _enc.EncoderConfig(
-            vocab_size=8192, d_model=128, n_layers=2, n_heads=4, d_ff=256,
-            max_len=32, out_dim=d,
+        lq_engine, make_text_requests, lq_n = build_localq_engine(
+            n, d, bits, opts
         )
-        lq_assign = np.random.default_rng(7).integers(0, lq_clusters, size=lq_n)
-        lq_contents = [f"topic c{lq_assign[i]}x note r{i}" for i in range(lq_n)]
-        lq_params = _enc.init_params(_jax.random.PRNGKey(0), lq_cfg)
-        lq_opt, lq_step = _enc.make_train_step(lq_cfg, optax.adamw(3e-4))
-        lq_opt_state = lq_opt.init(lq_params)
-        lq_step_fn = _jax.jit(lq_step)
-        lq_rng = np.random.default_rng(3)
-        for _ in range(lq_steps):
-            rows = lq_rng.integers(0, lq_n, size=256)
-            q_ids = _jnp.asarray(_enc.tokenize_batch(
-                [f"c{lq_assign[i]}x" for i in rows], lq_cfg))
-            c_ids = _jnp.asarray(_enc.tokenize_batch(
-                [lq_contents[i] for i in rows], lq_cfg))
-            lq_params, lq_opt_state, _ = lq_step_fn(
-                lq_params, lq_opt_state, q_ids, c_ids)
-
-        _mark("e2e: localq encode corpus")
-        lq_client = LocalEncoderEmbeddingClient(d, cfg=lq_cfg)
-        lq_client.params = lq_params
-        slab = 4096
-        lq_emb = np.empty((lq_n, d), dtype=np.float32)
-        for s0 in range(0, lq_n, slab):
-            s1 = min(s0 + slab, lq_n)
-            ids = _enc.tokenize_batch(lq_contents[s0:s1], lq_cfg)
-            if s1 - s0 < slab:
-                ids = np.concatenate(
-                    [ids, np.zeros((slab - (s1 - s0), ids.shape[1]), ids.dtype)])
-            lq_emb[s0:s1] = np.asarray(
-                lq_client._forward(lq_client.params, ids))[: s1 - s0]
-
-        _mark("e2e: localq index build")
-        lq_engine = RecallEngine(InMemoryIngestionStore(), options=opts)
-        lq_dix = lq_engine.device_index
-        lq_bloom = hashing.chunk_signatures_batch(
-            [c.lower() for c in lq_contents],
-            lq_dix.bloom_bits, lq_dix.ngram, lq_dix.bloom_hashes)
-        lq_days = np.round(np.linspace(0.0, 365.0, lq_n), 3).astype(np.float32)
-        lq_day_cache = {}
-        lq_meta = []
-        for i in range(lq_n):
-            day = round(float(lq_days[i]), 3)
-            when = lq_day_cache.get(day)
-            if when is None:
-                when = lq_day_cache[day] = EPOCH + timedelta(days=day)
-            lq_meta.append(ChunkRecord(
-                id=f"lq:{i}", document_id="lq", chunk_index=i,
-                content=lq_contents[i], embedding=lq_emb[i],
-                created_at_utc=when, seq=i))
-        lq_dix.bulk_load(lq_emb, lq_bloom, lq_days, lq_meta)
-        lq_dix.device_arrays()
-        lq_engine.attach_device_embedder(lq_client)
-
-        def make_text_requests(seed, nb):
-            r = np.random.default_rng(seed)
-            return [
-                (f"c{int(r.integers(lq_clusters))}x", None, 10)
-                for _ in range(nb)
-            ]
-
         _mark("e2e: device-query serving")
         lq_engine.search_batches_pipelined(
             [make_text_requests(60, bt)], now=now
@@ -378,7 +398,7 @@ def bench_e2e(
             "localq_dd_escalations": lq_engine.stats["dd_escalations_total"] - esc0,
             "localq_host_fallbacks": lq_engine.stats["host_fallbacks_total"] - hf0,
         }
-        del lq_engine, lq_dix, lq_emb, lq_meta, lq_client, lq_params
+        del lq_engine, lq_batches, outs_lq
 
     # Host-rescore throughput in isolation (no device round trip), at the
     # legacy unrefined width (128) and at the width the engine ACTUALLY

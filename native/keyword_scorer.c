@@ -22,7 +22,7 @@
  * mtime beats the source would otherwise be called with mismatched
  * marshalling (e.g. a weight double landing where the old ABI expected the
  * out pointer -> segfault). */
-#define OMNI_NATIVE_ABI 5
+#define OMNI_NATIVE_ABI 6
 int omni_abi_version(void) { return OMNI_NATIVE_ABI; }
 
 /* Two-way/memmem is glibc; provide a fallback for other libcs. */
@@ -553,4 +553,115 @@ int query_bit_weights_batch(const char **terms, const long *term_lens,
     }
     free(pos_heap);
     return 0;
+}
+
+/* Sparse variant of query_bit_weights_batch: emits, per query, the dense
+ * row's nonzero cells as (bit index, f32 value) pairs in first-touch order —
+ * the serving path scatters them back to dense ON DEVICE
+ * (search/engine.py _densify_kw), skipping the [n_queries * bloom_bits]
+ * host materialization entirely (~6 MB/serving batch of fresh pages + a
+ * full nonzero scan, the dispatch phase's dominant host cost).
+ *
+ * Value bits are identical to the dense builder's cells: the f32
+ * accumulation (acc[p] = acc[p] + w) runs in the exact same term/position
+ * order as the dense wrow[p] += w.
+ *
+ * idx_out i32[n_queries * t_pad] (caller-filled with -1) and
+ * val_out f32[n_queries * t_pad] (caller-zeroed) receive the pairs;
+ * count_out[q] reports the query's TRUE nonzero count — when it exceeds
+ * t_pad the row is left empty and the caller retries with a wider pad (or
+ * falls back to the dense builder). Bias semantics match the dense
+ * builder. */
+int query_bit_weights_sparse_batch(const char **terms, const long *term_lens,
+                                   const long *query_term_off, long n_queries,
+                                   long bloom_bits, long ngram, long n_hashes,
+                                   long t_pad,
+                                   int32_t *idx_out, float *val_out,
+                                   long *count_out, double *bias) {
+    if (bloom_bits <= 0 || n_hashes <= 0 || t_pad <= 0) return 1;
+    uint64_t pos_stack[16 * 8];
+    uint64_t *pos_set = pos_stack;
+    uint64_t *pos_heap = NULL;
+    if (n_hashes > 8) {
+        pos_heap = (uint64_t *)malloc(16 * (size_t)n_hashes * sizeof(uint64_t));
+        if (!pos_heap) return 1;
+        pos_set = pos_heap;
+    }
+    /* epoch-stamped accumulator: no per-query memset of a [bloom_bits]
+     * buffer (stamp[p] == q+1 marks p as touched by query q) */
+    float *acc = (float *)malloc((size_t)bloom_bits * sizeof(float));
+    long *stamp = (long *)calloc((size_t)bloom_bits, sizeof(long));
+    long *touched = (long *)malloc((size_t)bloom_bits * sizeof(long));
+    if (!acc || !stamp || !touched) {
+        free(pos_heap); free(acc); free(stamp); free(touched);
+        return 1;
+    }
+    int rc = 0;
+    for (long q = 0; q < n_queries; q++) {
+        long t0 = query_term_off[q], t1 = query_term_off[q + 1];
+        long n_terms = t1 - t0;
+        count_out[q] = 0;
+        if (n_terms <= 0) continue;
+        double inv_t = 1.0 / (double)n_terms;
+        long n_touched = 0;
+        for (long t = t0; t < t1; t++) {
+            const unsigned char *s = (const unsigned char *)terms[t];
+            long L = term_lens[t];
+            long glen, g_count;
+            if (L <= 0) { bias[q] += inv_t; continue; }
+            if (L == 1) { glen = 1; g_count = 1; }
+            else if (L < ngram) { glen = 2; g_count = L - 1; }
+            else { glen = ngram; g_count = L - glen + 1; }
+            long starts[16];
+            long n_sel;
+            if (g_count > 16) {
+                double step = (double)(g_count - 1) / 15.0;
+                for (long i = 0; i < 16; i++)
+                    starts[i] = (i == 15) ? (g_count - 1)
+                                          : (long)((double)i * step);
+                n_sel = 16;
+            } else {
+                n_sel = g_count;
+                for (long i = 0; i < n_sel; i++) starts[i] = i;
+            }
+            long n_pos = 0;
+            for (long g = 0; g < n_sel; g++) {
+                uint64_t h1 = fnv1a_seeded(s + starts[g], glen, 1);
+                uint64_t h2 = fnv1a_seeded(s + starts[g], glen, 2) | 1ULL;
+                for (long i = 0; i < n_hashes; i++) {
+                    uint64_t pos = (h1 + (uint64_t)i * h2) % (uint64_t)bloom_bits;
+                    int dup = 0;
+                    for (long j = 0; j < n_pos; j++)
+                        if (pos_set[j] == pos) { dup = 1; break; }
+                    if (!dup) pos_set[n_pos++] = pos;
+                }
+            }
+            if (n_pos == 0) { bias[q] += inv_t; continue; }
+            float w = (float)(inv_t / (double)n_pos);
+            for (long j = 0; j < n_pos; j++) {
+                long p = (long)pos_set[j];
+                if (stamp[p] != q + 1) {
+                    stamp[p] = q + 1;
+                    acc[p] = 0.0f;
+                    touched[n_touched++] = p;
+                }
+                acc[p] = acc[p] + w; /* same f32 order as the dense builder */
+            }
+        }
+        count_out[q] = n_touched;
+        if (n_touched <= t_pad) {
+            int32_t *irow = idx_out + q * t_pad;
+            float *vrow = val_out + q * t_pad;
+            for (long j = 0; j < n_touched; j++) {
+                irow[j] = (int32_t)touched[j];
+                vrow[j] = acc[touched[j]];
+            }
+        }
+        /* n_touched > t_pad: row left at (-1, 0); caller retries wider */
+    }
+    free(pos_heap);
+    free(acc);
+    free(stamp);
+    free(touched);
+    return rc;
 }

@@ -169,6 +169,78 @@ def query_bit_weights_batch(
     return weights, bias
 
 
+def query_bit_weights_sparse_batch(
+    term_lists: list[list[str]], bloom_bits: int, ngram: int, n_hashes: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """SPARSE batched query bit-weights: (idx i32[nq, t_pad] with -1
+    padding, val f32[nq, t_pad], bias f64[nq]) such that scattering each
+    query's (idx, val) pairs into a zero [bloom_bits] row reproduces
+    query_bit_weights_batch's dense row BIT-FOR-BIT (the native builder
+    accumulates f32 in the identical order; tests/test_native.py).
+
+    This is the serving dispatch path: the dense [nq, bloom_bits] matrix
+    (6.3 MB at 1536x1024) is never materialized on the host — the engine
+    scatters on device (_densify_kw). Returns None when the native lib is
+    unavailable or a query is pathologically dense (t_pad would exceed
+    bloom_bits // 4, where the dense upload wins); the caller then uses the
+    dense builder."""
+    from omni_recall_tpu.ops import native
+
+    nq = len(term_lists)
+    ascii_idx = [
+        i for i, terms in enumerate(term_lists)
+        if all(t.isascii() for t in terms)
+    ]
+    enc = [[t.encode("ascii") for t in term_lists[i]] for i in ascii_idx]
+
+    # non-ASCII queries (rare): dense python row -> nonzero extraction
+    py_rows: list[tuple[int, np.ndarray, np.ndarray, float]] = []
+    py_max = 0
+    if len(ascii_idx) < nq:
+        ascii_set = set(ascii_idx)
+        for i in range(nq):
+            if i in ascii_set:
+                continue
+            w_row, b_i = query_bit_weights(
+                term_lists[i], bloom_bits, ngram, n_hashes
+            )
+            nz = np.nonzero(w_row)[0]
+            py_rows.append((i, nz, w_row[nz], b_i))
+            py_max = max(py_max, len(nz))
+
+    t_pad = 16
+    out = native.query_bit_weights_sparse_batch(
+        enc, bloom_bits, ngram, n_hashes, t_pad
+    )
+    if out is None:
+        return None
+    idx_a, val_a, bias_a, counts = out
+    max_c = max(int(counts.max()) if len(counts) else 0, py_max)
+    if max_c > t_pad:
+        t_pad = 1 << (max_c - 1).bit_length()
+        if t_pad > bloom_bits // 4:
+            return None  # dense enough that the dense path wins
+        out = native.query_bit_weights_sparse_batch(
+            enc, bloom_bits, ngram, n_hashes, t_pad
+        )
+        if out is None:
+            return None
+        idx_a, val_a, bias_a, counts = out
+
+    idx = np.full((nq, t_pad), -1, dtype=np.int32)
+    val = np.zeros((nq, t_pad), dtype=np.float32)
+    bias = np.zeros(nq, dtype=np.float64)
+    if ascii_idx:
+        idx[ascii_idx] = idx_a
+        val[ascii_idx] = val_a
+        bias[ascii_idx] = bias_a
+    for i, nz, vals, b_i in py_rows:
+        idx[i, : len(nz)] = nz
+        val[i, : len(nz)] = vals
+        bias[i] = b_i
+    return idx, val, bias
+
+
 def chunk_signatures_batch(
     contents_lower: list[str], bloom_bits: int, ngram: int, n_hashes: int
 ) -> np.ndarray:

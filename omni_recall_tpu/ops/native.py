@@ -49,7 +49,7 @@ def _build() -> bool:
     return False
 
 
-_ABI_VERSION = 5  # must match OMNI_NATIVE_ABI in keyword_scorer.c
+_ABI_VERSION = 6  # must match OMNI_NATIVE_ABI in keyword_scorer.c
 
 
 def _abi_version(lib) -> int:
@@ -122,6 +122,14 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_long), ctypes.c_long,
                 ctypes.c_long, ctypes.c_long, ctypes.c_long,
                 c_f32p, c_f64p,
+            ]
+            lib.query_bit_weights_sparse_batch.restype = ctypes.c_int
+            lib.query_bit_weights_sparse_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+                ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int32), c_f32p,
+                ctypes.POINTER(ctypes.c_long), c_f64p,
             ]
             lib.pairwise_dot_f64.restype = ctypes.c_int
             lib.pairwise_dot_f64.argtypes = [c_f32p, c_f32p, ctypes.c_long, c_f64p]
@@ -416,3 +424,50 @@ def query_bit_weights_batch(
     if rc != 0:
         return None
     return weights, bias
+
+
+def query_bit_weights_sparse_batch(
+    term_lists_ascii: list[list[bytes]],
+    bloom_bits: int,
+    ngram: int,
+    n_hashes: int,
+    t_pad: int,
+):
+    """Sparse batched query bit-weights for ASCII term lists: the dense
+    row's nonzero cells as (idx i32[nq, t_pad] with -1 padding,
+    val f32[nq, t_pad]) plus (bias f64[nq], counts i64[nq]) — value bits
+    identical to the dense builder (same f32 accumulation order). A query
+    whose true nonzero count exceeds ``t_pad`` has counts[q] > t_pad and an
+    all-(-1) row (caller retries wider or falls back to dense). Returns
+    None when the native lib is unavailable."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    nq = len(term_lists_ascii)
+    idx = np.full((nq, t_pad), -1, dtype=np.int32)
+    val = np.zeros((nq, t_pad), dtype=np.float32)
+    bias = np.zeros(nq, dtype=np.float64)
+    counts = np.zeros(nq, dtype=np.int64)
+    if nq == 0:
+        return idx, val, bias, counts
+    flat: list[bytes] = []
+    offs = [0]
+    for terms in term_lists_ascii:
+        flat.extend(terms)
+        offs.append(len(flat))
+    n_t = len(flat)
+    terms_arr = (ctypes.c_char_p * max(1, n_t))(*(flat or [b""]))
+    term_lens = (ctypes.c_long * max(1, n_t))(*([len(t) for t in flat] or [0]))
+    off_arr = (ctypes.c_long * (nq + 1))(*offs)
+    rc = lib.query_bit_weights_sparse_batch(
+        terms_arr, term_lens, off_arr, nq, bloom_bits, ngram, n_hashes, t_pad,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        val.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        bias.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        return None
+    return idx, val, bias, counts

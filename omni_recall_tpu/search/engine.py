@@ -341,6 +341,7 @@ class RecallEngine:
             "dd_resolved_total": 0,         # certified via device-exact cosine
             "dd_escalations_total": 0,      # DD margin failures -> host rescore
             "rescue_sliced_total": 0,       # rescue scans run at sliced width
+            "rescue_wide_total": 0,         # wide re-reads of dispatch scans
         }
         # Adaptive prepass gate: on corpora with near-tie score distributions
         # the coarse certificate keeps failing and the prepass only adds
@@ -1407,11 +1408,28 @@ class RecallEngine:
             if q_enc is not None:
                 dev_embedded[np.asarray(dev_embed_idx)] = True
         terms_all = [oracle.query_terms(query) for query, _, _ in requests]
-        weights, biases = hashing.query_bit_weights_batch(
-            terms_all, dix.bloom_bits, dix.ngram, dix.bloom_hashes,
-        )
-        weights = weights.astype(np.float32, copy=False)
-        biases = biases.astype(np.float32)
+        # SPARSE keyword weights end-to-end (single-device): the native
+        # builder emits (bit index, value) pairs directly and the device
+        # scatters them dense (_densify_kw) — the [B, bits] f32 matrix
+        # (6.3 MB/batch at 1536x1024, fresh pages + a full nonzero scan)
+        # never exists on the host. Values are bit-identical to the dense
+        # builder (tests/test_native.py). The sharded path (replicated
+        # mesh uploads) and pathologically dense queries keep the dense
+        # builder.
+        weights = kw_idx = kw_val = None
+        if self._sharded_scorer is None:
+            sparse_kw = hashing.query_bit_weights_sparse_batch(
+                terms_all, dix.bloom_bits, dix.ngram, dix.bloom_hashes,
+            )
+            if sparse_kw is not None:
+                kw_idx, kw_val, bias64 = sparse_kw
+                biases = bias64.astype(np.float32)
+        if kw_idx is None:
+            weights, bias64 = hashing.query_bit_weights_batch(
+                terms_all, dix.bloom_bits, dix.ngram, dix.bloom_hashes,
+            )
+            weights = weights.astype(np.float32, copy=False)
+            biases = bias64.astype(np.float32)
 
         r0 = dix.window_start_row(window)
         window_rows = dix.n_valid if window <= 0 else min(window, dix.n_valid)
@@ -1456,7 +1474,12 @@ class RecallEngine:
             qn_dd_dev = _ec.self_norm_dd(q_raw_dev)
             _start_host_copies(qn_dd_dev)
             q_dev = _normalize_q_dd(q_raw_dev, qn_dd_dev[0])
-            w_dev = self._sparse_w_dev(weights, b, dix.bloom_bits)
+            w_dev = (
+                _densify_kw(jnp.asarray(kw_idx), jnp.asarray(kw_val),
+                            dix.bloom_bits)
+                if kw_idx is not None
+                else self._sparse_w_dev(weights, b, dix.bloom_bits)
+            )
         else:
             # upload-lean operands (the dev tunnel uploads at ~10-50 MB/s,
             # so per-batch bytes bound the measured serving rate):
@@ -1468,7 +1491,12 @@ class RecallEngine:
                 inv[ok] = (1.0 / np.sqrt(q_norms[ok])).astype(np.float32)
             q_raw_dev = ctx["q_raw_dev"] = jnp.asarray(q_raw)
             q_dev = _normalize_q(q_raw_dev, jnp.asarray(inv))
-            w_dev = self._sparse_w_dev(weights, b, dix.bloom_bits)
+            w_dev = (
+                _densify_kw(jnp.asarray(kw_idx), jnp.asarray(kw_val),
+                            dix.bloom_bits)
+                if kw_idx is not None
+                else self._sparse_w_dev(weights, b, dix.bloom_bits)
+            )
         bias_dev = jnp.asarray(biases)
         now_dev = jnp.float32(to_days(now))
         r0_dev = jnp.int32(r0)
@@ -1532,6 +1560,10 @@ class RecallEngine:
                     ctx["kw_dd"] = chain_dd(sel)
                     _start_host_copies(sel)
                     ctx["kw_scan"] = ("compact", kw_only, *sel)
+                    # full [B, m+1] scan candidates stay device-resident:
+                    # compact-certificate misses re-read just their rows
+                    # (wide rescue) before paying a fresh rescue scan
+                    ctx["kw_full"] = (k_vals, k_idxs)
                 else:
                     k_ref = self._refine_call(
                         dev, q_dev, w_dev, bias_dev, now_dev, k_vals, k_idxs, m
@@ -1564,6 +1596,7 @@ class RecallEngine:
                     ctx["coarse_dd"] = chain_dd(sel)
                     _start_host_copies(sel)
                     ctx["coarse_scan"] = ("compact", prepass, *sel)
+                    ctx["coarse_full"] = (c_vals, c_idxs)  # wide rescue
                 else:
                     c_ref = self._refine_call(
                         dev, q_dev, w_dev, bias_dev, now_dev, c_vals, c_idxs, m
@@ -1974,6 +2007,49 @@ class RecallEngine:
             self.last_coarse_resolved = len(prepass) - len(unresolved)
             self.stats["coarse_resolved_total"] += self.last_coarse_resolved
             self._coarse_gate_record(self.last_coarse_resolved, len(prepass))
+
+        def wide_rescue(full_key: str, scan_key: str) -> None:
+            """Compact-prepass misses re-certified at the FULL scan width
+            without a fresh scan: the dispatch's [B, m+1] scan candidates
+            are still device-resident, so gather just the pending queries'
+            rows (one small readback) and run the standard full-width
+            certificate. Most compact failures are the (t_out+1)-th refined
+            bound sitting in a co-located cluster — at width m the boundary
+            is the scan's own (m+1)-th bound, which usually clears. Queries
+            whose scan boundary itself is too tight proceed to the rescue
+            scan exactly as before."""
+            scan = ctx.get(scan_key)
+            if ctx.get(full_key) is None or scan is None:
+                return
+            members = set(scan[1])
+            pending = [
+                i for i, r in enumerate(results) if r is None and i in members
+            ]
+            # near-full-width pending means the prepass certificate is
+            # failing broadly (near-tie corpus) — the coarse bounds won't
+            # clear at width m either, so skip the extra round trip and let
+            # the rescue-scan loop run its tighter fused bounds
+            if not pending or len(pending) > max(8, b // 2):
+                return
+            self.stats["rescue_wide_total"] += 1
+            vals_d, idxs_d = ctx[full_key]
+            pb = 1 << (len(pending) - 1).bit_length()
+            sel = np.zeros(pb, dtype=np.int32)
+            sel[: len(pending)] = pending
+            sel_dev = jnp.asarray(sel)
+            vals_p, idxs_p = jax.device_get((
+                jnp.take(vals_d, sel_dev, axis=0),
+                jnp.take(idxs_d, sel_dev, axis=0),
+            ))
+            vf = np.full((b,) + vals_p.shape[1:], -np.inf, vals_p.dtype)
+            vf[pending] = vals_p[: len(pending)]
+            xf = np.full((b,) + idxs_p.shape[1:], -1, idxs_p.dtype)
+            xf[pending] = idxs_p[: len(pending)]
+            rescore_and_certify(pending, vf, xf, m, all_ref=None)
+
+        if self.options.exact and any(r is None for r in results):
+            wide_rescue("kw_full", "kw_scan")
+            wide_rescue("coarse_full", "coarse_scan")
 
         while any(r is None for r in results):
             pending = [i for i, r in enumerate(results) if r is None]
