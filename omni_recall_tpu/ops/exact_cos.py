@@ -205,9 +205,31 @@ def finish_cosines(
 
 
 def round4_certified(scores: np.ndarray, margins: np.ndarray) -> np.ndarray:
-    """True where round(score, 4) is invariant over [score-m, score+m]
-    (round is monotone, so interval-endpoint equality certifies every value
-    between)."""
-    lo = np.round(scores - margins, 4)
-    hi = np.round(scores + margins, 4)
-    return lo == hi
+    """True where the 4-decimal DTO rounding is PROVABLY invariant over
+    [score-m, score+m] — for python's builtin ``round``, the function the
+    DTO serialization applies (search/service.py round(hit.score, 4),
+    mirroring the reference's Math.Round in RecallSearchService.cs:33).
+
+    ``round(x, 4)`` (correctly rounded over the double's exact decimal
+    value) can only change output where the real value crosses a decimal
+    midpoint (2n+1)/2e4, so it is constant on any interval bounded away
+    from every midpoint. The test computes the distance from score*1e4 to
+    the nearest half-integer and requires it to exceed the margin plus this
+    evaluation's own f64 error:
+
+    - fl(score*1e4) carries <= |g| * 2^-52 absolute error;
+    - g - floor(g) is exact (Sterbenz) and the half-integer shift adds
+      < 2^-53 relative slop, covered by the 1e-15 constant;
+    - the margin scale-up is padded by 1e-4 relative.
+
+    NOTE np.round is NOT usable here: its scale-rint-unscale algorithm is
+    documented inexact near the very midpoints this certificate is about,
+    so np.round endpoint equality does not transfer to builtin round.
+    Non-finite scores (padded -inf cells) certify trivially, as does
+    margin == 0 (the two paths' values are then bit-identical, so any
+    deterministic rounding of them agrees)."""
+    with np.errstate(invalid="ignore"):
+        g = scores * 1e4
+        d = np.abs((g - np.floor(g)) - 0.5)
+        slack = np.abs(g) * 2.3e-16 + margins * 1.0001e4 + 1e-15
+        return (d > slack) | (margins == 0.0) | ~np.isfinite(scores)

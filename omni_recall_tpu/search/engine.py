@@ -163,7 +163,18 @@ def _dd_certify_batch(
     has_b = bnd != -np.inf
     idxk = np.clip(k_arr - 1, 0, lmax - 1)
     sk, mk = s[rowix, idxk], m[rowix, idxk]
-    provable = has_b & ((lens < k_arr) | (sk + mk <= bnd))
+    # provable fail: a sound UPPER bound on the exact kth score is the kth
+    # LARGEST of the per-candidate upper bounds s+m (order statistics are
+    # monotone under elementwise domination) — NOT s_k + m_k, which can
+    # undershoot it when a lower-DD-ranked candidate carries a larger
+    # margin. If even that bound cannot beat the device boundary, the
+    # bit-exact host rescore provably fails too and the caller skips it.
+    # (padded cells are -inf + 0 = -inf and sort last)
+    uk = (-np.sort(-(s + m), axis=1))[rowix, idxk]
+    provable = has_b & ((lens < k_arr) | (uk <= bnd))
+    # kth-above-bound: sound because `resolved` ALSO requires the ranking
+    # certificates below — they pin the DD kth as the exact kth candidate,
+    # whose exact score is >= s_k - m_k
     margin_fail = has_b & ~provable & ~(sk - mk > bnd)
 
     # ranking: adjacent non-overlap among the top k (+1) entries
@@ -1036,34 +1047,13 @@ class RecallEngine:
         if partial is not None:
             scores = partial + oracle.RECENCY_WEIGHT * rec
         else:
-            # numpy fallback: identical math, slower (no native lib)
-            kw = np.zeros(total, dtype=np.float64)
-            if any(term_lists):
-                meta = dix.meta
-                # meta entries may flip to None under a concurrent delete;
-                # deleted rows are dropped from the final hits either way
-                contents = [
-                    m.content_lower_utf8() if (m := meta[r]) is not None else b""
-                    for r in rows
-                ]
-                flat_terms = []
-                offsets = [0]
-                for terms in term_lists:
-                    flat_terms.extend(t.encode("utf-8") for t in terms)
-                    offsets.append(len(flat_terms))
-                kws = native.keyword_scores_multi(
-                    contents, owner.tolist(), flat_terms, offsets
-                )
-                if kws is not None:
-                    kw = np.asarray(kws, dtype=np.float64)
-                else:  # pure-python fallback (no native lib at all)
-                    for i, r in enumerate(rows):
-                        terms = term_lists[owner[i]]
-                        m = meta[r]
-                        if m is not None and terms and m.content.strip():
-                            kw[i] = oracle.keyword_score_terms(
-                                terms, oracle.lower_invariant(m.content)
-                            )
+            # fallback when the fused native path is out (lib absent, dim
+            # above the native cap, or a load/ABI failure): the keyword
+            # term comes from the SHARED helper — _kw_scores_flat is also
+            # the DD path's host half, so the two paths' keyword bits stay
+            # identical by construction (it tries the native keyword-only
+            # rescore first, then the same numpy/python fallbacks)
+            kw_term = self._kw_scores_flat(rows, owner, term_lists, dix)
 
             # cosine: raw f32 products, f64 accumulation (== oracle.cosine)
             raw = dix.raw_emb[rows]
@@ -1073,11 +1063,11 @@ class RecallEngine:
             ok = (ns > 0.0) & (qn > 0.0)
             cos = np.zeros(total, dtype=np.float64)
             cos[ok] = dot[ok] / (np.sqrt(qn[ok]) * np.sqrt(ns[ok]))
+            # same f64 expression order as the oracle: fl(fl(0.7c)+fl(0.2kw))
+            # + fl(0.1r) — kw_term already carries the KEYWORD_WEIGHT factor
             scores = (
-                oracle.COSINE_WEIGHT * cos
-                + oracle.KEYWORD_WEIGHT * kw
-                + oracle.RECENCY_WEIGHT * rec
-            )
+                oracle.COSINE_WEIGHT * cos + kw_term
+            ) + oracle.RECENCY_WEIGHT * rec
         # ONE global lexsort (owner-major, then the ranking key) instead of
         # a python loop of per-query lexsorts — the loop dominated the host
         # stage at serving batch sizes. Within each owner segment the order
@@ -1370,14 +1360,19 @@ class RecallEngine:
                 # (RecallSearchService.cs:70-71)
                 dev_embed_idx.append(i)
         # batch normalization, bit-identical to _normalize per row (f32
-        # products f64-accumulated, f64 divide, f32 round)
+        # products f64-accumulated, f64 divide, f32 round). Host-side
+        # normalized rows are ONLY needed by the sharded upload branch;
+        # the single-device serving path normalizes on device
+        # (_normalize_q / _normalize_q_dd), so skip the [B, d] f64 work.
         q_norms = np.sum(q_raw * q_raw, axis=1, dtype=np.float64)
         ok = has_vec & (q_norms > 0.0)
-        q = np.zeros((b, dix.dim), dtype=np.float32)
-        if ok.any():
-            q[ok] = (
-                q_raw[ok].astype(np.float64) / np.sqrt(q_norms[ok])[:, None]
-            ).astype(np.float32)
+        q = None
+        if self._sharded_scorer is not None:
+            q = np.zeros((b, dix.dim), dtype=np.float32)
+            if ok.any():
+                q[ok] = (
+                    q_raw[ok].astype(np.float64) / np.sqrt(q_norms[ok])[:, None]
+                ).astype(np.float32)
         # zero-norm vectors of matching dim also go host-only (the device
         # bound would be vacuous, exactly as with a dim mismatch)
         host_only.extend(int(i) for i in np.nonzero(has_vec & ~ok)[0])
@@ -1526,15 +1521,23 @@ class RecallEngine:
         # ~bits/(d+bits) of the fused scan cost with no emb stream. This is
         # the primary serving path of the default Embeddings:Provider=None
         # config. Certificate failures continue into the full fused loop.
-        def chain_dd(sel):
+        def chain_dd(sel, zero: bool = False):
             """Chain the device-exact cosine stage onto a compact selection
             (ops/exact_cos.py): DD-dot the selected rows against the RAW
             query matrix, in the same dispatch stream. Returns the (hi, lo,
-            sabs) device triple or None when the raw plane is absent."""
+            sabs) device triple or None when the raw plane is absent.
+
+            ``zero``: the keyword-only selection — every pending query's
+            raw row is exactly zero, so the DD triple is provably all-zero
+            (and finish_cosines' q_norm==0 guard forces cos=0, margin=0
+            regardless of it). Skip the [B, t_out, d] raw-plane gather and
+            the 3-array readback; finalize synthesizes the zeros."""
             if dev.raw is None or not getattr(
                 self.options, "device_exact_cos", False
             ):
                 return None
+            if zero:
+                return ("zero",)
             from omni_recall_tpu.ops import exact_cos as _ec
 
             q_raw_dev = ctx.get("q_raw_dev")
@@ -1557,7 +1560,7 @@ class RecallEngine:
                     m, max(ks),
                 )
                 if sel is not None:
-                    ctx["kw_dd"] = chain_dd(sel)
+                    ctx["kw_dd"] = chain_dd(sel, zero=True)
                     _start_host_copies(sel)
                     ctx["kw_scan"] = ("compact", kw_only, *sel)
                     # full [B, m+1] scan candidates stay device-resident:
@@ -1609,7 +1612,7 @@ class RecallEngine:
         if ctx["empty"]:
             return [[] for _ in requests]
         window, now, dix = ctx["window"], ctx["now"], ctx["dix"]
-        ks, q, host_only = ctx["ks"], ctx["q"], ctx["host_only"]
+        ks, host_only = ctx["ks"], ctx["host_only"]
         window_rows, upd_seq0 = ctx["window_rows"], ctx["upd_seq0"]
         dev = ctx["dev"]
         q_dev, w_dev, bias_dev = ctx["q_dev"], ctx["w_dev"], ctx["bias_dev"]
@@ -1882,7 +1885,6 @@ class RecallEngine:
             sabs = np.concatenate(
                 [sabs_a[i][dd_pos[pi]] for pi, i in enumerate(pending)]
             )
-            self.stats["rescore_pairs_total"] += total
 
             cos, m_cos = _ec.finish_cosines(
                 hi, lo, sabs, ctx["q_norms"][own_q], dix.raw_norm_sq[rows_flat],
@@ -1931,10 +1933,14 @@ class RecallEngine:
                 np.asarray(lens, dtype=np.int64), k_arr, bnd,
             )
             unresolved = [pending[pi] for pi in np.nonzero(provable)[0]]
-            escalate = [
-                pending[pi]
-                for pi in np.nonzero(~provable & ~resolved)[0]
-            ]
+            esc_mask = ~provable & ~resolved
+            escalate = [pending[pi] for pi in np.nonzero(esc_mask)[0]]
+            # count DD-rescored pairs once: escalated queries' pairs are
+            # re-counted by the bit-exact host path (_exact_rescore_rows)
+            # that re-rescores the same rows
+            self.stats["rescore_pairs_total"] += total - int(
+                np.asarray(lens, dtype=np.int64)[esc_mask].sum()
+            )
             self.stats["dd_resolved_total"] += int(resolved.sum())
             for pi in np.nonzero(resolved)[0]:
                 i = pending[pi]
@@ -1969,11 +1975,20 @@ class RecallEngine:
                 # tunnel round trip each (~40 ms measured); the dispatch
                 # phase already started the host copies asynchronously
                 if dd is not None:
-                    rows_h, ubs_h, bound_h, hi_h, lo_h, sabs_h = (
-                        _jax.device_get(
-                            (scan[2], scan[3], scan[4], dd[0], dd[1], dd[2])
+                    if len(dd) == 1:  # chain_dd's ("zero",) marker
+                        # keyword-only DD (chain_dd zero): the triple is
+                        # provably all-zero — synthesize it host-side
+                        rows_h, ubs_h, bound_h = _jax.device_get(
+                            (scan[2], scan[3], scan[4])
                         )
-                    )
+                        z = np.zeros(rows_h.shape, dtype=np.float32)
+                        hi_h = lo_h = sabs_h = z
+                    else:
+                        rows_h, ubs_h, bound_h, hi_h, lo_h, sabs_h = (
+                            _jax.device_get(
+                                (scan[2], scan[3], scan[4], dd[0], dd[1], dd[2])
+                            )
+                        )
                     return pending, rescore_and_certify_compact_dd(
                         pending, rows_h, ubs_h, bound_h, hi_h, lo_h, sabs_h
                     )

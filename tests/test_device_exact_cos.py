@@ -192,7 +192,9 @@ def test_dd_certify_batch_matches_scalar_reference():
             boundary = bnd[pi]
             kk = min(k, len(s))
             if boundary != -np.inf:
-                if len(s) < k or s[k - 1] + mg[k - 1] <= boundary:
+                # upper bound on the exact kth: kth largest of s+m
+                uk = -np.inf if len(s) < k else np.sort(s + mg)[::-1][k - 1]
+                if len(s) < k or uk <= boundary:
                     provable[pi] = True
                     continue
                 if not (s[k - 1] - mg[k - 1] > boundary):
