@@ -96,6 +96,21 @@ def _normalize_q_dd(q_raw: jax.Array, qhi: jax.Array) -> jax.Array:
     return q_raw * inv[:, None]
 
 
+def _rehome_rows(
+    b: int, pending: list[int], arrays_fills
+) -> list[np.ndarray]:
+    """Scatter per-pending-row arrays back to their full-batch positions
+    (the certify helpers index by batch position). Non-pending rows get the
+    fill value (-inf bounds / -1 row ids), which every consumer treats as
+    dead lanes."""
+    out = []
+    for a, fill in arrays_fills:
+        f = np.full((b,) + a.shape[1:], fill, a.dtype)
+        f[pending] = a[: len(pending)]
+        out.append(f)
+    return out
+
+
 @partial(jax.jit, static_argnames=("bits",))
 def _densify_kw(idx: jax.Array, val: jax.Array, bits: int) -> jax.Array:
     """Scatter the sparse per-query keyword weights (idx i32[B, T] with -1
@@ -2056,10 +2071,9 @@ class RecallEngine:
                 jnp.take(vals_d, sel_dev, axis=0),
                 jnp.take(idxs_d, sel_dev, axis=0),
             ))
-            vf = np.full((b,) + vals_p.shape[1:], -np.inf, vals_p.dtype)
-            vf[pending] = vals_p[: len(pending)]
-            xf = np.full((b,) + idxs_p.shape[1:], -1, idxs_p.dtype)
-            xf[pending] = idxs_p[: len(pending)]
+            vf, xf = _rehome_rows(
+                b, pending, ((vals_p, -np.inf), (idxs_p, -1))
+            )
             rescore_and_certify(pending, vf, xf, m, all_ref=None)
 
         if self.options.exact and any(r is None for r in results):
@@ -2103,17 +2117,11 @@ class RecallEngine:
             all_idxs = np.asarray(all_idxs)
             all_ref = np.asarray(all_ref) if all_ref is not None else None
             if sliced:
-                # re-home the sliced rows at their batch indices (the
-                # certify helpers index by batch position)
-                vf = np.full((b,) + all_vals.shape[1:], -np.inf, all_vals.dtype)
-                vf[pending] = all_vals[: len(pending)]
-                xf = np.full((b,) + all_idxs.shape[1:], -1, all_idxs.dtype)
-                xf[pending] = all_idxs[: len(pending)]
-                all_vals, all_idxs = vf, xf
+                all_vals, all_idxs = _rehome_rows(
+                    b, pending, ((all_vals, -np.inf), (all_idxs, -1))
+                )
                 if all_ref is not None:
-                    rf = np.full((b,) + all_ref.shape[1:], -np.inf, all_ref.dtype)
-                    rf[pending] = all_ref[: len(pending)]
-                    all_ref = rf
+                    (all_ref,) = _rehome_rows(b, pending, ((all_ref, -np.inf),))
 
             if not self.options.exact:
                 # approximate profile: rank by the device upper bound
