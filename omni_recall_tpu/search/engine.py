@@ -1637,6 +1637,30 @@ class RecallEngine:
         results: list[list[SearchHit] | None] = [None] * b
         self.last_escalations = 0
 
+        # ONE fused device readback for everything this finalize consumes
+        # unconditionally (query self-norms + both prepass candidate slices
+        # + DD triples): each separate jax.device_get pays the transport's
+        # per-sync round trip (~13 ms on the dev tunnel, 3x/batch measured
+        # by tools/probe_localq.py) even with the dispatch-phase async
+        # copies in flight. The ctx leaves are replaced with host arrays;
+        # the downstream device_get calls pass numpy through untouched.
+        prefetch: dict = {}
+        for key in ("qn_dd_dev", "kw_dd", "coarse_dd"):
+            v = ctx.get(key)
+            if v is not None and len(v) != 1:  # skip chain_dd zero marker
+                prefetch[key] = tuple(v)
+        for key in ("kw_scan", "coarse_scan"):
+            v = ctx.get(key)
+            if v is not None:
+                prefetch[key] = tuple(v[2:])  # device arrays only
+        if prefetch:
+            host_pre = jax.device_get(prefetch)
+            for key, val in host_pre.items():
+                if key.endswith("_scan"):
+                    ctx[key] = tuple(ctx[key][:2]) + tuple(val)
+                else:
+                    ctx[key] = val
+
         # Device-resident query pipeline (attach_device_embedder): the raw
         # query rows live on device; only their double-float self-norms come
         # back eagerly (8 B/query). Exact rows + oracle norms materialize
@@ -1871,35 +1895,27 @@ class RecallEngine:
             from omni_recall_tpu.ops import exact_cos as _ec
             from omni_recall_tpu.index.device_index import to_micros
 
-            row_lists, dd_pos = [], []
-            for i in pending:
-                rows, ubs = rows_a[i], ubs_a[i]
-                live = (ubs > -np.inf) & (rows >= 0)
-                pos = np.nonzero(live)[0]
-                rows = rows[pos]
-                if len(rows):
-                    keep = dix.valid[rows]  # concurrent-delete tombstones
-                    rows, pos = rows[keep], pos[keep]
-                row_lists.append(rows.astype(np.int64))
-                dd_pos.append(pos)
-            lens = [len(r) for r in row_lists]
-            total = int(sum(lens))
+            # vectorized candidate assembly (the per-query python loop cost
+            # ~40 ms/batch at B=1536 on the quota'd host): row-major boolean
+            # flattening preserves each query's candidate order exactly as
+            # the per-query np.nonzero extraction did
+            pend = np.asarray(pending)
+            rows_p = rows_a[pend]                      # [P, t]
+            live = (ubs_a[pend] > -np.inf) & (rows_p >= 0)
+            safe = np.where(live, rows_p, 0)
+            live &= dix.valid[safe]  # concurrent-delete tombstones
+            lens = live.sum(axis=1).astype(np.int64)
+            total = int(lens.sum())
             if total == 0:
                 return rescore_and_certify_compact(
                     pending, rows_a, ubs_a, bounds_a
                 )
-            rows_flat = np.concatenate(row_lists)
+            rows_flat = rows_p[live].astype(np.int64)
             owner = np.repeat(np.arange(len(pending)), lens)
-            own_q = np.asarray(pending)[owner]  # batch-level query index
-            hi = np.concatenate(
-                [hi_a[i][dd_pos[pi]] for pi, i in enumerate(pending)]
-            )
-            lo = np.concatenate(
-                [lo_a[i][dd_pos[pi]] for pi, i in enumerate(pending)]
-            )
-            sabs = np.concatenate(
-                [sabs_a[i][dd_pos[pi]] for pi, i in enumerate(pending)]
-            )
+            own_q = pend[owner]  # batch-level query index
+            hi = hi_a[pend][live]
+            lo = lo_a[pend][live]
+            sabs = sabs_a[pend][live]
 
             cos, m_cos = _ec.finish_cosines(
                 hi, lo, sabs, ctx["q_norms"][own_q], dix.raw_norm_sq[rows_flat],
@@ -1950,6 +1966,12 @@ class RecallEngine:
             unresolved = [pending[pi] for pi in np.nonzero(provable)[0]]
             esc_mask = ~provable & ~resolved
             escalate = [pending[pi] for pi in np.nonzero(esc_mask)[0]]
+            if escalate or unresolved:
+                # both sets need exact host query bits next (escalate: the
+                # bit-exact rescore below; unresolved: the wide rescue /
+                # rescue scan) — materialize them in ONE bucketed gather
+                # instead of two ~30 ms tunnel round trips
+                ensure_host_q(escalate + unresolved)
             # count DD-rescored pairs once: escalated queries' pairs are
             # re-counted by the bit-exact host path (_exact_rescore_rows)
             # that re-rescores the same rows
