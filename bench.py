@@ -1086,6 +1086,61 @@ def main() -> None:
             "sharded_1dev_parity": True,
         }
 
+        # Sharded compact SERVING stage on silicon: refine + compact select
+        # + device-exact cosine inside shard_map (parallel/sharded.py
+        # refine_select_dd) must be bit-identical to the single-device ops.
+        # Runs on a 64k slice with device-built residual/raw planes — the
+        # fused Pallas refine under shard_map is Mosaic-on-hardware risk.
+        _mark("main: sharded serve parity")
+        from omni_recall_tpu.index.device_index import (
+            DeviceArrays,
+            _device_quantize_keep,
+        )
+        from omni_recall_tpu.ops import exact_cos as _ec
+        from omni_recall_tpu.ops import refine as _refine
+
+        n_sl = min(n, 1 << 16)
+        raw_sl = jax.random.normal(
+            jax.random.PRNGKey(5), (n_sl, d), dtype=jnp.float32
+        )
+        raw_sl = raw_sl / jnp.linalg.norm(raw_sl, axis=1, keepdims=True)
+        conv_sl = _device_quantize_keep(raw_sl, True)
+        dev_sl = DeviceArrays(
+            emb=conv_sl["emb"], bloom=bloom[:n_sl], created=created[:n_sl],
+            valid=valid[:n_sl], scale=conv_sl["scale"], err=conv_sl["err"],
+            emb2=conv_sl["emb2"], scale2=conv_sl["scale2"],
+            err2=conv_sl["err2"], raw=raw_sl,
+        )
+        sc_v, sc_i = pallas_scorer.score_topm_int8(
+            dev_sl.emb, dev_sl.scale, dev_sl.err, dev_sl.bloom,
+            dev_sl.created, dev_sl.valid, q1, kw1, bias1, now1, r01,
+            m=128, t=8, sub=512,
+        )
+        r1_, u1_, b1_ = map(np.asarray, _refine.refine_select_from_scan(
+            dev_sl.emb, dev_sl.scale, dev_sl.emb2, dev_sl.scale2,
+            dev_sl.err2, dev_sl.bloom, dev_sl.created, dev_sl.valid,
+            q1, kw1, bias1, now1, sc_v, sc_i, t_out=32, r=64,
+        ))
+        q_raw1 = q1 * jnp.float32(1.3)
+        rs_, us_, bs_, hi_, lo_, sa_ = map(np.asarray, ss.refine_select_dd(
+            dev_sl, q1, kw1, bias1, now1, sc_v, sc_i,
+            t_out=32, r=64, q_raw=q_raw1,
+        ))
+        hi1_, lo1_, sa1_ = map(np.asarray, _ec.exact_cos_rows(
+            dev_sl.raw, jnp.asarray(rs_), q_raw1
+        ))
+        live_ = (rs_ >= 0) & (us_ > -np.inf)
+        assert (
+            (r1_ == rs_).all() and (u1_ == us_).all() and (b1_ == bs_).all()
+        ), "sharded refine/select diverges from the single-device ops"
+        assert (
+            (hi_[live_] == hi1_[live_]).all()
+            and (lo_[live_] == lo1_[live_]).all()
+            and (sa_[live_] == sa1_[live_]).all()
+        ), "sharded device-exact cosine diverges from exact_cos_rows"
+        sharded_stats["sharded_serve_parity"] = True
+        del dev_sl, conv_sl, raw_sl, sc_v, sc_i
+
     _mark("main: scans done")
     details = {
         **kw_only_stats,

@@ -184,6 +184,12 @@ class EngineOptions:
 
     # scoring backend: oracle (host NumPy) | xla (jnp) | pallas (fused kernel)
     backend: str = "xla"
+    # >0: row-shard the device index over the first N local devices on a
+    # 1-D 'shards' mesh (parallel/mesh.py) — the multi-chip serving mode.
+    # Scan, refine, compact selection and the device-exact cosine all run
+    # inside shard_map (parallel/sharded.py); results are bit-identical to
+    # single-device serving. 0 (default) = single device.
+    shards: int = 0
     embedding_dim: int = 768
     # index capacity grows in these row blocks (bounds recompilation)
     capacity_block: int = 8192

@@ -200,9 +200,10 @@ class DeviceIndex:
         self.mesh = mesh
         self.scan_dtype = scan_dtype
         self.refine = bool(refine) and scan_dtype == "int8"
-        # raw-f32 device plane for the device-exact cosine (single-device
-        # only: the sharded path keeps the host rescore)
-        self.exact_cos = bool(exact_cos) and mesh is None
+        # raw-f32 device plane for the device-exact cosine: single-device
+        # (ops/exact_cos.py) or row-sharded over the mesh for the sharded
+        # serving stage (parallel/sharded.py refine_select_dd)
+        self.exact_cos = bool(exact_cos)
         capacity_block = max(128, capacity_block)
         if mesh is not None:
             # even row sharding: capacity must divide by the shard count

@@ -174,12 +174,27 @@ def refine_select_from_scan(
     b, m1 = vals_full.shape
     m = m1 - 1
     r = m if r is None else max(1, min(r, m))
-    rows = idxs_full[:, :r]
-    vals = vals_full[:, :r]
     refined = _refine_dispatch(
         emb1, scale1, emb2, scale2, err2, bloom, created, valid,
-        q, kw_w8, kw_bias, now_days, rows, vals,
+        q, kw_w8, kw_bias, now_days, idxs_full[:, :r], vals_full[:, :r],
     )
+    return compact_select(vals_full, idxs_full, refined, t_out, r)
+
+
+def compact_select(vals_full, idxs_full, refined, t_out: int, r: int):
+    """Device-side compact selection tail, shared by the single-device
+    refine_select_from_scan and the sharded serving stage
+    (parallel/sharded.py refine_select_dd): co-sort the top-``r`` scan
+    candidates by min(scan bound, refined bound), return the top-t_out
+    slice plus the single certificate bound (docstring above — soundness
+    is unchanged because every dropped row stays covered by one of the
+    three max'ed bounds)."""
+    from omni_recall_tpu.ops.merge import top_k_with_payload
+
+    b, m1 = vals_full.shape
+    m = m1 - 1
+    rows = idxs_full[:, :r]
+    vals = vals_full[:, :r]
     ubs = jnp.minimum(vals, refined)  # min of sound bounds is sound
     k = min(t_out, r)
     top_v, top_i = top_k_with_payload(ubs, rows, min(t_out + 1, r))

@@ -169,6 +169,107 @@ class ShardedScorer:
             return 0
         return n_local // min(sub, c)
 
+    def refine_select_dd(
+        self, dev, q, kw_w, kw_b, now_days, vals_full, idxs_full,
+        t_out: int, r: int, q_raw=None,
+    ):
+        """Sharded compact serving stage: device-assisted refine of the
+        merged scan candidates + compact selection (+ the device-exact
+        cosine triple when ``q_raw`` is given and the raw plane exists),
+        in ONE shard_map dispatch.
+
+        The merged candidates' global row indices are replicated; each row
+        lives on exactly one shard. Every shard maps the indices to LOCAL
+        coordinates (non-owned rows -> the ``-1`` sentinel the single-device
+        refine already treats as dead) and runs the UNCHANGED refine
+        dispatch (ops/refine.py) over its local planes, so the soundness
+        derivation applies verbatim. The per-candidate refined bounds
+        combine with ``psum``: exactly one shard contributes a finite value
+        and the rest contribute exact +0.0 (IEEE x + 0.0 == x), so the
+        combined bound is BIT-IDENTICAL to the owner's local value. The
+        compact selection then runs replicated (identical on every shard),
+        and the DD stage gathers each selected row on its owner and psums
+        the (hi, lo, sabs) triple the same exact-zero way — the double-float
+        error bounds (ops/exact_cos.py DD_SUM_REL et al.) are untouched.
+
+        Returns (rows [B, k], ubs [B, k], bound [B]) or, with DD,
+        (rows, ubs, bound, hi, lo, sabs). No reference counterpart (the
+        reference is single-process; this serves the 10M+ sharded scale)."""
+        from omni_recall_tpu.ops import exact_cos as _ec
+        from omni_recall_tpu.ops import refine as _refine
+
+        want_dd = q_raw is not None and dev.raw is not None
+        m1 = int(vals_full.shape[1])
+        key = ("refine_select_dd", t_out, r, want_dd, m1)
+        fn = self._fns.get(key)
+        if fn is None:
+            row = P("shards", None)
+            vec = P("shards")
+            rep = P()
+
+            def local_fn(*args):
+                if want_dd:
+                    (emb1, scale1, emb2, scale2, err2, bloom, created,
+                     valid, raw, q_, kw_w_, kw_b_, now_, vals_f, idxs_f,
+                     q_raw_) = args
+                else:
+                    (emb1, scale1, emb2, scale2, err2, bloom, created,
+                     valid, q_, kw_w_, kw_b_, now_, vals_f, idxs_f) = args
+                n_local = emb1.shape[0]
+                shard = jax.lax.axis_index("shards")
+                row_offset = (shard * n_local).astype(jnp.int32)
+                rows_g = idxs_f[:, :r]
+                loc = rows_g - row_offset
+                owned = (rows_g >= 0) & (loc >= 0) & (loc < n_local)
+                rows_local = jnp.where(owned, loc, -1)
+                vals_local = jnp.where(owned, vals_f[:, :r], -jnp.inf)
+                kw_w8 = pallas_scorer.quantize_kw_weights(kw_w_)
+                refined_local = _refine._refine_dispatch(
+                    emb1, scale1, emb2, scale2, err2, bloom, created, valid,
+                    q_, kw_w8, kw_b_, now_, rows_local, vals_local,
+                )
+                live = refined_local > -jnp.inf
+                total = jax.lax.psum(
+                    jnp.where(live, refined_local, 0.0), "shards"
+                )
+                n_own = jax.lax.psum(live.astype(jnp.int32), "shards")
+                refined = jnp.where(n_own > 0, total, -jnp.inf)
+                rows_sel, ubs_sel, bound = _refine.compact_select(
+                    vals_f, idxs_f, refined, t_out, r
+                )
+                if not want_dd:
+                    return rows_sel, ubs_sel, bound
+                loc_s = rows_sel - row_offset
+                owned_s = (rows_sel >= 0) & (loc_s >= 0) & (loc_s < n_local)
+                safe_s = jnp.where(owned_s, loc_s, 0)
+                c = jnp.take(raw, safe_s, axis=0)          # [B, k, d]
+                hi, lo, sabs = _ec.dd_sum_products(q_raw_[:, None, :], c)
+                hi = jax.lax.psum(jnp.where(owned_s, hi, 0.0), "shards")
+                lo = jax.lax.psum(jnp.where(owned_s, lo, 0.0), "shards")
+                sabs = jax.lax.psum(jnp.where(owned_s, sabs, 0.0), "shards")
+                return rows_sel, ubs_sel, bound, hi, lo, sabs
+
+            in_specs = (row, vec, row, vec, vec, row, vec, vec) + (
+                (row,) if want_dd else ()
+            ) + (rep,) * (6 + (1 if want_dd else 0))
+            out_specs = (rep,) * (6 if want_dd else 3)
+            fn = self._fns[key] = jax.jit(
+                jax.shard_map(
+                    local_fn, mesh=self.mesh,
+                    in_specs=in_specs, out_specs=out_specs, check_vma=False,
+                )
+            )
+        args = (
+            dev.emb, dev.scale, dev.emb2, dev.scale2, dev.err2,
+            dev.bloom, dev.created, dev.valid,
+        )
+        if want_dd:
+            args = args + (dev.raw,)
+        args = args + (q, kw_w, kw_b, now_days, vals_full, idxs_full)
+        if want_dd:
+            args = args + (q_raw,)
+        return fn(*args)
+
     def score_topm(
         self, emb, bloom, created, valid, q, kw_w, kw_b, now_days, window_start,
         m: int, mode: str = "xla", t: int = 8, sub: int = 512,

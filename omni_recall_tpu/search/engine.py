@@ -318,11 +318,10 @@ class RecallEngine:
                 bloom_hashes=self.options.bloom_hashes,
                 mesh=mesh,
                 scan_dtype=self.options.scan_dtype if self.options.backend == "pallas" else "f32",
-                refine=getattr(self.options, "refine", False) and mesh is None,
+                refine=getattr(self.options, "refine", False),
                 exact_cos=(
                     getattr(self.options, "device_exact_cos", False)
                     and getattr(self.options, "refine", False)
-                    and mesh is None
                     and self.options.backend == "pallas"
                     and self.options.scan_dtype == "int8"
                 ),
@@ -486,17 +485,18 @@ class RecallEngine:
         )
 
     def _refine_select_call(self, dev, q_dev, w_dev, bias_dev, now_dev,
-                            vals_d, idxs_d, m, max_k):
+                            vals_d, idxs_d, m, max_k, q_raw_dev=None):
         """Compact refine + device-side selection (ops/refine.py
-        refine_select_from_scan): returns (rows, ubs, bound) device arrays
-        or None when refine is unavailable. Shrinks the per-batch readback
+        refine_select_from_scan, or the sharded shard_map equivalent
+        parallel/sharded.py refine_select_dd): returns ``(sel, dd)`` where
+        ``sel`` is the (rows, ubs, bound) device triple — or None when
+        refine is unavailable — and ``dd`` is the device-exact cosine
+        triple when it was computed INSIDE the sharded dispatch
+        (``q_raw_dev`` given, raw plane sharded); single-device callers
+        chain DD separately (chain_dd). Shrinks the per-batch readback
         from 3x[B, m+1] to ~3x[B, 32] — the dominant transport cost."""
-        if (
-            dev.emb2 is None
-            or self._sharded_scorer is not None
-            or m > self._REFINE_MAX_M
-        ):
-            return None
+        if dev.emb2 is None or m > self._REFINE_MAX_M:
+            return None, None
         from omni_recall_tpu.ops import refine as _refine
 
         # t_out must cover the largest requested k with phase-2 headroom;
@@ -512,12 +512,26 @@ class RecallEngine:
         r = getattr(self.options, "refine_width", 0) or m
         r = max(t_out, min(r, m))
         r = ((r + 7) // 8) * 8  # fused-kernel shape contract (_fused_ok)
+        if self._sharded_scorer is not None:
+            want_dd = (
+                q_raw_dev is not None
+                and dev.raw is not None
+                and getattr(self.options, "device_exact_cos", False)
+            )
+            out = self._sharded_scorer.refine_select_dd(
+                dev, q_dev, w_dev, bias_dev, now_dev, vals_d, idxs_d,
+                t_out=t_out, r=min(r, m),
+                q_raw=q_raw_dev if want_dd else None,
+            )
+            if want_dd:
+                return tuple(out[:3]), tuple(out[3:])
+            return tuple(out), None
         return _refine.refine_select_from_scan(
             dev.emb, dev.scale, dev.emb2, dev.scale2, dev.err2,
             dev.bloom, dev.created, dev.valid,
             q_dev, w_dev, bias_dev, now_dev, vals_d, idxs_d,
             t_out=t_out, r=min(r, m),
-        )
+        ), None
 
     def rebuild_index(self) -> None:
         """Shadow rebuild + atomic swap (BASELINE.json config 3): construct a
@@ -545,6 +559,7 @@ class RecallEngine:
                 mesh=old.mesh,
                 scan_dtype=old.scan_dtype,
                 refine=old.refine,
+                exact_cos=old.exact_cos,
             )
             chunks: list[ChunkRecord] = []
             for doc in self.store.list_documents(2**31 - 1):
@@ -1452,6 +1467,13 @@ class RecallEngine:
             # shard_map expects — keep the direct replicated uploads
             q_dev = jnp.asarray(q)
             w_dev = jnp.asarray(weights)
+            if (
+                getattr(self.options, "device_exact_cos", False)
+                and dev.raw is not None
+            ):
+                # raw query bits for the sharded device-exact cosine
+                # (refine_select_dd chains it into the same dispatch)
+                ctx["q_raw_dev"] = jnp.asarray(q_raw)
         elif q_enc is not None:
             # device-embedded batch: assemble the raw query matrix on
             # device (encoder rows never leave the device; any explicit
@@ -1570,7 +1592,7 @@ class RecallEngine:
             kw_scorer = self._select_kw_scorer(m, int(dev.emb.shape[0]))
             if kw_scorer is not None:
                 k_vals, k_idxs = kw_scorer(dev, w_dev, bias_dev, now_dev, r0_dev, m)
-                sel = self._refine_select_call(
+                sel, _ = self._refine_select_call(
                     dev, q_dev, w_dev, bias_dev, now_dev, k_vals, k_idxs,
                     m, max(ks),
                 )
@@ -1606,12 +1628,16 @@ class RecallEngine:
             coarse = self._select_coarse_scorer(m, int(dev.emb.shape[0]))
             if coarse is not None:
                 c_vals, c_idxs = coarse(dev, q_dev, w_dev, bias_dev, now_dev, r0_dev, m)
-                sel = self._refine_select_call(
+                sel, dd_inline = self._refine_select_call(
                     dev, q_dev, w_dev, bias_dev, now_dev, c_vals, c_idxs,
-                    m, max(ks),
+                    m, max(ks), q_raw_dev=ctx.get("q_raw_dev"),
                 )
                 if sel is not None:
-                    ctx["coarse_dd"] = chain_dd(sel)
+                    if dd_inline is not None:  # sharded: DD rode the dispatch
+                        ctx["coarse_dd"] = dd_inline
+                        _start_host_copies(dd_inline)
+                    else:
+                        ctx["coarse_dd"] = chain_dd(sel)
                     _start_host_copies(sel)
                     ctx["coarse_scan"] = ("compact", prepass, *sel)
                     ctx["coarse_full"] = (c_vals, c_idxs)  # wide rescue

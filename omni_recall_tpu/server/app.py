@@ -104,9 +104,21 @@ class OmniRecallApp(WsgiApp):
             else:
                 self.embedding_client = NoOpEmbeddingClient()
 
-        self.engine = engine if engine is not None else RecallEngine(
-            self.store, options=config.engine
-        )
+        if engine is not None:
+            self.engine = engine
+        else:
+            mesh = None
+            if config.engine.shards > 0:
+                # multi-chip serving: row-shard the index over a 1-D
+                # 'shards' mesh (Engine:Shards devices); scan + refine +
+                # device-exact cosine run inside shard_map
+                # (parallel/sharded.py) with bit-identical results
+                from omni_recall_tpu.parallel.mesh import shards_mesh
+
+                mesh = shards_mesh(config.engine.shards)
+            self.engine = RecallEngine(
+                self.store, options=config.engine, mesh=mesh
+            )
         if config.embeddings.dim != config.engine.embedding_dim:
             # Mismatched dims are handled soundly (zero device rows + host
             # full-scan routing for mismatched queries) but silently disable

@@ -123,6 +123,35 @@ def test_upload_dedupe_returns_existing_doc():
     assert first.json()["documentId"] == second.json()["documentId"]
 
 
+def test_sharded_serving_through_the_server():
+    """Engine:Shards=N boots the multi-chip serving engine (row-sharded
+    index, shard_map scan — parallel/sharded.py) behind the same HTTP
+    surface; results match the single-device app bit-for-bit."""
+    overrides = dict(DEFAULT_OVERRIDES)
+    overrides["Engine:Shards"] = 8
+    app_s, client_s = _app(overrides)
+    app_1, client_1 = _app(DEFAULT_OVERRIDES)
+    assert app_s.engine._sharded_scorer is not None
+    assert app_s.engine.device_index.mesh is not None
+    for client in (client_s, client_1):
+        client.upload("/api/documents/upload", filename="tpu.txt",
+                      data=b"tpu kernels are fast and use the mxu")
+        client.upload("/api/documents/upload", filename="mem.txt",
+                      data=b"personal memory recall over uploaded notes")
+    body = {"query": "memory recall", "topK": 2}
+    r_s = client_s.post("/api/recall/search", json_body=body)
+    r_1 = client_1.post("/api/recall/search", json_body=body)
+    assert r_s.status == 200
+    # upload timestamps differ between the two apps (the recency term then
+    # differs by ~1e-8), so compare the ranking exactly and scores loosely
+    cits_s, cits_1 = r_s.json()["citations"], r_1.json()["citations"]
+    assert [(c["fileName"], c["chunkIndex"], c["snippet"]) for c in cits_s] \
+        == [(c["fileName"], c["chunkIndex"], c["snippet"]) for c in cits_1]
+    for a, b_ in zip(cits_s, cits_1):
+        assert abs(a["score"] - b_["score"]) < 1e-3
+    assert cits_s[0]["fileName"] == "mem.txt"
+
+
 def test_recall_search_roundtrip_and_validation():
     app, client = _app(DEFAULT_OVERRIDES)
     client.upload("/api/documents/upload", filename="tpu.txt",

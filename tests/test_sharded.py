@@ -236,6 +236,136 @@ def test_sharded_merge_at_10m_rows(mesh):
            "(CI forces the CPU backend in-process, so this runs the check "
            "in a subprocess against the real chip)",
 )
+def _dd_engine_opts():
+    return EngineOptions(
+        backend="pallas", embedding_dim=DIM, capacity_block=1024,
+        recent_window=0, candidate_m=8, bloom_bits=256, scan_dtype="int8",
+        device_exact_cos=True,
+    )
+
+
+def test_sharded_refine_select_dd_matches_single_and_oracle(mesh):
+    """Sharded compact serving (parallel/sharded.py refine_select_dd):
+    refine + compact selection + device-exact cosine inside shard_map must
+    serve the SAME ranked citations as the single-device DD path and the
+    float64 oracle — including keyword-only queries (zero-DD marker) and
+    certificate escalations."""
+    rng = random.Random(33)
+    store = InMemoryIngestionStore()
+    sharded = RecallEngine(store, options=_dd_engine_opts(), mesh=mesh)
+    single = RecallEngine(store, options=_dd_engine_opts())
+    oracle = RecallEngine(
+        store, None, EngineOptions(backend="oracle", recent_window=0)
+    )
+    vocab, chunks = _corpus(300, rng, store)
+    sharded.on_chunks_upserted(chunks, new=True)
+    single.on_chunks_upserted(chunks, new=True)
+    assert sharded.device_index.exact_cos and sharded.device_index.refine
+    assert sharded.device_index.device_arrays().raw is not None
+
+    reqs = []
+    for _ in range(24):
+        query = " ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+        emb = (
+            hash_embedder.embed_text(query, DIM)
+            if rng.random() > 0.25 else None
+        )
+        reqs.append((query, emb, 5))
+    outs_s = sharded.search_batch(reqs, now=NOW)
+    outs_1 = single.search_batch(reqs, now=NOW)
+    outs_o = oracle.search_batch(reqs, now=NOW)
+    for hs, h1, ho in zip(outs_s, outs_1, outs_o):
+        assert [h.chunk.id for h in hs] == [h.chunk.id for h in ho]
+        assert [h.score for h in hs] == [h.score for h in ho]
+        assert [h.chunk.id for h in h1] == [h.chunk.id for h in ho]
+    # the sharded compact stage must actually have run (not a fallback)
+    assert any(
+        k[0] == "refine_select_dd" for k in sharded._sharded_scorer._fns
+    )
+
+
+def test_sharded_refine_select_dd_op_bit_parity(mesh):
+    """Op-level: the sharded refine/select output is BIT-identical to the
+    single-device refine_select_from_scan (psum adds exact zeros; the
+    owner's local refine is the same XLA program over the same row bits),
+    and the DD triple matches exact_cos_rows on every live slot."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from omni_recall_tpu.ops import exact_cos, hashing, refine
+
+    rng = random.Random(5)
+    store = InMemoryIngestionStore()
+    sharded = RecallEngine(store, options=_dd_engine_opts(), mesh=mesh)
+    single = RecallEngine(store, options=_dd_engine_opts())
+    vocab, chunks = _corpus(260, rng, store)
+    sharded.on_chunks_upserted(chunks, new=True)
+    single.on_chunks_upserted(chunks, new=True)
+    dev_s = sharded.device_index.device_arrays()
+    dev_1 = single.device_index.device_arrays()
+
+    b, m = 8, 8
+    queries = [
+        " ".join(rng.choices(vocab, k=rng.randint(1, 3))) for _ in range(b)
+    ]
+    q_raw = np.stack(
+        [hash_embedder.embed_text(t, DIM) for t in queries]
+    ).astype(np.float32)
+    qn = np.sqrt(np.sum(q_raw.astype(np.float64) ** 2, axis=1))
+    q = (q_raw / np.where(qn[:, None] > 0, qn[:, None], 1.0)).astype(
+        np.float32
+    )
+    from omni_recall_tpu.ops import oracle as oracle_mod
+
+    terms = [oracle_mod.query_terms(t) for t in queries]
+    w, bias = hashing.query_bit_weights_batch(
+        terms, sharded.device_index.bloom_bits,
+        sharded.device_index.ngram, sharded.device_index.bloom_hashes,
+    )
+    w = w.astype(np.float32)
+    bias = bias.astype(np.float32)
+    now_days = np.float32(17.0)
+
+    # one scan (single-device kernels) provides the candidate input; both
+    # refine paths consume the identical [B, m+1] candidates
+    scorer, _ = single._select_scorer(m, int(dev_1.emb.shape[0]))
+    vals, idxs = scorer(
+        dev_1, jnp.asarray(q), jnp.asarray(w), jnp.asarray(bias),
+        jnp.asarray(now_days), jnp.int32(0), m,
+    )
+    vals_h, idxs_h = np.asarray(vals), np.asarray(idxs)
+
+    t_out, r = 8, 8
+    rows_1, ubs_1, bound_1 = refine.refine_select_from_scan(
+        dev_1.emb, dev_1.scale, dev_1.emb2, dev_1.scale2, dev_1.err2,
+        dev_1.bloom, dev_1.created, dev_1.valid,
+        jnp.asarray(q), jnp.asarray(w), jnp.asarray(bias),
+        jnp.asarray(now_days), jnp.asarray(vals_h), jnp.asarray(idxs_h),
+        t_out=t_out, r=r,
+    )
+    out = sharded._sharded_scorer.refine_select_dd(
+        dev_s, jnp.asarray(q), jnp.asarray(w), jnp.asarray(bias),
+        jnp.asarray(now_days), jnp.asarray(vals_h), jnp.asarray(idxs_h),
+        t_out=t_out, r=r, q_raw=jnp.asarray(q_raw),
+    )
+    rows_s, ubs_s, bound_s, hi_s, lo_s, sabs_s = map(np.asarray, out)
+    assert (rows_s == np.asarray(rows_1)).all()
+    assert (np.asarray(ubs_1) == ubs_s).all()
+    assert (np.asarray(bound_1) == bound_s).all()
+
+    hi_1, lo_1, sabs_1 = map(
+        np.asarray,
+        exact_cos.exact_cos_rows(
+            dev_1.raw, jnp.asarray(rows_s), jnp.asarray(q_raw)
+        ),
+    )
+    live = (rows_s >= 0) & (ubs_s > -np.inf)
+    assert (hi_s[live] == hi_1[live]).all()
+    assert (lo_s[live] == lo_1[live]).all()
+    assert (sabs_s[live] == sabs_1[live]).all()
+
+
 def test_sharded_1dev_parity_on_real_tpu():
     """shard_map int8 kernels on a 1-device 'shards' mesh, interpret=False,
     bit-compared against the unsharded kernels (tools/tpu_sharded_check.py).

@@ -94,5 +94,49 @@ for name, rv, ri, sv, si in checks:
     same_v = np.array_equal(rv, sv)
     print(f"{name}: rows_equal={same_i} vals_equal={same_v}")
     ok = ok and same_i and same_v
+
+# sharded compact serving stage (refine + select + device-exact cosine,
+# parallel/sharded.py refine_select_dd) vs the single-device ops — the
+# fused Pallas refine kernel under shard_map is Mosaic-on-hardware risk
+from omni_recall_tpu.index.device_index import DeviceArrays
+from omni_recall_tpu.ops import exact_cos, refine
+from omni_recall_tpu.ops.quantize import quantize_rows_int8_residual
+
+q1p, s1p, e1p, q2p, s2p, e2p = quantize_rows_int8_residual(np.asarray(emb_f))
+dev = DeviceArrays(
+    emb=jnp.asarray(q1p), bloom=bloom, created=created, valid=valid,
+    scale=jnp.asarray(s1p), err=jnp.asarray(e1p),
+    emb2=jnp.asarray(q2p), scale2=jnp.asarray(s2p), err2=jnp.asarray(e2p),
+    raw=emb_f,
+)
+fv, fi = checks[0][1], checks[0][2]  # the full fused scan's [B, m+1]
+q_raw = q * jnp.float32(1.7)
+t_out, r = 32, 64
+r1, u1, b1 = map(np.asarray, refine.refine_select_from_scan(
+    dev.emb, dev.scale, dev.emb2, dev.scale2, dev.err2,
+    dev.bloom, dev.created, dev.valid,
+    q, kw_w, kw_b, now, jnp.asarray(fv), jnp.asarray(fi),
+    t_out=t_out, r=r,
+))
+rs, us, bs, hi_s, lo_s, sabs_s = map(np.asarray, ss.refine_select_dd(
+    dev, q, kw_w, kw_b, now, jnp.asarray(fv), jnp.asarray(fi),
+    t_out=t_out, r=r, q_raw=q_raw,
+))
+hi_1, lo_1, sabs_1 = map(
+    np.asarray, exact_cos.exact_cos_rows(dev.raw, jnp.asarray(rs), q_raw)
+)
+live = (rs >= 0) & (us > -np.inf)
+sel_ok = (
+    np.array_equal(r1, rs) and np.array_equal(u1, us)
+    and np.array_equal(b1, bs)
+)
+dd_ok = (
+    np.array_equal(hi_s[live], hi_1[live])
+    and np.array_equal(lo_s[live], lo_1[live])
+    and np.array_equal(sabs_s[live], sabs_1[live])
+)
+print(f"refine_select_dd: select_equal={sel_ok} dd_equal={dd_ok}")
+ok = ok and sel_ok and dd_ok
+
 print("PARITY" if ok else "DIVERGED")
 sys.exit(0 if ok else 1)
