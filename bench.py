@@ -685,9 +685,41 @@ def bench_e2e(
     rebuild_compact_s = time.perf_counter() - t0
     assert engine.device_index.n_valid == n_rb
 
+    # Host-side derivation rate in isolation (the portable figure, same
+    # convention as restore_host_chunks_per_s): rebuild_chunks_per_s above
+    # includes re-uploading the fresh planes through the dev tunnel's
+    # 10-50 MB/s transport, which on real hosts is a GB/s PCIe DMA. Fresh
+    # record objects force the full derivation (signatures + normalize +
+    # mirrors + arena); the device upload is NOT triggered (device_arrays
+    # is lazy).
+    old_dix = engine.device_index
+    fresh = [
+        ChunkRecord(
+            id=c.id, document_id=c.document_id, chunk_index=c.chunk_index,
+            content=c.content, embedding=c.embedding,
+            created_at_utc=c.created_at_utc, seq=c.seq,
+        )
+        for c in (old_dix.meta[i] for i in range(n_rb))
+    ]
+    from omni_recall_tpu.index.device_index import DeviceIndex as _DIX
+
+    shadow = _DIX(
+        old_dix.dim, capacity_block=opts.capacity_block,
+        bloom_bits=old_dix.bloom_bits, ngram=old_dix.ngram,
+        bloom_hashes=old_dix.bloom_hashes, mesh=old_dix.mesh,
+        scan_dtype=old_dix.scan_dtype, refine=old_dix.refine,
+        exact_cos=old_dix.exact_cos,
+    )
+    t0 = time.perf_counter()
+    shadow.append_from_index(old_dix, fresh)
+    rebuild_host_s = time.perf_counter() - t0
+    assert shadow.n_valid == n_rb
+    del shadow, fresh
+
     return {
         "rebuild_chunks_per_s": round(n_rb / rebuild_s, 1),
         "rebuild_compact_chunks_per_s": round(n_rb / rebuild_compact_s, 1),
+        "rebuild_host_chunks_per_s": round(n_rb / rebuild_host_s, 1),
         "rebuild_swap_chunks": n_rb,
         "e2e_n_chunks": n,
         "e2e_qps_tunnel": round(b * batches / elapsed, 1),

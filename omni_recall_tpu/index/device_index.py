@@ -814,10 +814,34 @@ class DeviceIndex:
                 raise ValueError("load_slabs arrays must have matching rows")
             if bloom.shape[1] != self.bloom_bits // 8 or emb_norm.shape[1] != self.dim:
                 raise ValueError("slab geometry mismatch")
+            cap = n
+            if self.mesh is not None:
+                # row-sharded planes need a shard-divisible capacity; pad
+                # the adopted arrays (valid=False rows). This copies the
+                # mmaps — only the sharded topology pays it.
+                s = int(self.mesh.devices.size)
+                cap = ((n + s - 1) // s) * s
+            if cap != n:
+                def _padr(a: np.ndarray) -> np.ndarray:
+                    out = np.zeros((cap,) + a.shape[1:], dtype=a.dtype)
+                    out[:n] = a
+                    return out
+
+                emb_norm, raw_emb, bloom = map(_padr, (emb_norm, raw_emb, bloom))
+                created, created_us, created_ts, raw_norm_sq, seqs = map(
+                    _padr, (created, created_us, created_ts, raw_norm_sq, seqs)
+                )
+                lower_off = np.concatenate([
+                    np.asarray(lower_off, dtype=np.int64),
+                    np.full(cap - n, int(lower_off[-1]), dtype=np.int64),
+                ])
+                if converted is not None:
+                    converted = {k: _padr(v) for k, v in converted.items()}
             self.emb = emb_norm
             self.bloom = bloom
             self.created = np.asarray(created, dtype=np.float32)
-            self.valid = np.ones(n, dtype=bool)
+            self.valid = np.zeros(cap, dtype=bool)
+            self.valid[:n] = True
             self.raw_emb = raw_emb
             self.raw_norm_sq = np.asarray(raw_norm_sq, dtype=np.float64)
             self.created_us = np.asarray(created_us, dtype=np.int64)
@@ -832,13 +856,13 @@ class DeviceIndex:
             by_doc = self._rows_by_doc
             for row, c in enumerate(meta):
                 by_doc.setdefault(c.document_id, []).append(row)
-            self._cap = n
+            self._cap = cap
             self._device = None
             self._device_cap = -1
             self._dirty_blocks.clear()
             self._n = n
             self._n_valid = n
-            nb = (n + VALID_BLOCK - 1) // VALID_BLOCK
+            nb = (cap + VALID_BLOCK - 1) // VALID_BLOCK
             self._block_valid = np.zeros(max(nb, 1), dtype=np.int64)
             self._count_valid_added(0, n)
             if converted is not None:

@@ -522,3 +522,63 @@ def test_restore_orders_doc_chunks_by_chunk_index(tmp_path):
     assert [c.id for c in got] == [
         "doc_x:0000", "doc_x:0001", "doc_x:0002-v2", "doc_x:0003", "doc_x:0004"
     ]
+
+
+def test_snapshot_cross_topology_single_and_sharded(tmp_path):
+    """Durability x sharding: a snapshot taken on ONE device restores into
+    an 8-shard engine (the scale-up scenario) and back, with bit-identical
+    rankings — the v3 slab planes re-shard at upload (_put row-shards any
+    staged plane, including the device-exact-cosine raw plane)."""
+    from omni_recall_tpu.index.snapshot import load_snapshot_full
+    from omni_recall_tpu.parallel.mesh import shards_mesh
+
+    rng = random.Random(9)
+    store, vocab = _build_store(rng)
+    mesh = shards_mesh(8)
+
+    def dd_engine(mesh=None):
+        return RecallEngine(
+            InMemoryIngestionStore(),
+            options=EngineOptions(
+                backend="pallas", embedding_dim=DIM, recent_window=0,
+                candidate_m=16, bloom_bits=256, scan_dtype="int8",
+                capacity_block=512, refine=True, device_exact_cos=True,
+            ),
+            mesh=mesh,
+        )
+
+    src = dd_engine()
+    src.store = store
+    chunks = []
+    for doc in store.list_documents(1 << 30):
+        chunks.extend(store.get_chunks_by_document_id(doc.id))
+    chunks.sort(key=lambda c: c.seq)
+    src.device_index.append(chunks)
+
+    save_snapshot(store, tmp_path / "s", device_index=src.device_index)
+    restored_store, aux = load_snapshot_full(tmp_path / "s")
+    sharded = dd_engine(mesh=mesh)
+    sharded.store = restored_store
+    restore_engine(restored_store, sharded, aux=aux)
+    assert sharded.device_index.n_rows == len(chunks)
+    assert sharded.device_index.device_arrays().raw is not None
+
+    reqs = _queries(rng, vocab)
+    out_src = src.search_batch(reqs, now=NOW)
+    out_sh = sharded.search_batch(reqs, now=NOW)
+    for hs, hh in zip(out_src, out_sh):
+        assert [h.chunk.id for h in hs] == [h.chunk.id for h in hh]
+        assert [h.score for h in hs] == [h.score for h in hh]
+
+    # and back: snapshot the live SHARDED index, restore single-device
+    save_snapshot(
+        restored_store, tmp_path / "s2", device_index=sharded.device_index
+    )
+    st2, aux2 = load_snapshot_full(tmp_path / "s2")
+    single = dd_engine()
+    single.store = st2
+    restore_engine(st2, single, aux=aux2)
+    out_1 = single.search_batch(reqs, now=NOW)
+    for hs, h1 in zip(out_src, out_1):
+        assert [h.chunk.id for h in hs] == [h.chunk.id for h in h1]
+        assert [h.score for h in hs] == [h.score for h in h1]
