@@ -342,17 +342,25 @@ def bench_e2e(
     # tunnel — this is the real certified-exact end-to-end number.
     _mark("e2e: sequential batches done")
     g_pipe = int(os.environ.get("OMNI_BENCH_PIPE_G", 6))
+    pipe_reps = int(os.environ.get("OMNI_BENCH_PIPE_REPS", 2))
     warm = [make_requests(50, bt)]
     engine.search_batches_pipelined(warm, now=now)  # compile at bt
-    pipe_batches = [make_requests(100 + i, bt) for i in range(g_pipe)]
     res0 = engine.stats["coarse_resolved_total"]
-    t0 = time.perf_counter()
-    outs = engine.search_batches_pipelined(pipe_batches, now=now)
-    pipe_elapsed = time.perf_counter() - t0
-    assert sum(len(h) for out in outs for h in out) == g_pipe * bt * 10
+    # best-of-reps, like the restore stage: the dev tunnel's transport
+    # stalls for seconds at a time, and a single 6-batch pass has no
+    # protection against one stall swallowing the whole measurement
+    pipe_elapsed = float("inf")
+    for rep in range(max(1, pipe_reps)):
+        pipe_batches = [
+            make_requests(100 + rep * g_pipe + i, bt) for i in range(g_pipe)
+        ]
+        t0 = time.perf_counter()
+        outs = engine.search_batches_pipelined(pipe_batches, now=now)
+        pipe_elapsed = min(pipe_elapsed, time.perf_counter() - t0)
+        assert sum(len(h) for out in outs for h in out) == g_pipe * bt * 10
     pipe_resolved = (
         engine.stats["coarse_resolved_total"] - res0
-    ) / (g_pipe * bt)
+    ) / (max(1, pipe_reps) * g_pipe * bt)
 
     # Device-resident query serving (engine.attach_device_embedder): the
     # requests carry TEXT ONLY — query embeddings are computed on device
@@ -379,21 +387,27 @@ def bench_e2e(
         lq_engine.search_batches_pipelined(
             [make_text_requests(60, bt)], now=now
         )  # compile (encoder forward + assemble + self-norm shapes)
-        lq_batches = [make_text_requests(200 + i, bt) for i in range(g_pipe)]
         dd0 = lq_engine.stats["dd_resolved_total"]
         esc0 = lq_engine.stats["dd_escalations_total"]
         hf0 = lq_engine.stats["host_fallbacks_total"]
-        t0 = time.perf_counter()
-        outs_lq = lq_engine.search_batches_pipelined(lq_batches, now=now)
-        lq_elapsed = time.perf_counter() - t0
-        assert sum(len(h) for out in outs_lq for h in out) == g_pipe * bt * 10
         lq_q = g_pipe * bt
+        lq_elapsed = float("inf")  # best-of-reps (tunnel stall protection)
+        for rep in range(max(1, pipe_reps)):
+            lq_batches = [
+                make_text_requests(200 + rep * g_pipe + i, bt)
+                for i in range(g_pipe)
+            ]
+            t0 = time.perf_counter()
+            outs_lq = lq_engine.search_batches_pipelined(lq_batches, now=now)
+            lq_elapsed = min(lq_elapsed, time.perf_counter() - t0)
+            assert sum(len(h) for out in outs_lq for h in out) == lq_q * 10
+        lq_total = max(1, pipe_reps) * lq_q
         localq_stats = {
             "e2e_qps_tunnel_localq": round(lq_q / lq_elapsed, 1),
             "e2e_localq_batch_ms": round(lq_elapsed / g_pipe * 1000.0, 2),
             "localq_n_chunks": lq_n,
             "localq_dd_resolved_frac": round(
-                (lq_engine.stats["dd_resolved_total"] - dd0) / lq_q, 4
+                (lq_engine.stats["dd_resolved_total"] - dd0) / lq_total, 4
             ),
             "localq_dd_escalations": lq_engine.stats["dd_escalations_total"] - esc0,
             "localq_host_fallbacks": lq_engine.stats["host_fallbacks_total"] - hf0,
