@@ -1,21 +1,38 @@
 #!/usr/bin/env python
-"""Headline benchmark: hybrid-search throughput at 1M chunks on one chip.
+"""Headline benchmark: certified hybrid-search serving at 1M chunks on one chip.
 
-Measures the device scan path of /api/recall/search — the fused Pallas
-upper-bound kernel (cosine + bloom keyword + recency) plus the two-stage
-top-M candidate selection — over a 1M x 768 HBM-resident index with batched
-queries, the workload defined by BASELINE.json's north star (>=100k QPS,
-p50 < 10 ms at 1M chunks on one v5e chip).
+Measures the /api/recall/search serving path — the fused Pallas coarse scan
+(int8 cosine + recency upper bounds), candidate merge, residual-int8 refine +
+compact selection, device-exact cosine (TwoSum double-float), and the host
+keyword rescore — over a 1M x 768 HBM-resident index with batched queries,
+the workload defined by BASELINE.json's north star (>=100k QPS, p50 < 10 ms
+at 1M chunks on one v5e chip).
+
+Staged, self-reporting protocol (VERDICT r3 #1/#7/#8): the bench runs a list
+of stages and prints the CUMULATIVE headline JSON line after EVERY completed
+stage — the driver parses the last complete line of stdout, so a timeout
+mid-stage can no longer erase the round's evidence. A global wall-clock
+budget (OMNI_BENCH_BUDGET_S, default 450 s; 0 = unlimited) is checked
+between stages (the remainder is skipped and annotated in
+details.stages_skipped); each stage carries its own deadline (a watchdog
+thread annotates + re-emits if exceeded, and stages poll bench.checkpoint()
+at sub-step boundaries to abort cleanly); and a hard-exit timer
+(OMNI_BENCH_HARD_EXIT_S, default budget+105 s) emits the final line and
+exits 0 even if a stage wedges inside an uninterruptible XLA call.
+
+The headline `value` is the CERTIFIED end-to-end search rate once the
+serving stages have run (slowest-stage compose of the measured device
+serving megastep and the measured host keyword rescore — per-figure
+provenance in details.provenance), with the coarse upper-bound scan as the
+`secondary` metric; emissions before the serving stages carry the scan
+alone.
 
 Timing protocol: the dev tunnel to the chip adds ~2 ms of RPC overhead per
-dispatched program and its block_until_ready is unreliable, so the bench
-chains G query batches inside ONE jitted lax.scan megastep (each batch's
-queries depend on the previous batch's results, forcing serialization on
-device), runs T chained megasteps, and forces completion with a single tiny
-readback. QPS = B*G*T / elapsed.
-
-Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": "qps", "vs_baseline": value/100000}
+dispatched program and its block_until_ready is unreliable, so device
+stages chain G query batches inside ONE jitted lax.scan megastep (each
+batch's queries depend on the previous batch's results, forcing
+serialization on device), run T chained megasteps, and force completion
+with a single tiny readback. QPS = B*G*T / elapsed.
 """
 
 from __future__ import annotations
@@ -36,7 +53,93 @@ import time
 with contextlib.suppress(Exception):
     ctypes.CDLL(None).prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE
 
+
+def _supervise() -> int:
+    """Run the bench in a CHILD process; guarantee the artifact from here.
+
+    The in-process watchdogs are necessary but not sufficient: a wedged
+    tunnel call can hold the GIL for the whole wait (observed: a remote
+    compile starved every timer thread for >15 minutes — 4 s of CPU over
+    17 min, watchdog never fired), and then nothing in-process can emit or
+    exit. This supervisor never imports jax, so its threads always run: it
+    forwards the child's cumulative JSON lines as they arrive, and at the
+    hard deadline (OMNI_BENCH_HARD_EXIT_S, default budget+105 s) kills the
+    child, re-emits the last complete line annotated with the wedged
+    stage, and exits 0. `python bench.py` supervises; importing bench (or
+    OMNI_BENCH_SUPERVISE=0) runs in-process as before."""
+    import json as _json
+    import queue
+    import subprocess
+    import threading
+
+    budget = float(os.environ.get("OMNI_BENCH_BUDGET_S", "450"))
+    hard = float(os.environ.get(
+        "OMNI_BENCH_HARD_EXIT_S",
+        str(budget + 105.0 if budget > 0 else 0.0),
+    ))
+    env = dict(os.environ)
+    env["OMNI_BENCH_CHILD"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__)],
+        stdout=subprocess.PIPE, env=env, text=True,
+    )
+    lines: queue.Queue = queue.Queue()
+
+    def read() -> None:
+        for line in proc.stdout:
+            lines.put(line)
+        lines.put(None)
+
+    threading.Thread(target=read, daemon=True).start()
+    deadline = time.monotonic() + hard if hard > 0 else None
+    last = None
+    while True:
+        timeout = None if deadline is None else deadline - time.monotonic()
+        if timeout is not None and timeout <= 0:
+            break
+        try:
+            line = lines.get(timeout=timeout)
+        except queue.Empty:
+            break
+        if line is None:
+            return proc.wait()
+        if line.strip():
+            last = line
+        print(line, end="", flush=True)
+    # hard deadline: the child is wedged (likely inside a GIL-holding
+    # tunnel call). Kill it and make the TAIL line a complete, annotated
+    # artifact — the driver keeps the last complete stdout line.
+    proc.kill()
+    try:
+        res = _json.loads(last) if last else None
+    except ValueError:
+        res = None
+    if res is None:
+        res = {"metric": "bench_incomplete", "value": 0.0, "unit": "qps",
+               "vs_baseline": 0.0, "details": {}}
+    det = res.setdefault("details", {})
+    det["supervisor"] = (
+        f"hard deadline {hard:.0f}s: child killed mid-run (in-process "
+        "watchdogs starved — wedged native call holding the GIL)"
+    )
+    print(_json.dumps(res), flush=True)
+    return 0
+
+
+if (
+    __name__ == "__main__"
+    and os.environ.get("OMNI_BENCH_CHILD") != "1"
+    and os.environ.get("OMNI_BENCH_SUPERVISE", "1") == "1"
+):
+    sys.exit(_supervise())
+
 import jax
+
+# test hook: force a backend before first device use (env platform vars are
+# latched by sitecustomize on this image, so the knob rides the config API)
+if os.environ.get("OMNI_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["OMNI_BENCH_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -286,474 +389,293 @@ def build_localq_engine(n: int, d: int, bits: int, opts):
     return lq_engine, make_text_requests, lq_n
 
 
-def bench_e2e(
-    n: int, d: int, b: int, bits: int, batches: int = 3, bt: int = 1536,
-) -> dict:
-    """End-to-end certified-exact engine throughput at the headline corpus
-    scale: device scan + device refine/select + certificate + host float64
-    rescore + ranking, via engine.search_batch (sequential, latency view)
-    AND engine.search_batches_pipelined (throughput view: device scans of
-    later batches overlap the host rescore + readback of earlier ones —
-    the serving architecture; on the dev tunnel it also pipelines the
-    ~40 ms per-readback RPC latency that does not exist in production).
 
-    Also measures: the refined device stage in isolation (chained megastep:
-    coarse scan -> merge -> refine_select, the exact per-batch device work
-    of the serving path), host rescore at the measured pruned pair width
-    with an explicit thread sweep, snapshot save/restore rates, ingest
-    append, and the shadow rebuild."""
-    from datetime import timedelta
+# ---------------------------------------------------------------------------
+# Stage framework (VERDICT r3 #1/#7/#8): cumulative emission, budgets,
+# watchdogs, provenance. The driver keeps the LAST complete stdout line.
+# ---------------------------------------------------------------------------
 
-    from omni_recall_tpu.index.device_index import EPOCH
-    from omni_recall_tpu.index.records import ChunkRecord
-    from omni_recall_tpu.index.store import InMemoryIngestionStore
-    from omni_recall_tpu.search.engine import RecallEngine
+import gc
+import threading
 
-    from omni_recall_tpu.ops import hashing, oracle
 
-    engine, make_requests, now, opts = build_e2e_engine(n, d, bits)
-    n_clusters = engine.bench_n_clusters
-    corpus = engine.bench_corpus
-    meta, contents = corpus["meta"], corpus["contents"]
-    assign, emb = corpus["assign"], corpus["emb"]
-    dix = engine.device_index
-    dd_on = getattr(opts, "device_exact_cos", False)
-    _mark("e2e: warmup search_batch (compiles)")
-    engine.search_batch(make_requests(99, b), now=now)  # warmup/compile
-    pairs0 = engine.stats["rescore_pairs_total"]
-    start = time.perf_counter()
-    total_hits = 0
-    coarse_resolved = 0
-    for i in range(batches):
-        results = engine.search_batch(make_requests(i, b), now=now)
-        total_hits += sum(len(h) for h in results)
-        coarse_resolved += engine.last_coarse_resolved
-    elapsed = time.perf_counter() - start
-    assert total_hits == batches * b * 10
-    # avg exact-rescored pairs per query on this corpus (two-phase prune
-    # over the refined device bounds)
-    pairs_per_query = (
-        engine.stats["rescore_pairs_total"] - pairs0
-    ) / (batches * b)
+class StageAbort(Exception):
+    """Raised by Bench.checkpoint() when the running stage's deadline or the
+    global budget has passed; Bench.run records the stage as skipped and the
+    bench moves on with every figure recorded so far intact."""
 
-    # Pipelined serving throughput (the production architecture): every
-    # batch's device scans dispatch before any finalize, so device compute
-    # + readback transport overlap the host rescore. MEASURED through the
-    # tunnel — this is the real certified-exact end-to-end number.
-    _mark("e2e: sequential batches done")
-    g_pipe = int(os.environ.get("OMNI_BENCH_PIPE_G", 6))
-    pipe_reps = int(os.environ.get("OMNI_BENCH_PIPE_REPS", 2))
-    warm = [make_requests(50, bt)]
-    engine.search_batches_pipelined(warm, now=now)  # compile at bt
-    res0 = engine.stats["coarse_resolved_total"]
-    # best-of-reps, like the restore stage: the dev tunnel's transport
-    # stalls for seconds at a time, and a single 6-batch pass has no
-    # protection against one stall swallowing the whole measurement
-    pipe_elapsed = float("inf")
-    for rep in range(max(1, pipe_reps)):
-        pipe_batches = [
-            make_requests(100 + rep * g_pipe + i, bt) for i in range(g_pipe)
-        ]
-        t0 = time.perf_counter()
-        outs = engine.search_batches_pipelined(pipe_batches, now=now)
-        pipe_elapsed = min(pipe_elapsed, time.perf_counter() - t0)
-        assert sum(len(h) for out in outs for h in out) == g_pipe * bt * 10
-    pipe_resolved = (
-        engine.stats["coarse_resolved_total"] - res0
-    ) / (max(1, pipe_reps) * g_pipe * bt)
 
-    # Device-resident query serving (engine.attach_device_embedder): the
-    # requests carry TEXT ONLY — query embeddings are computed on device
-    # inside the dispatch, so the per-batch upload is token ids + sparse
-    # keyword weights (~0.2 KB/query) instead of the raw f32 vectors
-    # (~3.1 KB/query), and the raw matrix never crosses the tunnel on
-    # certified queries. Same pipelined executor, same certificates.
-    #
-    # This stage runs on its OWN corpus whose row embeddings come from the
-    # SAME encoder that embeds the queries (a quick contrastive fine-tune —
-    # the train-your-own-memory-embedder workflow, eval/quality.py). With
-    # the main corpus's synthetic cluster embeddings, text queries embed
-    # into an unrelated geometry: every score near-ties and the exactness
-    # certificate CORRECTLY escalates ~half the batch to full host scans —
-    # measuring the corpus/query mismatch, not the pipeline (a random-init
-    # encoder maps all short texts into a narrow cone: measured cross-text
-    # cosine 0.72+-0.06 vs trained 0.03+-0.17).
-    localq_stats = {}
-    if os.environ.get("OMNI_BENCH_LOCALQ", "1") == "1":
-        lq_engine, make_text_requests, lq_n = build_localq_engine(
-            n, d, bits, opts
-        )
-        _mark("e2e: device-query serving")
-        lq_engine.search_batches_pipelined(
-            [make_text_requests(60, bt)], now=now
-        )  # compile (encoder forward + assemble + self-norm shapes)
-        dd0 = lq_engine.stats["dd_resolved_total"]
-        esc0 = lq_engine.stats["dd_escalations_total"]
-        hf0 = lq_engine.stats["host_fallbacks_total"]
-        lq_q = g_pipe * bt
-        lq_elapsed = float("inf")  # best-of-reps (tunnel stall protection)
-        for rep in range(max(1, pipe_reps)):
-            lq_batches = [
-                make_text_requests(200 + rep * g_pipe + i, bt)
-                for i in range(g_pipe)
-            ]
-            t0 = time.perf_counter()
-            outs_lq = lq_engine.search_batches_pipelined(lq_batches, now=now)
-            lq_elapsed = min(lq_elapsed, time.perf_counter() - t0)
-            assert sum(len(h) for out in outs_lq for h in out) == lq_q * 10
-        lq_total = max(1, pipe_reps) * lq_q
-        localq_stats = {
-            "e2e_qps_tunnel_localq": round(lq_q / lq_elapsed, 1),
-            "e2e_localq_batch_ms": round(lq_elapsed / g_pipe * 1000.0, 2),
-            "localq_n_chunks": lq_n,
-            "localq_dd_resolved_frac": round(
-                (lq_engine.stats["dd_resolved_total"] - dd0) / lq_total, 4
-            ),
-            "localq_dd_escalations": lq_engine.stats["dd_escalations_total"] - esc0,
-            "localq_host_fallbacks": lq_engine.stats["host_fallbacks_total"] - hf0,
-        }
-        del lq_engine, lq_batches, outs_lq
+# Per-figure provenance (VERDICT r3 #8): what each serving figure measures,
+# so tunnel-bound measurements, host-isolated rates, and slowest-stage
+# projections cannot be conflated by a reader of BENCH_r{N}.json.
+_PROVENANCE = {
+    "scan_qps": "measured: device megastep (coarse upper-bound scan alone — "
+                "NOT a full search; see certified headline)",
+    "latency_config_qps": "measured: device megastep at the latency batch",
+    "full_fused_scan_qps": "measured: device megastep",
+    "kw_only_scan_qps": "measured: device megastep",
+    "serve_device_qps": "measured: device megastep of the full serving "
+                        "device stage (coarse scan + merge + refine/select "
+                        "+ device-exact cosine)",
+    "e2e_qps_tunnel": "measured: through the dev tunnel (transport-bound; "
+                      "production rides PCIe at GB/s)",
+    "e2e_qps_tunnel_pipelined": "measured: through the dev tunnel "
+                                "(transport-bound)",
+    "e2e_qps_tunnel_localq": "measured: through the dev tunnel "
+                             "(transport-bound)",
+    "host_rescore_qps": "measured: host stage in isolation",
+    "host_rescore_pruned_qps": "measured: host stage in isolation",
+    "host_kw_rescore_qps": "measured: host stage in isolation",
+    "restore_chunks_per_s": "measured: includes the dev tunnel upload "
+                            "(PCIe DMA in production)",
+    "restore_host_chunks_per_s": "measured: host side in isolation "
+                                 "(the portable figure)",
+    "restore_e2e_chunks_per_s": "measured: includes the dev tunnel upload",
+    "rebuild_chunks_per_s": "measured: includes the dev tunnel upload",
+    "rebuild_host_chunks_per_s": "measured: host side in isolation "
+                                 "(the portable figure)",
+    "ingest_chunks_per_s": "measured: host append path",
+    "e2e_qps_projected": "projected: serial compose of measured stage rates",
+    "e2e_qps_projected_pipelined": "projected: slowest measured stage",
+    "e2e_qps_projected_unpruned": "projected: serial compose of measured "
+                                  "stage rates",
+    "e2e_qps_projected_dd_pipelined": "projected: slowest measured stage "
+                                      "(device serving megastep vs host "
+                                      "keyword rescore)",
+}
 
-    # Host-rescore throughput in isolation (no device round trip), at the
-    # legacy unrefined width (128) and at the width the engine ACTUALLY
-    # rescored per query (refined bounds + two-phase prune), plus a thread
-    # sweep documenting the native rescorer's scaling curve.
-    _mark("e2e: pipelined done; host rescore stages")
-    reqs = make_requests(7, b)
-    cand_rows = np.random.default_rng(3).integers(0, n, size=(b, 128))
-    row_lists = [cand_rows[qi] for qi in range(b)]
-    queries = [(q, emb) for q, emb, _ in reqs]
-    engine._exact_rescore_rows(queries, row_lists, now)  # warm caches
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        engine._exact_rescore_rows(queries, row_lists, now)
-    rescore_s = (time.perf_counter() - t0) / reps
-    rescore_qps = b / rescore_s
 
-    ppq = max(1, int(round(pairs_per_query)))
-    cand_p = np.random.default_rng(5).integers(0, n, size=(b, ppq))
-    row_lists_p = [cand_p[qi] for qi in range(b)]
-    engine._exact_rescore_rows(queries, row_lists_p, now)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        engine._exact_rescore_rows(queries, row_lists_p, now)
-    rescore_pruned_qps = b / ((time.perf_counter() - t0) / reps)
-
-    thread_sweep = {}
-    for nt in (1, 2, 4):
-        os.environ["OMNI_RESCORE_THREADS"] = str(nt)
-        engine._exact_rescore_rows(queries, row_lists_p, now)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            engine._exact_rescore_rows(queries, row_lists_p, now)
-        thread_sweep[f"host_rescore_qps_t{nt}"] = round(
-            b / ((time.perf_counter() - t0) / reps), 1
-        )
-    os.environ.pop("OMNI_RESCORE_THREADS", None)
-
-    # DD-mode host stage: keyword-only rescore (zero embedding bytes) at the
-    # device-selection width — the host's whole per-pair work when the
-    # device-exact cosine certifies (ops/exact_cos.py)
-    dd_stage = {}
-    if dd_on:
-        t_sel = 32
-        cand_k = np.random.default_rng(9).integers(0, n, size=(b, t_sel))
-        rows_flat = cand_k.reshape(-1).astype(np.int64)
-        owner_k = np.repeat(np.arange(b), t_sel)
-        tl = [oracle.query_terms(qt) for qt, _, _ in reqs]
-        engine._kw_scores_flat(rows_flat, owner_k, tl, engine.device_index)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            engine._kw_scores_flat(rows_flat, owner_k, tl, engine.device_index)
-        dd_stage["host_kw_rescore_qps"] = round(
-            b / ((time.perf_counter() - t0) / reps), 1
-        )
-        tot = max(1, engine.stats["dd_resolved_total"]
-                  + engine.stats["dd_escalations_total"])
-        dd_stage["dd_resolved_frac"] = round(
-            engine.stats["dd_resolved_total"] / tot, 4
-        )
-
-    # Refined device stage in isolation (chained megastep, one readback):
-    # the exact per-batch device work of the serving path — coarse scan +
-    # merge + refine/select at the throughput batch. Arrays are passed as
-    # ARGUMENTS (closing over device buffers bakes them into the executable
-    # as XLA constants: minutes-long remote compiles on the tunnel).
-    from omni_recall_tpu.ops import pallas_scorer
-    from omni_recall_tpu.ops import refine as refine_mod
-    from omni_recall_tpu.search.engine import _coarse_layout
-
-    _mark("e2e: serve megastep")
-    serve_stage = {}
-    dev = engine.device_index.device_arrays()
-    n_pad = int(dev.emb.shape[0])
-    blk = pallas_scorer._pick_block_coarse(n_pad)
-    layout = (
-        _coarse_layout(
-            n_pad, 128, blk,
-            getattr(opts, "coarse_sub", 0), getattr(opts, "coarse_t", 0),
-            prefer_shallow=True,
-        )
-        if blk else None
+def _projections(d: dict) -> dict:
+    """Production e2e projections from the measured stage rates (pure math,
+    recomputed at every emission from whatever figures exist so far)."""
+    out = {}
+    scan_qps = d.get("scan_qps")
+    r = d.get("host_rescore_pruned_qps")
+    if not r:
+        return out
+    esc = 1.0 - d.get(
+        "e2e_coarse_resolved_frac_pipelined",
+        d.get("e2e_coarse_resolved_frac", 1.0),
     )
-    if layout is not None and dev.emb2 is not None:
-        sub_c, t_c = layout
-        g_s, steps_s = 4, 2
-        interp = jax.default_backend() != "tpu"
-        r_w = getattr(opts, "refine_width", 0) or 128
-        raw_plane = dev.raw  # None when OMNI_BENCH_DD=0
-
-        @jax.jit
-        def serve_mega(carry, emb8, scale, err, emb2, scale2, err2, bloom,
-                       created, valid, raw_or_none, q_all, w_all, bias_all):
-            def body(c, inp):
-                qv, wv, biasv = inp
-                qv = qv + 1e-12 * c[:, None]
-                vals, idxs = pallas_scorer.score_topm_int8_coarse(
-                    emb8, scale, err, created, valid, qv, wv, biasv,
-                    jnp.float32(365.0), jnp.int32(0), m=128, t=t_c, sub=sub_c,
-                    interpret=interp,
-                )
-                rows, ubs, bound = refine_mod.refine_select_from_scan(
-                    emb8, scale, emb2, scale2, err2, bloom, created, valid,
-                    qv, wv, biasv, jnp.float32(365.0), vals, idxs,
-                    r=min(r_w, 128),
-                )
-                new_c = ubs[:, 0] + rows[:, 0].astype(jnp.float32) * 1e-9 + bound
-                if raw_or_none is not None:
-                    # device-exact cosine stage (the full serving device work)
-                    from omni_recall_tpu.ops import exact_cos as _ec
-
-                    hi, lo, sabs = _ec.exact_cos_rows(raw_or_none, rows, qv)
-                    new_c = new_c + hi[:, 0] + lo[:, 0] + sabs[:, 0] * 1e-9
-                return new_c, None
-            carry, _ = jax.lax.scan(body, carry, (q_all, w_all, bias_all))
-            return carry
-
-        s_reqs = [make_requests(300 + gi, bt) for gi in range(g_s)]
-        q_all = np.zeros((g_s, bt, d), dtype=np.float32)
-        w_all = np.zeros((g_s, bt, bits), dtype=np.float32)
-        bias_all = np.zeros((g_s, bt), dtype=np.float32)
-        for gi, rs in enumerate(s_reqs):
-            for qi, (qtext, qemb, _) in enumerate(rs):
-                q_all[gi, qi] = qemb
-                w_all[gi, qi], bias_all[gi, qi] = hashing.query_bit_weights(
-                    oracle.query_terms(qtext), bits, dix.ngram, dix.bloom_hashes
-                )
-        args = (
-            dev.emb, dev.scale, dev.err, dev.emb2, dev.scale2, dev.err2,
-            dev.bloom, dev.created, dev.valid, raw_plane,
-            jnp.asarray(q_all), jnp.asarray(w_all), jnp.asarray(bias_all),
+    dev_qps = d.get("serve_device_qps", scan_qps)
+    full_qps = d.get("full_fused_scan_qps", scan_qps)
+    if not (dev_qps and full_qps):
+        return out
+    # serial compose (conservative): device serving stage + host rescore at
+    # the measured pruned width; coarse-certificate failures pay a full
+    # fused scan + a second rescore round
+    cost = 1.0 / dev_qps + 1.0 / r + esc * (1.0 / full_qps + 1.0 / r)
+    out["e2e_qps_projected"] = round(1.0 / cost, 1)
+    # pipelined: the serving executor overlaps the stages, so throughput is
+    # bounded by the slower stage alone
+    dev_eff = 1.0 / (1.0 / dev_qps + esc / full_qps)
+    host_eff = r / (1.0 + esc)
+    out["e2e_qps_projected_pipelined"] = round(min(dev_eff, host_eff), 1)
+    if d.get("host_rescore_qps") and scan_qps:
+        out["e2e_qps_projected_unpruned"] = round(
+            1.0 / (1.0 / scan_qps + 1.0 / d["host_rescore_qps"]), 1
         )
-        carry = jnp.zeros((bt,), dtype=jnp.float32)
-        carry = serve_mega(carry, *args)
-        _ = np.asarray(carry[:2])
-        t0 = time.perf_counter()
-        c = carry
-        for _ in range(steps_s):
-            c = serve_mega(c, *args)
-        _ = np.asarray(c[:2])
-        per = (time.perf_counter() - t0) / (g_s * steps_s)
-        serve_stage = {
-            "serve_device_ms_per_batch": round(per * 1000.0, 3),
-            "serve_device_qps": round(bt / per, 1),
-        }
+    if d.get("host_kw_rescore_qps"):
+        # device-exact cosine mode: serve_device_qps already includes the
+        # DD stage; the host stage is keyword-only (plus the
+        # dd_resolved_frac complement's full rescore)
+        kwq = d["host_kw_rescore_qps"]
+        miss = 1.0 - d.get("dd_resolved_frac", 1.0)
+        host_dd = 1.0 / (1.0 / kwq + miss / r)
+        out["e2e_qps_projected_dd_pipelined"] = round(min(dev_eff, host_dd), 1)
+    return out
 
-    # Snapshot save/restore (index/snapshot.py v3): the restore metric is
-    # the VERDICT r2 #2 target — derived arrays persist, restore is mmap +
-    # upload + sampled integrity, no re-hash/re-quantize.
-    _mark("e2e: restore stage")
-    restore_stage = {}
-    if os.environ.get("OMNI_BENCH_RESTORE", "1") == "1":
-        import shutil
-        import tempfile
 
-        from omni_recall_tpu.index.records import DocumentRecord
-        from omni_recall_tpu.index.snapshot import (
-            load_snapshot_full,
-            restore_engine,
-            save_snapshot,
+class Bench:
+    """Stage runner: cumulative emission after every stage, global budget,
+    per-stage deadlines, hard-exit guarantee. See the module docstring."""
+
+    def __init__(self):
+        self.details: dict = {}
+        self.ctx: dict = {}
+        self.skipped: dict = {}
+        self.errors: dict = {}
+        self.timings: dict = {}
+        self._lock = threading.Lock()
+        self._stage = None
+        self._stage_deadline = None
+        self.budget = float(os.environ.get("OMNI_BENCH_BUDGET_S", "450"))
+        hard_default = self.budget + 105.0 if self.budget > 0 else 0.0
+        hard = float(
+            os.environ.get("OMNI_BENCH_HARD_EXIT_S", str(hard_default))
         )
-
-        n_res = min(n, int(os.environ.get("OMNI_BENCH_RESTORE_N", 1 << 18)))
-        st = InMemoryIngestionStore()
-        st.upsert_document(DocumentRecord(
-            id="synthetic", file_name="s.txt", chunk_count=n_res
-        ))
-        st.upsert_chunks(meta[:n_res])
-        tmp = tempfile.mkdtemp(dir=os.environ.get("OMNI_BENCH_TMP", None))
-        try:
-            t0 = time.perf_counter()
-            save_snapshot(st, tmp, device_index=engine.device_index)
-            t_save = time.perf_counter() - t0
-            # two trials, best kept: the tunnel's upload throughput varies
-            # run to run (measured 0.4s..10s for the same 0.5 GB upload)
-            # and the first trial additionally pays cold disk cache
-            @jax.jit
-            def _touch(*arrs):
-                # one executable consuming every restored plane: forces the
-                # async device_put transfers to LAND before the timer stops
-                # (device_put returns at dispatch; block_until_ready lies
-                # on this tunnel — only a readback is trustworthy)
-                return sum(
-                    jnp.ravel(a)[0].astype(jnp.float32) for a in arrs
-                )
-
-            best_idx = best_e2e = best_host = 0.0
-            fast_path = False
-            for _ in range(2):
-                t0 = time.perf_counter()
-                store2, aux = load_snapshot_full(tmp)
-                t_load = time.perf_counter() - t0
-                eng2 = RecallEngine(store2, options=opts)
-                t0 = time.perf_counter()
-                restore_engine(store2, eng2, aux=aux)
-                t_restore = time.perf_counter() - t0
-                fast_path = eng2.device_index._preconverted is not None
-                t0 = time.perf_counter()
-                dev2 = eng2.device_index.device_arrays()
-                _ = np.asarray(_touch(*[
-                    a for a in (
-                        dev2.emb, dev2.bloom, dev2.created, dev2.valid,
-                        dev2.scale, dev2.err, dev2.emb2, dev2.scale2,
-                        dev2.err2, dev2.raw,
-                    ) if a is not None
-                ]))
-                t_upload = time.perf_counter() - t0
-                best_host = max(best_host, n_res / t_restore)
-                best_idx = max(best_idx, n_res / (t_restore + t_upload))
-                best_e2e = max(
-                    best_e2e, n_res / (t_load + t_restore + t_upload)
-                )
-                del eng2, store2, aux
-            restore_stage = {
-                "restore_n_chunks": n_res,
-                "restore_fast_path": fast_path,
-                "snapshot_save_s": round(t_save, 2),
-                # host-side restore work only (mmap + adopt + integrity
-                # sample): the hardware-independent framework cost — the
-                # upload term below is bounded by the dev tunnel's
-                # ~10-50 MB/s, three orders of magnitude under real PCIe
-                "restore_host_chunks_per_s": round(best_host, 1),
-                # index restore: slabs -> searchable device index, uploads
-                # forced to completion (readback-verified)
-                "restore_chunks_per_s": round(best_idx, 1),
-                # end to end: archive on disk -> store + device index ready
-                "restore_e2e_chunks_per_s": round(best_e2e, 1),
-            }
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-
-    # ingest rate: full append path (normalize + native bloom signatures +
-    # host mirrors + arena) for a fresh batch of real chunk records. A
-    # probe batch first triggers the one-time geometric capacity growth
-    # (bulk_load filled capacity exactly; growing a 1M-row index copies
-    # every array once) so the timed number is the steady-state rate.
-    def mk_ing(tag, count):
-        return [
-            ChunkRecord(
-                id=f"{tag}:{i}", document_id="ingbench", chunk_index=i,
-                content=contents[assign[i % n] % n_clusters],
-                embedding=emb[i % n], created_at_utc=now, seq=n + i,
+        if hard > 0 and os.environ.get("OMNI_BENCH_CHILD") == "1":
+            # under the supervisor (which owns the same deadline): exit a
+            # little earlier so a GIL-healthy wedge produces the cleaner
+            # in-process annotation instead of a SIGKILL
+            hard = max(5.0, hard - 15.0)
+        if hard > 0:
+            t = threading.Timer(
+                max(1.0, hard - self.elapsed()), self._hard_exit
             )
-            for i in range(count)
-        ]
+            t.daemon = True
+            t.start()
 
-    _mark("e2e: ingest stage")
-    engine.device_index.append(mk_ing("grow", 1024))
-    ing = mk_ing("ing", 20_000)
-    t0 = time.perf_counter()
-    engine.device_index.append(ing)
-    ingest_cps = len(ing) / (time.perf_counter() - t0)
+    def elapsed(self) -> float:
+        return time.perf_counter() - _T0
 
-    # reindex path (BASELINE.json configs[2]): shadow rebuild + atomic swap
-    # from the store — re-derives bloom signatures + int8 quantization for
-    # every chunk and uploads the fresh index before the swap. Runs LAST:
-    # it replaces the device index with just the store's chunks.
-    from omni_recall_tpu.index.records import DocumentRecord
+    def remaining(self) -> float:
+        if self.budget <= 0:
+            return float("inf")
+        return self.budget - self.elapsed()
 
-    _mark("e2e: rebuild stage")
-    n_rb = min(n, 1 << 16)
-    engine.store.upsert_document(DocumentRecord(id="rb", file_name="rb.txt"))
-    engine.store.upsert_chunks([
-        ChunkRecord(
-            id=f"rb:{i}", document_id="rb", chunk_index=i,
-            content=meta[i].content, embedding=meta[i].embedding,
-            created_at_utc=meta[i].created_at_utc, seq=i,
-        )
-        for i in range(n_rb)
-    ])
-    t0 = time.perf_counter()
-    engine.rebuild_index()
-    rebuild_s = time.perf_counter() - t0
-    assert engine.device_index.n_valid == n_rb
+    def checkpoint(self) -> None:
+        """Stages call this between sub-steps: aborts the stage cleanly when
+        its deadline or the global budget has passed. Figures already written
+        to bench.details survive the abort."""
+        now = time.perf_counter()
+        if self._stage_deadline is not None and now > self._stage_deadline:
+            raise StageAbort("stage deadline")
+        if self.budget > 0 and self.remaining() < 0:
+            raise StageAbort("global budget")
 
-    # compaction rebuild (the production reindex case: tombstone removal
-    # with unchanged records): the store records now pass the identity test,
-    # so append_from_index reuses every derived column and gathers the
-    # device planes on device instead of re-hashing/re-quantizing/uploading
-    engine.device_index.device_arrays()  # planes current pre-compaction
-    t0 = time.perf_counter()
-    engine.rebuild_index()
-    rebuild_compact_s = time.perf_counter() - t0
-    assert engine.device_index.n_valid == n_rb
+    def result(self) -> dict:
+        d = dict(self.details)
+        d.update(_projections(d))
+        if self.skipped:
+            d["stages_skipped"] = dict(self.skipped)
+        if self.errors:
+            d["stage_errors"] = dict(self.errors)
+        d["stage_timings_s"] = dict(self.timings)
+        d["elapsed_s"] = round(self.elapsed(), 1)
+        prov = {k: v for k, v in _PROVENANCE.items() if k in d}
+        if prov:
+            d["provenance"] = prov
+        cert = d.get("e2e_qps_projected_dd_pipelined")
+        scan = d.get("scan_qps")
+        if cert is not None:
+            # the honest headline (VERDICT r3 #3): the path that actually
+            # answers /api/recall/search with certified reference parity
+            res = {
+                "metric": "certified_search_qps_1m_chunks",
+                "value": cert,
+                "unit": "qps",
+                "vs_baseline": round(cert / 100_000.0, 4),
+            }
+            if scan is not None:
+                res["secondary"] = {
+                    "metric": "hybrid_search_device_scan_qps_1m_chunks",
+                    "value": scan,
+                    "vs_baseline": round(scan / 100_000.0, 4),
+                }
+        elif scan is not None:
+            res = {
+                "metric": "hybrid_search_device_scan_qps_1m_chunks",
+                "value": scan,
+                "unit": "qps",
+                "vs_baseline": round(scan / 100_000.0, 4),
+            }
+        else:
+            res = {
+                "metric": "bench_incomplete",
+                "value": 0.0,
+                "unit": "qps",
+                "vs_baseline": 0.0,
+            }
+        res["details"] = d
+        return res
 
-    # Host-side derivation rate in isolation (the portable figure, same
-    # convention as restore_host_chunks_per_s): rebuild_chunks_per_s above
-    # includes re-uploading the fresh planes through the dev tunnel's
-    # 10-50 MB/s transport, which on real hosts is a GB/s PCIe DMA. Fresh
-    # record objects force the full derivation (signatures + normalize +
-    # mirrors + arena); the device upload is NOT triggered (device_arrays
-    # is lazy).
-    old_dix = engine.device_index
-    fresh = [
-        ChunkRecord(
-            id=c.id, document_id=c.document_id, chunk_index=c.chunk_index,
-            content=c.content, embedding=c.embedding,
-            created_at_utc=c.created_at_utc, seq=c.seq,
-        )
-        for c in (old_dix.meta[i] for i in range(n_rb))
-    ]
-    from omni_recall_tpu.index.device_index import DeviceIndex as _DIX
+    def emit(self) -> None:
+        with self._lock:
+            print(json.dumps(self.result()), flush=True)
 
-    shadow = _DIX(
-        old_dix.dim, capacity_block=opts.capacity_block,
-        bloom_bits=old_dix.bloom_bits, ngram=old_dix.ngram,
-        bloom_hashes=old_dix.bloom_hashes, mesh=old_dix.mesh,
-        scan_dtype=old_dix.scan_dtype, refine=old_dix.refine,
-        exact_cos=old_dix.exact_cos,
-    )
-    t0 = time.perf_counter()
-    shadow.append_from_index(old_dix, fresh)
-    rebuild_host_s = time.perf_counter() - t0
-    assert shadow.n_valid == n_rb
-    del shadow, fresh
+    def _hard_exit(self) -> None:
+        # last-resort artifact guarantee: a stage wedged inside an
+        # uninterruptible XLA/tunnel call can no longer turn the whole run
+        # into rc=124 with zero output
+        if self._stage is not None:
+            self.skipped[self._stage] = "hard-exit deadline hit mid-stage"
+        self.details["hard_exit_at_s"] = round(self.elapsed(), 1)
+        self.emit()
+        os._exit(0)
 
-    return {
-        "rebuild_chunks_per_s": round(n_rb / rebuild_s, 1),
-        "rebuild_compact_chunks_per_s": round(n_rb / rebuild_compact_s, 1),
-        "rebuild_host_chunks_per_s": round(n_rb / rebuild_host_s, 1),
-        "rebuild_swap_chunks": n_rb,
-        "e2e_n_chunks": n,
-        "e2e_qps_tunnel": round(b * batches / elapsed, 1),
-        "e2e_batch_ms_tunnel": round(elapsed / batches * 1000.0, 2),
-        "e2e_qps_tunnel_pipelined": round(g_pipe * bt / pipe_elapsed, 1),
-        "e2e_pipelined_batch": bt,
-        "e2e_pipelined_depth": g_pipe,
-        "e2e_escalations_last": engine.last_escalations,
-        "e2e_coarse_resolved_frac": round(coarse_resolved / (batches * b), 4),
-        "e2e_coarse_resolved_frac_pipelined": round(pipe_resolved, 4),
-        "host_rescore_qps": round(rescore_qps, 1),
-        "rescore_pairs_per_query": round(pairs_per_query, 1),
-        "host_rescore_pruned_qps": round(rescore_pruned_qps, 1),
-        **thread_sweep,
-        **dd_stage,
-        **localq_stats,
-        **serve_stage,
-        **restore_stage,
-        "ingest_chunks_per_s": round(ingest_cps, 1),
-    }
+    def _stage_overrun(self, name: str) -> None:
+        # watchdog: the stage blew its deadline but is still running (likely
+        # inside a blocking device call) — annotate and re-emit so the
+        # current tail line is complete; if the stage completes after all,
+        # run() clears the annotation
+        self.skipped[name] = "deadline exceeded (still running)"
+        self.emit()
+
+    def _fake_slow(self, name: str) -> None:
+        # test hook (tests/test_bench_stages.py): OMNI_BENCH_FAKE_SLOW_STAGE
+        # ="<stage>:<seconds>" simulates a wedged stage in a checkpoint-aware
+        # loop, proving an artificially slowed stage degrades to
+        # skip+annotate with a complete JSON line (VERDICT r3 #7)
+        spec = os.environ.get("OMNI_BENCH_FAKE_SLOW_STAGE", "")
+        if spec.startswith(name + ":"):
+            end = time.perf_counter() + float(spec.split(":", 1)[1])
+            while time.perf_counter() < end:
+                self.checkpoint()
+                time.sleep(0.02)
+        # simulate a WEDGED stage (never reaches a checkpoint, like a
+        # blocking tunnel call) — exercises the watchdog annotation, the
+        # in-process hard exit, and the supervisor's hard-deadline kill.
+        # "<stage>:<secs>" sleeps with the GIL released (in-process timers
+        # still run); "<stage>:<secs>:gil" blocks INSIDE a ctypes.PyDLL
+        # call that HOLDS the GIL — the observed tunnel failure mode, where
+        # only the no-jax supervisor parent can still act
+        spec = os.environ.get("OMNI_BENCH_FAKE_WEDGE_STAGE", "")
+        if spec.startswith(name + ":"):
+            parts = spec.split(":")
+            if len(parts) > 2 and parts[2] == "gil":
+                ctypes.PyDLL(None).sleep(int(float(parts[1])))
+            else:
+                time.sleep(float(parts[1]))
+
+    def run(self, name, fn, est=30.0, deadline=None, gate=True,
+            required=False) -> None:
+        """Run one stage: skip if gated off or the remaining global budget
+        is under the stage's estimated cost; bound it with a deadline; merge
+        its returned figures; emit the cumulative line."""
+        if not gate:
+            self.skipped[name] = "disabled"
+            return
+        if not required and self.budget > 0 and self.remaining() < est:
+            self.skipped[name] = (
+                f"budget: {self.remaining():.0f}s left < est {est:.0f}s"
+            )
+            self.emit()
+            return
+        _mark(f"stage {name}")
+        self._stage = name
+        dl = deadline if deadline is not None else max(4.0 * est, 120.0)
+        cap = float(os.environ.get("OMNI_BENCH_STAGE_DEADLINE_S", "0"))
+        if cap > 0:  # uniform override (tests/test_bench_stages.py)
+            dl = min(dl, cap)
+        dl = min(dl, max(5.0, self.remaining() + 30.0))
+        self._stage_deadline = time.perf_counter() + dl
+        timer = threading.Timer(dl, self._stage_overrun, args=(name,))
+        timer.daemon = True
+        timer.start()
+        t0 = time.perf_counter()
+        ok = False
+        try:
+            self._fake_slow(name)
+            out = fn(self)
+            if out:
+                self.details.update(out)
+            ok = True
+        except StageAbort as e:
+            self.skipped[name] = f"aborted at checkpoint: {e}"
+        except Exception as e:  # degrade to a recorded error, keep going
+            self.errors[name] = f"{type(e).__name__}: {e}"[:300]
+            if required:
+                raise
+        finally:
+            timer.cancel()
+            self._stage = None
+            self._stage_deadline = None
+            self.timings[name] = round(time.perf_counter() - t0, 1)
+        if ok:
+            self.skipped.pop(name, None)
+        self.emit()
+
 
 
 def bench_10m(
@@ -858,7 +780,15 @@ def bench_10m(
     }
 
 
-def main() -> None:
+# ---------------------------------------------------------------------------
+# Stages
+# ---------------------------------------------------------------------------
+
+
+def st_setup_scan(bench: Bench) -> dict:
+    """Generate the scan corpus on device and build the megastep helpers.
+    Everything downstream reads bench.ctx."""
+    ctx = bench.ctx
     n = int(os.environ.get("OMNI_BENCH_N", 1 << 20))  # ~1M, block-aligned
     d = int(os.environ.get("OMNI_BENCH_D", 768))
     b = int(os.environ.get("OMNI_BENCH_B", 448))  # latency config (~6ms p50)
@@ -869,7 +799,7 @@ def main() -> None:
     steps = int(os.environ.get("OMNI_BENCH_STEPS", 3))
     dtype = os.environ.get("OMNI_BENCH_DTYPE", "int8")  # int8 | bf16
 
-    from omni_recall_tpu.ops import merge, pallas_scorer, xla_scorer
+    from omni_recall_tpu.ops import merge, pallas_scorer
 
     interpret = jax.default_backend() not in ("tpu",)
     if interpret:  # CPU smoke mode: keep it small
@@ -889,7 +819,9 @@ def main() -> None:
         emb_f = emb_f / jnp.linalg.norm(emb_f, axis=1, keepdims=True)
         absmax = jnp.max(jnp.abs(emb_f), axis=1, keepdims=True)
         row_scale = (absmax / 127.0)[:, 0]
-        emb = jnp.clip(jnp.round(emb_f / (absmax / 127.0)), -127, 127).astype(jnp.int8)
+        emb = jnp.clip(
+            jnp.round(emb_f / (absmax / 127.0)), -127, 127
+        ).astype(jnp.int8)
         row_err = jnp.linalg.norm(
             emb_f - emb.astype(jnp.float32) * row_scale[:, None], axis=1
         ) * 1.000001
@@ -904,7 +836,9 @@ def main() -> None:
         err_h = np.empty((n,), dtype=np.float32)
         host_rng = np.random.default_rng(0)
         for s_i in range(0, n, slab):
-            f = host_rng.standard_normal((min(slab, n - s_i), d), dtype=np.float32)
+            f = host_rng.standard_normal(
+                (min(slab, n - s_i), d), dtype=np.float32
+            )
             f /= np.linalg.norm(f, axis=1, keepdims=True)
             q, scale, err = quantize_rows_int8(f)
             emb_h[s_i : s_i + f.shape[0]] = q
@@ -920,7 +854,9 @@ def main() -> None:
         emb_h = np.empty((n, d), dtype=ml_dtypes.bfloat16)
         host_rng = np.random.default_rng(0)
         for s_i in range(0, n, slab):
-            f = host_rng.standard_normal((min(slab, n - s_i), d), dtype=np.float32)
+            f = host_rng.standard_normal(
+                (min(slab, n - s_i), d), dtype=np.float32
+            )
             f /= np.linalg.norm(f, axis=1, keepdims=True)
             emb_h[s_i : s_i + f.shape[0]] = f.astype(ml_dtypes.bfloat16)
         emb = jnp.asarray(emb_h)
@@ -929,11 +865,15 @@ def main() -> None:
     # bloom fill ~25% per bit (realistic signature density)
     bloom = (
         jax.random.bits(k_bloom, (n, bits // 8), dtype=jnp.uint8)
-        & jax.random.bits(jax.random.fold_in(k_bloom, 1), (n, bits // 8), dtype=jnp.uint8)
+        & jax.random.bits(
+            jax.random.fold_in(k_bloom, 1), (n, bits // 8), dtype=jnp.uint8
+        )
     )
     created = jnp.linspace(0.0, 365.0, n, dtype=jnp.float32)
     valid = jnp.ones((n,), dtype=bool)
-    add_row = pallas_scorer.make_add_row(created, valid, jnp.float32(365.0), jnp.int32(0))
+    add_row = pallas_scorer.make_add_row(
+        created, valid, jnp.float32(365.0), jnp.int32(0)
+    )
 
     def inputs_for(nb):
         qa = jax.random.normal(k_q, (g, nb, d), dtype=jnp.float32)
@@ -976,14 +916,19 @@ def main() -> None:
 
     def make_megastep(scan_fn, with_bloom: bool):
         @functools.partial(jax.jit, static_argnames=("interp",))
-        def megastep(carry, emb, bloom, add_row, r_scale, q_all, kw_all, interp):
+        def megastep(carry, emb, bloom, add_row, r_scale, q_all, kw_all,
+                     interp):
             def body(c, inp):
                 q, kw_w = inp
-                q = q + 1e-12 * c[:, None]  # serialize: depend on previous batch
+                q = q + 1e-12 * c[:, None]  # serialize on the previous batch
                 if with_bloom:
-                    bvals, bidxs = scan_fn(q, kw_w, emb, bloom, add_row, r_scale, interp)
+                    bvals, bidxs = scan_fn(
+                        q, kw_w, emb, bloom, add_row, r_scale, interp
+                    )
                 else:
-                    bvals, bidxs = scan_fn(q, kw_w, emb, add_row, r_scale, interp)
+                    bvals, bidxs = scan_fn(
+                        q, kw_w, emb, add_row, r_scale, interp
+                    )
                 bb, nb, t1 = bvals.shape
                 cand_v = bvals[:, :, : t1 - 1].reshape(bb, -1)
                 cand_i = bidxs[:, :, : t1 - 1].reshape(bb, -1)
@@ -996,274 +941,850 @@ def main() -> None:
             return carry, outs
         return megastep
 
+    r_scale = (
+        row_scale if row_scale is not None else jnp.zeros((n,), jnp.float32)
+    )
+
     def time_megastep(megastep, nb):
         q_all, kw_all = inputs_for(nb)
         carry = jnp.zeros((nb,), dtype=jnp.float32)
-        carry, outs = megastep(carry, emb, bloom, add_row, r_scale, q_all, kw_all, interpret)
+        carry, outs = megastep(
+            carry, emb, bloom, add_row, r_scale, q_all, kw_all, interpret
+        )
         _ = np.asarray(carry[:2])  # compile + settle
         start = time.perf_counter()
         c = carry
-        for i in range(steps):
-            c, outs = megastep(c, emb, bloom, add_row, r_scale, q_all, kw_all, interpret)
+        for _i in range(steps):
+            c, outs = megastep(
+                c, emb, bloom, add_row, r_scale, q_all, kw_all, interpret
+            )
         _ = np.asarray(c[:2])  # force completion
         elapsed = time.perf_counter() - start
         scans = g * steps
         return elapsed / scans, nb * scans / elapsed
 
-    r_scale = row_scale if row_scale is not None else jnp.zeros((n,), jnp.float32)
-
-    _mark("main: full fused scan")
-    full_scan_s, full_qps = time_megastep(make_megastep(scan_one, with_bloom=True), b)
-    if dtype == "int8":
-        # The engine serves embedding-backed queries with the coarse scan
-        # (full fused = keyword-only queries + cert escalations). Two serving
-        # configs are measured: the latency batch (p50 target) and the
-        # throughput batch (QPS headline) — standard serving practice.
-        lat_scan_s, lat_qps = time_megastep(make_megastep(coarse_one, with_bloom=False), b)
-        if interpret or bt == b:
-            per_scan, qps = lat_scan_s, lat_qps
-        else:
-            per_scan, qps = time_megastep(make_megastep(coarse_one, with_bloom=False), bt)
-    else:
-        lat_scan_s, lat_qps = full_scan_s, full_qps
-        per_scan, qps = full_scan_s, full_qps
-
-    # keyword-only scan (the serving path for embedding-less queries — the
-    # whole workload under the default Embeddings:Provider=None): bloom +
-    # recency only, no emb read (emb/r_scale args are DCE'd by XLA)
-    _mark("main: kw-only scan")
-    kw_only_stats = {}
-    if dtype == "int8":
-        def kw_one(q, kw_w, emb_unused, bloom, add_row, r_scale_unused, interp):
-            kw_w8 = pallas_scorer.quantize_kw_weights(kw_w)
-            kw_bias = jnp.zeros((q.shape[0], 1), dtype=jnp.float32)
-            return pallas_scorer.block_topt_kw_only(
-                bloom, kw_w8, kw_bias, add_row, t=t_block, sub=sub,
-                interpret=interp,
-            )
-        kw_scan_s, kw_qps = time_megastep(
-            make_megastep(kw_one, with_bloom=True), b if interpret else bt
-        )
-        kw_only_stats = {
-            "kw_only_scan_ms": round(kw_scan_s * 1000.0, 3),
-            "kw_only_scan_qps": round(kw_qps, 1),
-        }
-
-    # Sharded path on real silicon (VERDICT r2 weak #3): run the shard_map
-    # int8 kernels on a 1-device 'shards' mesh with interpret=False — every
-    # prior sharded run was interpret-mode on a virtual CPU mesh, and
-    # Mosaic-under-shard_map (layouts, collective scheduling) is exactly
-    # what breaks only on hardware. Asserts bit-parity with the unsharded
-    # kernel and records the shard_map overhead.
-    _mark("main: sharded 1dev")
-    sharded_stats = {}
-    if (
-        dtype == "int8" and not interpret
-        and os.environ.get("OMNI_BENCH_SHARDED", "1") == "1"
-    ):
-        from jax.sharding import Mesh
-
-        from omni_recall_tpu.ops import pallas_scorer as _ps
-        from omni_recall_tpu.parallel.sharded import ShardedScorer
-
-        mesh = Mesh(np.asarray(jax.devices()[:1]), ("shards",))
-        ss = ShardedScorer(mesh, interpret=False)
-        q_all, kw_all = inputs_for(b)
-        q1, kw1 = q_all[0], kw_all[0]
-        bias1 = jnp.zeros((b,), dtype=jnp.float32)
-        now1, r01 = jnp.float32(365.0), jnp.int32(0)
-        ref_v, ref_i = pallas_scorer.score_topm_int8(
-            emb, r_scale, row_err, bloom, created, valid,
-            q1, kw1, bias1, now1, r01, m=128, t=8, sub=512,
-        )
-        sh_v, sh_i = ss.score_topm(
-            emb, bloom, created, valid, q1, kw1, bias1, now1, r01,
-            m=128, mode="pallas_int8", t=8, sub=512,
-            scale=r_scale, err=row_err,
-        )
-        ref_v, ref_i = np.asarray(ref_v), np.asarray(ref_i)
-        sh_v, sh_i = np.asarray(sh_v), np.asarray(sh_i)
-        assert np.array_equal(ref_i[:, :128], sh_i[:, :128]), (
-            "sharded candidate rows diverge from the unsharded kernel"
-        )
-        assert np.allclose(ref_v, sh_v, rtol=0, atol=0), (
-            "sharded bounds diverge from the unsharded kernel"
-        )
-        # Time the coarse shard_map executable with a chained lax.scan
-        # megastep — the SAME methodology as the unsharded scans above, so
-        # sharded_1dev_scan_ms is the shard_map DEVICE overhead, not the
-        # ~30 ms/dispatch tunnel RTT a per-call loop measures
-        # (tools/probe_sharded_timing.py isolates both).
-        # extraction depth scaled so the emitted-candidate budget
-        # n/sub * t covers m at any corpus size (t=1 at the 1M default;
-        # smaller OMNI_BENCH_N smokes need deeper extraction)
-        t_sh = max(1, -(-128 * 1024 // n))
-        sh_v, _ = ss.score_topm(
-            emb, bloom, created, valid, q1, kw1, bias1, now1, r01,
-            m=128, mode="pallas_int8_coarse", t=t_sh, sub=1024,
-            scale=r_scale, err=row_err,
-        )
-        _ = np.asarray(sh_v[:2, :2])  # warm/compile before timing
-        sh_fn = ss._fns[("pallas_int8_coarse", 128, t_sh, 1024)]
-        g_sh = 8
-
-        def sh_mega(emb_, scale_, err_, bloom_, created_, valid_, q0, kw_, bias_):
-            def step(c, _):
-                vv, _ii = sh_fn(
-                    emb_, scale_, err_, bloom_, created_, valid_,
-                    c, kw_, bias_, now1, r01,
-                )
-                return q0 + 1e-12 * vv[:, :1], vv[0, 0]
-            _c, outs = jax.lax.scan(step, q0, xs=None, length=g_sh)
-            return outs
-
-        sh_mega_j = jax.jit(sh_mega)
-        sh_args = (emb, r_scale, row_err, bloom, created, valid, q1, kw1, bias1)
-        _ = np.asarray(sh_mega_j(*sh_args))
-        reps_sh = 3
-        t0 = time.perf_counter()
-        for _ in range(reps_sh):
-            outs_sh = sh_mega_j(*sh_args)
-        _ = np.asarray(outs_sh)
-        sharded_stats = {
-            "sharded_1dev_scan_ms": round(
-                (time.perf_counter() - t0) / (reps_sh * g_sh) * 1000.0, 3
-            ),
-            "sharded_1dev_parity": True,
-        }
-
-        # Sharded compact SERVING stage on silicon: refine + compact select
-        # + device-exact cosine inside shard_map (parallel/sharded.py
-        # refine_select_dd) must be bit-identical to the single-device ops.
-        # Runs on a 64k slice with device-built residual/raw planes — the
-        # fused Pallas refine under shard_map is Mosaic-on-hardware risk.
-        _mark("main: sharded serve parity")
-        from omni_recall_tpu.index.device_index import (
-            DeviceArrays,
-            _device_quantize_keep,
-        )
-        from omni_recall_tpu.ops import exact_cos as _ec
-        from omni_recall_tpu.ops import refine as _refine
-
-        n_sl = min(n, 1 << 16)
-        raw_sl = jax.random.normal(
-            jax.random.PRNGKey(5), (n_sl, d), dtype=jnp.float32
-        )
-        raw_sl = raw_sl / jnp.linalg.norm(raw_sl, axis=1, keepdims=True)
-        conv_sl = _device_quantize_keep(raw_sl, True)
-        dev_sl = DeviceArrays(
-            emb=conv_sl["emb"], bloom=bloom[:n_sl], created=created[:n_sl],
-            valid=valid[:n_sl], scale=conv_sl["scale"], err=conv_sl["err"],
-            emb2=conv_sl["emb2"], scale2=conv_sl["scale2"],
-            err2=conv_sl["err2"], raw=raw_sl,
-        )
-        sc_v, sc_i = pallas_scorer.score_topm_int8(
-            dev_sl.emb, dev_sl.scale, dev_sl.err, dev_sl.bloom,
-            dev_sl.created, dev_sl.valid, q1, kw1, bias1, now1, r01,
-            m=128, t=8, sub=512,
-        )
-        r1_, u1_, b1_ = map(np.asarray, _refine.refine_select_from_scan(
-            dev_sl.emb, dev_sl.scale, dev_sl.emb2, dev_sl.scale2,
-            dev_sl.err2, dev_sl.bloom, dev_sl.created, dev_sl.valid,
-            q1, kw1, bias1, now1, sc_v, sc_i, t_out=32, r=64,
-        ))
-        q_raw1 = q1 * jnp.float32(1.3)
-        rs_, us_, bs_, hi_, lo_, sa_ = map(np.asarray, ss.refine_select_dd(
-            dev_sl, q1, kw1, bias1, now1, sc_v, sc_i,
-            t_out=32, r=64, q_raw=q_raw1,
-        ))
-        hi1_, lo1_, sa1_ = map(np.asarray, _ec.exact_cos_rows(
-            dev_sl.raw, jnp.asarray(rs_), q_raw1
-        ))
-        live_ = (rs_ >= 0) & (us_ > -np.inf)
-        assert (
-            (r1_ == rs_).all() and (u1_ == us_).all() and (b1_ == bs_).all()
-        ), "sharded refine/select diverges from the single-device ops"
-        assert (
-            (hi_[live_] == hi1_[live_]).all()
-            and (lo_[live_] == lo1_[live_]).all()
-            and (sa_[live_] == sa1_[live_]).all()
-        ), "sharded device-exact cosine diverges from exact_cos_rows"
-        sharded_stats["sharded_serve_parity"] = True
-        del dev_sl, conv_sl, raw_sl, sc_v, sc_i
-
-    _mark("main: scans done")
-    details = {
-        **kw_only_stats,
-        **sharded_stats,
+    ctx.update(
+        n=n, d=d, b=b, bt=bt, bits=bits, m=m, g=g, steps=steps,
+        dtype=dtype, interpret=interpret, t_block=t_block, sub=sub,
+        coarse_sub=coarse_sub,
+    )
+    ctx["arrays"] = dict(
+        emb=emb, bloom=bloom, created=created, valid=valid,
+        r_scale=r_scale, row_err=row_err, add_row=add_row,
+    )
+    ctx["helpers"] = dict(
+        inputs_for=inputs_for, scan_one=scan_one, coarse_one=coarse_one,
+        make_megastep=make_megastep, time_megastep=time_megastep,
+    )
+    return {
         "n_chunks": n, "dim": d, "batch_throughput": bt, "batch_latency": b,
-        "bloom_bits": bits,
-        "top_m": m, "dtype": dtype, "scan_ms": round(per_scan * 1000.0, 3),
-        "p50_batch_latency_ms": round(lat_scan_s * 1000.0, 3),
-        "latency_config_qps": round(lat_qps, 1),
-        "full_fused_scan_ms": round(full_scan_s * 1000.0, 3),
-        "full_fused_scan_qps": round(full_qps, 1),
+        "bloom_bits": bits, "top_m": m, "dtype": dtype,
         "backend": jax.default_backend(),
     }
-    freed = False
-    if os.environ.get("OMNI_BENCH_E2E", "1") == "1" and not interpret:
-        del emb, bloom, add_row  # free HBM before the e2e engine builds
-        freed = True
-        # e2e at the HEADLINE corpus scale (1M default) so the coarse
-        # certificate resolution is measured where the QPS headline lives
-        e2e_n = int(os.environ.get("OMNI_BENCH_E2E_N", 1 << 20))
-        details.update(
-            bench_e2e(min(n, e2e_n), d, min(b, 448), bits, batches=3, bt=bt)
-        )
-        # projected production e2e, serial compose (conservative): the
-        # device serving stage (coarse scan + merge + refine/select,
-        # measured ON-DEVICE via the serve megastep) + host float64 rescore
-        # at the pair width the refined two-phase prune actually rescored;
-        # coarse-certificate failures pay a full fused scan + a second
-        # rescore round.
-        if "host_rescore_pruned_qps" in details:
-            r = details["host_rescore_pruned_qps"]
-            esc = 1.0 - details.get(
-                "e2e_coarse_resolved_frac_pipelined",
-                details.get("e2e_coarse_resolved_frac", 1.0),
-            )
-            dev_qps = details.get("serve_device_qps", qps)
-            full_qps = details.get("full_fused_scan_qps", qps)
-            cost = 1.0 / dev_qps + 1.0 / r + esc * (1.0 / full_qps + 1.0 / r)
-            details["e2e_qps_projected"] = round(1.0 / cost, 1)
-            # pipelined projection: the serving executor overlaps the two
-            # stages, so throughput is bounded by the slower stage alone
-            dev_eff = 1.0 / (1.0 / dev_qps + esc / full_qps)
-            host_eff = r / (1.0 + esc)
-            details["e2e_qps_projected_pipelined"] = round(
-                min(dev_eff, host_eff), 1
-            )
-            details["e2e_qps_projected_unpruned"] = round(
-                1.0 / (1.0 / qps + 1.0 / details["host_rescore_qps"]), 1
-            )
-            if "host_kw_rescore_qps" in details:
-                # device-exact cosine mode: serve_device_qps already
-                # includes the DD stage; the host stage is keyword-only
-                # (plus the dd_resolved_frac complement's full rescore)
-                kwq = details["host_kw_rescore_qps"]
-                miss = 1.0 - details.get("dd_resolved_frac", 1.0)
-                host_dd = 1.0 / (1.0 / kwq + miss / r)
-                details["e2e_qps_projected_dd_pipelined"] = round(
-                    min(dev_eff, host_dd), 1
-                )
 
-    if os.environ.get("OMNI_BENCH_10M", "1") == "1" and not interpret:
-        if not freed:
-            del emb, bloom, add_row
-        import gc
 
-        gc.collect()  # drop the 1M buffers before allocating the 10M index
-        _mark("main: 10m stage")
-        details["config_10m"] = bench_10m()
+def st_scan_coarse(bench: Bench) -> dict:
+    """The serving prepass scan at the latency and throughput batches; the
+    throughput figure is the scan headline (secondary metric)."""
+    ctx = bench.ctx
+    h = ctx["helpers"]
+    mk = h["make_megastep"](h["coarse_one"], with_bloom=False)
+    lat_s, lat_qps = h["time_megastep"](mk, ctx["b"])
+    bench.details["p50_batch_latency_ms"] = round(lat_s * 1000.0, 3)
+    bench.details["latency_config_qps"] = round(lat_qps, 1)
+    bench.checkpoint()
+    if ctx["interpret"] or ctx["bt"] == ctx["b"]:
+        per, qps = lat_s, lat_qps
+    else:
+        per, qps = h["time_megastep"](mk, ctx["bt"])
+    return {"scan_ms": round(per * 1000.0, 3), "scan_qps": round(qps, 1)}
 
-    result = {
-        "metric": "hybrid_search_device_scan_qps_1m_chunks",
-        "value": round(qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(qps / 100_000.0, 4),
-        "details": details,
+
+def st_scan_full(bench: Bench) -> dict:
+    """Full fused scan (keyword-only queries + certificate escalations)."""
+    ctx = bench.ctx
+    h = ctx["helpers"]
+    full_s, full_qps = h["time_megastep"](
+        h["make_megastep"](h["scan_one"], with_bloom=True), ctx["b"]
+    )
+    out = {
+        "full_fused_scan_ms": round(full_s * 1000.0, 3),
+        "full_fused_scan_qps": round(full_qps, 1),
     }
-    print(json.dumps(result))
+    if ctx["dtype"] != "int8":
+        # bf16 mode has no coarse kernel: the full fused scan IS the
+        # serving scan
+        out.update(
+            p50_batch_latency_ms=round(full_s * 1000.0, 3),
+            latency_config_qps=round(full_qps, 1),
+            scan_ms=round(full_s * 1000.0, 3),
+            scan_qps=round(full_qps, 1),
+        )
+    return out
+
+
+def st_scan_kw(bench: Bench) -> dict:
+    """Keyword-only scan (the whole workload under Embeddings:Provider=None):
+    bloom + recency only, no emb read (emb/r_scale args are DCE'd by XLA)."""
+    ctx = bench.ctx
+    from omni_recall_tpu.ops import pallas_scorer
+
+    h, t_block, sub = ctx["helpers"], ctx["t_block"], ctx["sub"]
+
+    def kw_one(q, kw_w, emb_unused, bloom, add_row, r_scale_unused, interp):
+        kw_w8 = pallas_scorer.quantize_kw_weights(kw_w)
+        kw_bias = jnp.zeros((q.shape[0], 1), dtype=jnp.float32)
+        return pallas_scorer.block_topt_kw_only(
+            bloom, kw_w8, kw_bias, add_row, t=t_block, sub=sub,
+            interpret=interp,
+        )
+
+    kw_s, kw_qps = h["time_megastep"](
+        h["make_megastep"](kw_one, with_bloom=True),
+        ctx["b"] if ctx["interpret"] else ctx["bt"],
+    )
+    return {
+        "kw_only_scan_ms": round(kw_s * 1000.0, 3),
+        "kw_only_scan_qps": round(kw_qps, 1),
+    }
+
+
+def st_slice_for_sharded(bench: Bench) -> None:
+    """Snapshot a <=256k-row slice of the scan arrays for the late sharded
+    stage (the big arrays are freed before the e2e engine builds)."""
+    ctx = bench.ctx
+    a = ctx["arrays"]
+    n_sh = min(ctx["n"], 1 << 18)
+    q_all, kw_all = ctx["helpers"]["inputs_for"](ctx["b"])
+    ctx["sh"] = dict(
+        n_sh=n_sh, emb=a["emb"][:n_sh], bloom=a["bloom"][:n_sh],
+        created=a["created"][:n_sh], valid=a["valid"][:n_sh],
+        scale=a["r_scale"][:n_sh], err=a["row_err"][:n_sh],
+        q1=q_all[0], kw1=kw_all[0],
+    )
+
+
+def st_e2e_build(bench: Bench) -> dict:
+    """Free the scan arrays and build the certified-exact engine at the
+    headline corpus scale (1M default)."""
+    ctx = bench.ctx
+    # drop the scan arrays AND the megastep closures that captured them:
+    # the e2e engine's device planes need the HBM
+    ctx.pop("arrays", None)
+    ctx.pop("helpers", None)
+    gc.collect()
+    e2e_n = min(ctx["n"], int(os.environ.get("OMNI_BENCH_E2E_N", 1 << 20)))
+    engine, make_requests, now, opts = build_e2e_engine(
+        e2e_n, ctx["d"], ctx["bits"]
+    )
+    ctx.update(
+        engine=engine, make_requests=make_requests, now=now, opts=opts,
+        e2e_n=e2e_n, e2e_b=min(ctx["b"], 448),
+    )
+    return {"e2e_n_chunks": e2e_n}
+
+
+def st_serve_megastep(bench: Bench) -> dict:
+    """The full serving device stage in isolation (chained megastep, one
+    readback): coarse scan + merge + refine/select (+ device-exact cosine
+    when enabled) at the throughput batch. Arrays are passed as ARGUMENTS
+    (closing over device buffers bakes them into the executable as XLA
+    constants: minutes-long remote compiles on the tunnel)."""
+    ctx = bench.ctx
+    from omni_recall_tpu.ops import hashing, oracle, pallas_scorer
+    from omni_recall_tpu.ops import refine as refine_mod
+    from omni_recall_tpu.search.engine import _coarse_layout
+
+    engine, opts = ctx["engine"], ctx["opts"]
+    d, bits, bt = ctx["d"], ctx["bits"], ctx["bt"]
+    make_requests = ctx["make_requests"]
+    dix = engine.device_index
+    dev = dix.device_arrays()
+    n_pad = int(dev.emb.shape[0])
+    blk = pallas_scorer._pick_block_coarse(n_pad)
+    layout = (
+        _coarse_layout(
+            n_pad, 128, blk,
+            getattr(opts, "coarse_sub", 0), getattr(opts, "coarse_t", 0),
+            prefer_shallow=True,
+        )
+        if blk else None
+    )
+    if layout is None or dev.emb2 is None:
+        return {}
+    sub_c, t_c = layout
+    g_s, steps_s = 4, 2
+    interp = jax.default_backend() != "tpu"
+    r_w = getattr(opts, "refine_width", 0) or 128
+    raw_plane = dev.raw  # None when OMNI_BENCH_DD=0
+
+    @jax.jit
+    def serve_mega(carry, emb8, scale, err, emb2, scale2, err2, bloom,
+                   created, valid, raw_or_none, q_all, w_all, bias_all):
+        def body(c, inp):
+            qv, wv, biasv = inp
+            qv = qv + 1e-12 * c[:, None]
+            vals, idxs = pallas_scorer.score_topm_int8_coarse(
+                emb8, scale, err, created, valid, qv, wv, biasv,
+                jnp.float32(365.0), jnp.int32(0), m=128, t=t_c, sub=sub_c,
+                interpret=interp,
+            )
+            rows, ubs, bound = refine_mod.refine_select_from_scan(
+                emb8, scale, emb2, scale2, err2, bloom, created, valid,
+                qv, wv, biasv, jnp.float32(365.0), vals, idxs,
+                r=min(r_w, 128),
+            )
+            new_c = (
+                ubs[:, 0] + rows[:, 0].astype(jnp.float32) * 1e-9 + bound
+            )
+            if raw_or_none is not None:
+                # device-exact cosine stage (the full serving device work)
+                from omni_recall_tpu.ops import exact_cos as _ec
+
+                hi, lo, sabs = _ec.exact_cos_rows(raw_or_none, rows, qv)
+                new_c = new_c + hi[:, 0] + lo[:, 0] + sabs[:, 0] * 1e-9
+            return new_c, None
+        carry, _ = jax.lax.scan(body, carry, (q_all, w_all, bias_all))
+        return carry
+
+    s_reqs = [make_requests(300 + gi, bt) for gi in range(g_s)]
+    q_all = np.zeros((g_s, bt, d), dtype=np.float32)
+    w_all = np.zeros((g_s, bt, bits), dtype=np.float32)
+    bias_all = np.zeros((g_s, bt), dtype=np.float32)
+    for gi, rs in enumerate(s_reqs):
+        for qi, (qtext, qemb, _) in enumerate(rs):
+            q_all[gi, qi] = qemb
+            w_all[gi, qi], bias_all[gi, qi] = hashing.query_bit_weights(
+                oracle.query_terms(qtext), bits, dix.ngram, dix.bloom_hashes
+            )
+    args = (
+        dev.emb, dev.scale, dev.err, dev.emb2, dev.scale2, dev.err2,
+        dev.bloom, dev.created, dev.valid, raw_plane,
+        jnp.asarray(q_all), jnp.asarray(w_all), jnp.asarray(bias_all),
+    )
+    carry = jnp.zeros((bt,), dtype=jnp.float32)
+    carry = serve_mega(carry, *args)
+    _ = np.asarray(carry[:2])
+    bench.checkpoint()
+    t0 = time.perf_counter()
+    c = carry
+    for _i in range(steps_s):
+        c = serve_mega(c, *args)
+    _ = np.asarray(c[:2])
+    per = (time.perf_counter() - t0) / (g_s * steps_s)
+    return {
+        "serve_device_ms_per_batch": round(per * 1000.0, 3),
+        "serve_device_qps": round(bt / per, 1),
+    }
+
+
+def st_e2e_sequential(bench: Bench) -> dict:
+    """Certified-exact engine throughput, sequential search_batch calls
+    through the tunnel (latency view) + the measured rescore width."""
+    ctx = bench.ctx
+    engine, make_requests, now = ctx["engine"], ctx["make_requests"], ctx["now"]
+    b, batches = ctx["e2e_b"], 3
+    engine.search_batch(make_requests(99, b), now=now)  # warmup/compile
+    bench.checkpoint()
+    pairs0 = engine.stats["rescore_pairs_total"]
+    start = time.perf_counter()
+    total_hits = 0
+    coarse_resolved = 0
+    for i in range(batches):
+        results = engine.search_batch(make_requests(i, b), now=now)
+        total_hits += sum(len(h) for h in results)
+        coarse_resolved += engine.last_coarse_resolved
+    elapsed = time.perf_counter() - start
+    assert total_hits == batches * b * 10
+    # avg exact-rescored pairs per query on this corpus (two-phase prune
+    # over the refined device bounds)
+    ctx["pairs_per_query"] = (
+        engine.stats["rescore_pairs_total"] - pairs0
+    ) / (batches * b)
+    return {
+        "e2e_qps_tunnel": round(b * batches / elapsed, 1),
+        "e2e_batch_ms_tunnel": round(elapsed / batches * 1000.0, 2),
+        "e2e_escalations_last": engine.last_escalations,
+        "e2e_coarse_resolved_frac": round(coarse_resolved / (batches * b), 4),
+        "rescore_pairs_per_query": round(ctx["pairs_per_query"], 1),
+    }
+
+
+def st_e2e_pipelined(bench: Bench) -> None:
+    """Pipelined serving throughput (the production architecture): every
+    batch's device scans dispatch before any finalize, so device compute +
+    readback transport overlap the host rescore. MEASURED through the
+    tunnel. Best-of-reps: the dev tunnel's transport stalls for seconds at
+    a time, and a single pass has no protection against one stall
+    swallowing the whole measurement."""
+    ctx = bench.ctx
+    engine, make_requests, now = ctx["engine"], ctx["make_requests"], ctx["now"]
+    bt = ctx["bt"]
+    g_pipe = int(os.environ.get("OMNI_BENCH_PIPE_G", 6))
+    pipe_reps = int(os.environ.get("OMNI_BENCH_PIPE_REPS", 2))
+    ctx["g_pipe"], ctx["pipe_reps"] = g_pipe, pipe_reps
+    engine.search_batches_pipelined([make_requests(50, bt)], now=now)
+    bench.checkpoint()
+    res0 = engine.stats["coarse_resolved_total"]
+    pipe_elapsed = float("inf")
+    done = 0
+    for rep in range(max(1, pipe_reps)):
+        pipe_batches = [
+            make_requests(100 + rep * g_pipe + i, bt) for i in range(g_pipe)
+        ]
+        t0 = time.perf_counter()
+        outs = engine.search_batches_pipelined(pipe_batches, now=now)
+        pipe_elapsed = min(pipe_elapsed, time.perf_counter() - t0)
+        assert sum(len(h) for out in outs for h in out) == g_pipe * bt * 10
+        done += 1
+        # write-then-checkpoint: a rep that lands survives a later abort
+        bench.details.update(
+            e2e_qps_tunnel_pipelined=round(g_pipe * bt / pipe_elapsed, 1),
+            e2e_pipelined_batch=bt,
+            e2e_pipelined_depth=g_pipe,
+            e2e_coarse_resolved_frac_pipelined=round(
+                (engine.stats["coarse_resolved_total"] - res0)
+                / (done * g_pipe * bt), 4,
+            ),
+        )
+        bench.checkpoint()
+
+
+def st_dd_host(bench: Bench) -> dict:
+    """DD-mode host stage: keyword-only rescore (zero embedding bytes) at
+    the device-selection width — the host's whole per-pair work when the
+    device-exact cosine certifies (ops/exact_cos.py)."""
+    ctx = bench.ctx
+    from omni_recall_tpu.ops import oracle
+
+    engine, make_requests, now = ctx["engine"], ctx["make_requests"], ctx["now"]
+    b, n = ctx["e2e_b"], ctx["e2e_n"]
+    reqs = make_requests(7, b)
+    t_sel = 32
+    cand_k = np.random.default_rng(9).integers(0, n, size=(b, t_sel))
+    rows_flat = cand_k.reshape(-1).astype(np.int64)
+    owner_k = np.repeat(np.arange(b), t_sel)
+    tl = [oracle.query_terms(qt) for qt, _, _ in reqs]
+    engine._kw_scores_flat(rows_flat, owner_k, tl, engine.device_index)
+    bench.checkpoint()
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        engine._kw_scores_flat(rows_flat, owner_k, tl, engine.device_index)
+    out = {
+        "host_kw_rescore_qps": round(
+            b / ((time.perf_counter() - t0) / reps), 1
+        )
+    }
+    tot = (
+        engine.stats["dd_resolved_total"] + engine.stats["dd_escalations_total"]
+    )
+    if tot > 0:
+        out["dd_resolved_frac"] = round(
+            engine.stats["dd_resolved_total"] / tot, 4
+        )
+    return out
+
+
+def st_host_rescore(bench: Bench) -> None:
+    """Host-rescore throughput in isolation (no device round trip), at the
+    legacy unrefined width (128) and at the width the engine ACTUALLY
+    rescored per query, plus a thread sweep documenting the native
+    rescorer's scaling curve."""
+    ctx = bench.ctx
+    engine, make_requests, now = ctx["engine"], ctx["make_requests"], ctx["now"]
+    b, n = ctx["e2e_b"], ctx["e2e_n"]
+    reqs = make_requests(7, b)
+    cand_rows = np.random.default_rng(3).integers(0, n, size=(b, 128))
+    row_lists = [cand_rows[qi] for qi in range(b)]
+    queries = [(q, e) for q, e, _ in reqs]
+    reps = 5
+    engine._exact_rescore_rows(queries, row_lists, now)  # warm caches
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        engine._exact_rescore_rows(queries, row_lists, now)
+    bench.details["host_rescore_qps"] = round(
+        b / ((time.perf_counter() - t0) / reps), 1
+    )
+    bench.checkpoint()
+
+    ppq = max(1, int(round(ctx.get("pairs_per_query", 16.0))))
+    cand_p = np.random.default_rng(5).integers(0, n, size=(b, ppq))
+    row_lists_p = [cand_p[qi] for qi in range(b)]
+    engine._exact_rescore_rows(queries, row_lists_p, now)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        engine._exact_rescore_rows(queries, row_lists_p, now)
+    bench.details["host_rescore_pruned_qps"] = round(
+        b / ((time.perf_counter() - t0) / reps), 1
+    )
+    bench.checkpoint()
+
+    try:
+        for nt in (1, 2, 4):
+            os.environ["OMNI_RESCORE_THREADS"] = str(nt)
+            engine._exact_rescore_rows(queries, row_lists_p, now)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                engine._exact_rescore_rows(queries, row_lists_p, now)
+            bench.details[f"host_rescore_qps_t{nt}"] = round(
+                b / ((time.perf_counter() - t0) / reps), 1
+            )
+            bench.checkpoint()
+    finally:
+        os.environ.pop("OMNI_RESCORE_THREADS", None)
+
+
+def st_restore(bench: Bench) -> None:
+    """Snapshot save/restore (index/snapshot.py v3): derived arrays persist,
+    restore is mmap + adopt + sampled integrity + upload — no re-hash, no
+    re-quantization."""
+    import shutil
+    import tempfile
+
+    from omni_recall_tpu.index.records import DocumentRecord
+    from omni_recall_tpu.index.snapshot import (
+        load_snapshot_full,
+        restore_engine,
+        save_snapshot,
+    )
+    from omni_recall_tpu.index.store import InMemoryIngestionStore
+    from omni_recall_tpu.search.engine import RecallEngine
+
+    ctx = bench.ctx
+    engine, opts = ctx["engine"], ctx["opts"]
+    meta = engine.bench_corpus["meta"]
+    n_res = min(ctx["e2e_n"], int(os.environ.get("OMNI_BENCH_RESTORE_N", 1 << 18)))
+    st = InMemoryIngestionStore()
+    st.upsert_document(DocumentRecord(
+        id="synthetic", file_name="s.txt", chunk_count=n_res
+    ))
+    st.upsert_chunks(meta[:n_res])
+    tmp = tempfile.mkdtemp(dir=os.environ.get("OMNI_BENCH_TMP", None))
+    try:
+        t0 = time.perf_counter()
+        save_snapshot(st, tmp, device_index=engine.device_index)
+        bench.details["restore_n_chunks"] = n_res
+        bench.details["snapshot_save_s"] = round(time.perf_counter() - t0, 2)
+        bench.checkpoint()
+
+        @jax.jit
+        def _touch(*arrs):
+            # one executable consuming every restored plane: forces the
+            # async device_put transfers to LAND before the timer stops
+            # (device_put returns at dispatch; block_until_ready lies on
+            # this tunnel — only a readback is trustworthy)
+            return sum(jnp.ravel(a)[0].astype(jnp.float32) for a in arrs)
+
+        best_idx = best_e2e = best_host = 0.0
+        # two trials, best kept: the tunnel's upload throughput varies run
+        # to run (measured 0.4s..10s for the same 0.5 GB upload) and the
+        # first trial additionally pays cold disk cache
+        for _ in range(2):
+            t0 = time.perf_counter()
+            store2, aux = load_snapshot_full(tmp)
+            t_load = time.perf_counter() - t0
+            eng2 = RecallEngine(store2, options=opts)
+            t0 = time.perf_counter()
+            restore_engine(store2, eng2, aux=aux)
+            t_restore = time.perf_counter() - t0
+            fast_path = eng2.device_index._preconverted is not None
+            t0 = time.perf_counter()
+            dev2 = eng2.device_index.device_arrays()
+            _ = np.asarray(_touch(*[
+                a for a in (
+                    dev2.emb, dev2.bloom, dev2.created, dev2.valid,
+                    dev2.scale, dev2.err, dev2.emb2, dev2.scale2,
+                    dev2.err2, dev2.raw,
+                ) if a is not None
+            ]))
+            t_upload = time.perf_counter() - t0
+            best_host = max(best_host, n_res / t_restore)
+            best_idx = max(best_idx, n_res / (t_restore + t_upload))
+            best_e2e = max(best_e2e, n_res / (t_load + t_restore + t_upload))
+            del eng2, store2, aux
+            bench.details.update(
+                restore_fast_path=fast_path,
+                # host-side restore work only (mmap + adopt + integrity
+                # sample): the hardware-independent framework cost — the
+                # upload term below is bounded by the dev tunnel's
+                # ~10-50 MB/s, three orders of magnitude under real PCIe
+                restore_host_chunks_per_s=round(best_host, 1),
+                # index restore: slabs -> searchable device index, uploads
+                # forced to completion (readback-verified)
+                restore_chunks_per_s=round(best_idx, 1),
+                # end to end: archive on disk -> store + device index ready
+                restore_e2e_chunks_per_s=round(best_e2e, 1),
+            )
+            bench.checkpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def st_ingest(bench: Bench) -> dict:
+    """Ingest rate: full append path (normalize + native bloom signatures +
+    host mirrors + arena) for a fresh batch of real chunk records. A probe
+    batch first triggers the one-time geometric capacity growth (bulk_load
+    filled capacity exactly; growing the index copies every array once) so
+    the timed number is the steady-state rate."""
+    from omni_recall_tpu.index.records import ChunkRecord
+
+    ctx = bench.ctx
+    engine, now = ctx["engine"], ctx["now"]
+    corpus = engine.bench_corpus
+    contents, assign, emb = corpus["contents"], corpus["assign"], corpus["emb"]
+    n, n_clusters = ctx["e2e_n"], engine.bench_n_clusters
+
+    def mk_ing(tag, count):
+        return [
+            ChunkRecord(
+                id=f"{tag}:{i}", document_id="ingbench", chunk_index=i,
+                content=contents[assign[i % n] % n_clusters],
+                embedding=emb[i % n], created_at_utc=now, seq=n + i,
+            )
+            for i in range(count)
+        ]
+
+    engine.device_index.append(mk_ing("grow", 1024))
+    bench.checkpoint()
+    ing = mk_ing("ing", 20_000)
+    t0 = time.perf_counter()
+    engine.device_index.append(ing)
+    return {
+        "ingest_chunks_per_s": round(
+            len(ing) / (time.perf_counter() - t0), 1
+        )
+    }
+
+
+def st_rebuild(bench: Bench) -> None:
+    """Reindex path (BASELINE.json configs[2]): shadow rebuild + atomic swap
+    from the store — re-derives signatures + quantization and uploads the
+    fresh index before the swap; then the compaction rebuild (identity-
+    passing records reuse every derived column + one on-device gather); then
+    the host-side derivation rate in isolation (the portable figure). Runs
+    LAST among the engine-mutating stages: it replaces the device index with
+    just the store's chunks."""
+    from omni_recall_tpu.index.device_index import DeviceIndex as _DIX
+    from omni_recall_tpu.index.records import ChunkRecord, DocumentRecord
+
+    ctx = bench.ctx
+    engine, opts = ctx["engine"], ctx["opts"]
+    meta = engine.bench_corpus["meta"]
+    n_rb = min(ctx["e2e_n"], 1 << 16)
+    engine.store.upsert_document(DocumentRecord(id="rb", file_name="rb.txt"))
+    engine.store.upsert_chunks([
+        ChunkRecord(
+            id=f"rb:{i}", document_id="rb", chunk_index=i,
+            content=meta[i].content, embedding=meta[i].embedding,
+            created_at_utc=meta[i].created_at_utc, seq=i,
+        )
+        for i in range(n_rb)
+    ])
+    bench.details["rebuild_swap_chunks"] = n_rb
+    t0 = time.perf_counter()
+    engine.rebuild_index()
+    bench.details["rebuild_chunks_per_s"] = round(
+        n_rb / (time.perf_counter() - t0), 1
+    )
+    assert engine.device_index.n_valid == n_rb
+    bench.checkpoint()
+
+    # compaction rebuild (the production reindex case: tombstone removal
+    # with unchanged records): the store records now pass the identity test,
+    # so append_from_index reuses every derived column and gathers the
+    # device planes on device instead of re-hashing/re-quantizing/uploading
+    engine.device_index.device_arrays()  # planes current pre-compaction
+    t0 = time.perf_counter()
+    engine.rebuild_index()
+    bench.details["rebuild_compact_chunks_per_s"] = round(
+        n_rb / (time.perf_counter() - t0), 1
+    )
+    assert engine.device_index.n_valid == n_rb
+    bench.checkpoint()
+
+    # host-side derivation rate in isolation (same convention as
+    # restore_host_chunks_per_s): fresh record objects force the full
+    # derivation; the device upload is NOT triggered (device_arrays is lazy)
+    old_dix = engine.device_index
+    fresh = [
+        ChunkRecord(
+            id=c.id, document_id=c.document_id, chunk_index=c.chunk_index,
+            content=c.content, embedding=c.embedding,
+            created_at_utc=c.created_at_utc, seq=c.seq,
+        )
+        for c in (old_dix.meta[i] for i in range(n_rb))
+    ]
+    shadow = _DIX(
+        old_dix.dim, capacity_block=opts.capacity_block,
+        bloom_bits=old_dix.bloom_bits, ngram=old_dix.ngram,
+        bloom_hashes=old_dix.bloom_hashes, mesh=old_dix.mesh,
+        scan_dtype=old_dix.scan_dtype, refine=old_dix.refine,
+        exact_cos=old_dix.exact_cos,
+    )
+    t0 = time.perf_counter()
+    shadow.append_from_index(old_dix, fresh)
+    bench.details["rebuild_host_chunks_per_s"] = round(
+        n_rb / (time.perf_counter() - t0), 1
+    )
+    assert shadow.n_valid == n_rb
+
+
+def st_localq(bench: Bench) -> None:
+    """Device-resident query serving: requests carry TEXT ONLY — query
+    embeddings are computed on device inside the dispatch (the corpus and
+    queries share a quickly corpus-fine-tuned encoder, eval/quality.py
+    workflow; see build_localq_engine for why)."""
+    ctx = bench.ctx
+    engine_lq, make_text_requests, lq_n = build_localq_engine(
+        ctx["e2e_n"], ctx["d"], ctx["bits"], ctx["opts"]
+    )
+    bench.details["localq_n_chunks"] = lq_n
+    now, bt = ctx["now"], ctx["bt"]
+    g_pipe = ctx.get("g_pipe", int(os.environ.get("OMNI_BENCH_PIPE_G", 6)))
+    pipe_reps = ctx.get(
+        "pipe_reps", int(os.environ.get("OMNI_BENCH_PIPE_REPS", 2))
+    )
+    engine_lq.search_batches_pipelined(
+        [make_text_requests(60, bt)], now=now
+    )  # compile (encoder forward + assemble + self-norm shapes)
+    bench.checkpoint()
+    dd0 = engine_lq.stats["dd_resolved_total"]
+    esc0 = engine_lq.stats["dd_escalations_total"]
+    hf0 = engine_lq.stats["host_fallbacks_total"]
+    lq_q = g_pipe * bt
+    lq_elapsed = float("inf")  # best-of-reps (tunnel stall protection)
+    done = 0
+    for rep in range(max(1, pipe_reps)):
+        lq_batches = [
+            make_text_requests(200 + rep * g_pipe + i, bt)
+            for i in range(g_pipe)
+        ]
+        t0 = time.perf_counter()
+        outs_lq = engine_lq.search_batches_pipelined(lq_batches, now=now)
+        lq_elapsed = min(lq_elapsed, time.perf_counter() - t0)
+        assert sum(len(h) for out in outs_lq for h in out) == lq_q * 10
+        done += 1
+        bench.details.update(
+            e2e_qps_tunnel_localq=round(lq_q / lq_elapsed, 1),
+            e2e_localq_batch_ms=round(lq_elapsed / g_pipe * 1000.0, 2),
+            localq_dd_resolved_frac=round(
+                (engine_lq.stats["dd_resolved_total"] - dd0)
+                / (done * lq_q), 4,
+            ),
+            localq_dd_escalations=(
+                engine_lq.stats["dd_escalations_total"] - esc0
+            ),
+            localq_host_fallbacks=(
+                engine_lq.stats["host_fallbacks_total"] - hf0
+            ),
+        )
+        bench.checkpoint()
+
+
+def st_sharded(bench: Bench) -> None:
+    """Sharded path on real silicon: shard_map int8 kernels on a 1-device
+    'shards' mesh, interpret=False — Mosaic-under-shard_map (layouts,
+    collective scheduling) is exactly what breaks only on hardware. Asserts
+    bit-parity with the unsharded kernels and times the coarse shard_map
+    executable with the chained-megastep protocol. Runs on the <=256k-row
+    slice kept by st_slice_for_sharded (parity is scale-independent)."""
+    ctx = bench.ctx
+    from jax.sharding import Mesh
+
+    from omni_recall_tpu.ops import pallas_scorer
+    from omni_recall_tpu.parallel.sharded import ShardedScorer
+
+    sh = ctx["sh"]
+    n_sh, b = sh["n_sh"], ctx["b"]
+    emb, bloom = sh["emb"], sh["bloom"]
+    created, valid = sh["created"], sh["valid"]
+    r_scale, row_err = sh["scale"], sh["err"]
+    q1, kw1 = sh["q1"], sh["kw1"]
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("shards",))
+    ss = ShardedScorer(mesh, interpret=False)
+    bias1 = jnp.zeros((b,), dtype=jnp.float32)
+    now1, r01 = jnp.float32(365.0), jnp.int32(0)
+    ref_v, ref_i = pallas_scorer.score_topm_int8(
+        emb, r_scale, row_err, bloom, created, valid,
+        q1, kw1, bias1, now1, r01, m=128, t=8, sub=512,
+    )
+    sh_v, sh_i = ss.score_topm(
+        emb, bloom, created, valid, q1, kw1, bias1, now1, r01,
+        m=128, mode="pallas_int8", t=8, sub=512,
+        scale=r_scale, err=row_err,
+    )
+    ref_v, ref_i = np.asarray(ref_v), np.asarray(ref_i)
+    sh_v, sh_i = np.asarray(sh_v), np.asarray(sh_i)
+    assert np.array_equal(ref_i[:, :128], sh_i[:, :128]), (
+        "sharded candidate rows diverge from the unsharded kernel"
+    )
+    assert np.allclose(ref_v, sh_v, rtol=0, atol=0), (
+        "sharded bounds diverge from the unsharded kernel"
+    )
+    bench.details["sharded_1dev_parity"] = True
+    bench.checkpoint()
+
+    # Time the coarse shard_map executable with a chained lax.scan megastep
+    # — the SAME methodology as the unsharded scans, so sharded_1dev_scan_ms
+    # is the shard_map DEVICE overhead, not the ~30 ms/dispatch tunnel RTT a
+    # per-call loop measures (tools/probe_sharded_timing.py isolates both).
+    # Extraction depth scaled so the emitted-candidate budget n/sub*t covers
+    # m at any slice size.
+    t_sh = max(1, -(-128 * 1024 // n_sh))
+    sh_v, _ = ss.score_topm(
+        emb, bloom, created, valid, q1, kw1, bias1, now1, r01,
+        m=128, mode="pallas_int8_coarse", t=t_sh, sub=1024,
+        scale=r_scale, err=row_err,
+    )
+    _ = np.asarray(sh_v[:2, :2])  # warm/compile before timing
+    sh_fn = ss._fns[("pallas_int8_coarse", 128, t_sh, 1024)]
+    g_sh = 8
+
+    def sh_mega(emb_, scale_, err_, bloom_, created_, valid_, q0, kw_, bias_):
+        def step(c, _):
+            vv, _ii = sh_fn(
+                emb_, scale_, err_, bloom_, created_, valid_,
+                c, kw_, bias_, now1, r01,
+            )
+            return q0 + 1e-12 * vv[:, :1], vv[0, 0]
+        _c, outs = jax.lax.scan(step, q0, xs=None, length=g_sh)
+        return outs
+
+    sh_mega_j = jax.jit(sh_mega)
+    sh_args = (emb, r_scale, row_err, bloom, created, valid, q1, kw1, bias1)
+    _ = np.asarray(sh_mega_j(*sh_args))
+    bench.checkpoint()
+    reps_sh = 3
+    t0 = time.perf_counter()
+    for _ in range(reps_sh):
+        outs_sh = sh_mega_j(*sh_args)
+    _ = np.asarray(outs_sh)
+    bench.details["sharded_1dev_scan_ms"] = round(
+        (time.perf_counter() - t0) / (reps_sh * g_sh) * 1000.0, 3
+    )
+    bench.checkpoint()
+
+    # Sharded compact SERVING stage on silicon: refine + compact select +
+    # device-exact cosine inside shard_map (parallel/sharded.py
+    # refine_select_dd) must be bit-identical to the single-device ops.
+    # Runs on a 64k slice with device-built residual/raw planes — the fused
+    # Pallas refine under shard_map is Mosaic-on-hardware risk.
+    from omni_recall_tpu.index.device_index import (
+        DeviceArrays,
+        _device_quantize_keep,
+    )
+    from omni_recall_tpu.ops import exact_cos as _ec
+    from omni_recall_tpu.ops import refine as _refine
+
+    n_sl = min(n_sh, 1 << 16)
+    d = ctx["d"]
+    raw_sl = jax.random.normal(
+        jax.random.PRNGKey(5), (n_sl, d), dtype=jnp.float32
+    )
+    raw_sl = raw_sl / jnp.linalg.norm(raw_sl, axis=1, keepdims=True)
+    conv_sl = _device_quantize_keep(raw_sl, True)
+    dev_sl = DeviceArrays(
+        emb=conv_sl["emb"], bloom=bloom[:n_sl], created=created[:n_sl],
+        valid=valid[:n_sl], scale=conv_sl["scale"], err=conv_sl["err"],
+        emb2=conv_sl["emb2"], scale2=conv_sl["scale2"],
+        err2=conv_sl["err2"], raw=raw_sl,
+    )
+    sc_v, sc_i = pallas_scorer.score_topm_int8(
+        dev_sl.emb, dev_sl.scale, dev_sl.err, dev_sl.bloom,
+        dev_sl.created, dev_sl.valid, q1, kw1, bias1, now1, r01,
+        m=128, t=8, sub=512,
+    )
+    r1_, u1_, b1_ = map(np.asarray, _refine.refine_select_from_scan(
+        dev_sl.emb, dev_sl.scale, dev_sl.emb2, dev_sl.scale2,
+        dev_sl.err2, dev_sl.bloom, dev_sl.created, dev_sl.valid,
+        q1, kw1, bias1, now1, sc_v, sc_i, t_out=32, r=64,
+    ))
+    q_raw1 = q1 * jnp.float32(1.3)
+    rs_, us_, bs_, hi_, lo_, sa_ = map(np.asarray, ss.refine_select_dd(
+        dev_sl, q1, kw1, bias1, now1, sc_v, sc_i,
+        t_out=32, r=64, q_raw=q_raw1,
+    ))
+    hi1_, lo1_, sa1_ = map(np.asarray, _ec.exact_cos_rows(
+        dev_sl.raw, jnp.asarray(rs_), q_raw1
+    ))
+    live_ = (rs_ >= 0) & (us_ > -np.inf)
+    assert (
+        (r1_ == rs_).all() and (u1_ == us_).all() and (b1_ == bs_).all()
+    ), "sharded refine/select diverges from the single-device ops"
+    assert (
+        (hi_[live_] == hi1_[live_]).all()
+        and (lo_[live_] == lo1_[live_]).all()
+        and (sa_[live_] == sa1_[live_]).all()
+    ), "sharded device-exact cosine diverges from exact_cos_rows"
+    bench.details["sharded_serve_parity"] = True
+
+
+def st_10m(bench: Bench) -> dict:
+    """10M-chunk capacity config. Frees everything first — the 10M index
+    needs the HBM."""
+    ctx = bench.ctx
+    for k in ("engine", "make_requests", "arrays", "helpers", "sh"):
+        ctx.pop(k, None)
+    gc.collect()
+    return {"config_10m": bench_10m()}
+
+
+def main() -> None:
+    bench = Bench()
+    ctx = bench.ctx
+    exit_code = 0
+    try:
+        bench.run("setup_scan", st_setup_scan, est=150, deadline=420,
+                  required=True)
+        interp = ctx.get("interpret", True)
+        dtype = ctx.get("dtype", "int8")
+        is_int8 = dtype == "int8"
+        # generous deadlines on the headline-critical scans: a cold remote
+        # compile through the tunnel can take 300+ s by itself (observed);
+        # the global budget + supervisor own the overall cap
+        bench.run("scan_coarse", st_scan_coarse, est=40, deadline=480,
+                  gate=is_int8)
+        bench.run("scan_full", st_scan_full, est=40, deadline=360)
+        bench.run("scan_kw", st_scan_kw, est=30, deadline=240, gate=is_int8)
+        sharded_on = (
+            is_int8 and not interp
+            and os.environ.get("OMNI_BENCH_SHARDED", "1") == "1"
+        )
+        bench.run("slice_for_sharded", st_slice_for_sharded, est=5,
+                  deadline=60, gate=sharded_on)
+        e2e_on = os.environ.get("OMNI_BENCH_E2E", "1") == "1" and not interp
+        bench.run("e2e_build", st_e2e_build, est=100, deadline=420,
+                  gate=e2e_on)
+        built = "engine" in ctx
+        dd_on = built and getattr(ctx["opts"], "device_exact_cos", False)
+        bench.run("serve_megastep", st_serve_megastep, est=50, deadline=300,
+                  gate=built)
+        bench.run("e2e_sequential", st_e2e_sequential, est=45, deadline=300,
+                  gate=built)
+        bench.run("e2e_pipelined", st_e2e_pipelined, est=45, deadline=300,
+                  gate=built)
+        bench.run("host_dd", st_dd_host, est=15, deadline=120, gate=dd_on)
+        bench.run("host_rescore", st_host_rescore, est=40, deadline=240,
+                  gate=built)
+        bench.run("restore", st_restore, est=60, deadline=300,
+                  gate=built
+                  and os.environ.get("OMNI_BENCH_RESTORE", "1") == "1")
+        bench.run("ingest", st_ingest, est=25, deadline=180, gate=built)
+        bench.run("rebuild", st_rebuild, est=60, deadline=300, gate=built)
+        bench.run("localq", st_localq, est=130, deadline=420,
+                  gate=built
+                  and os.environ.get("OMNI_BENCH_LOCALQ", "1") == "1")
+        bench.run("sharded", st_sharded, est=60, deadline=300,
+                  gate=sharded_on and "sh" in ctx)
+        bench.run("bench_10m", st_10m, est=180, deadline=420,
+                  gate=not interp
+                  and os.environ.get("OMNI_BENCH_10M", "1") == "1")
+    except Exception as e:  # a required stage failed
+        bench.errors["fatal"] = f"{type(e).__name__}: {e}"[:300]
+        exit_code = 1
+    bench.emit()
+    sys.exit(exit_code)
 
 
 if __name__ == "__main__":

@@ -255,6 +255,17 @@ class EngineOptions:
     # raw SearchHit.score may differ from the oracle float64 by < ~1e-10
     # on certified queries (the margin the certificate enforces).
     device_exact_cos: bool = False
+    # direct compact selection (pallas + int8 + exact only): select the
+    # compact candidate slice straight from the scan bounds and skip the
+    # residual-int8 refine stage entirely — the serving fast path when the
+    # corpus separates well (ops/refine.py direct_select_from_scan). The
+    # certificate bound is then the (t_out+1)-th SCAN bound (~4e-3 looser
+    # than the refined bound), so exactness is unchanged; misses rescue
+    # through the refine path on the still-device-resident full candidates
+    # (wide rescue) and then the fused rescan, exactly as before. Saves the
+    # refine gather + kernel (the serving stage's second-largest device
+    # cost) per batch.
+    direct_select: bool = False
     # coarse prepass (pallas + int8 + exact only): first scan computes
     # cosine + recency with the keyword term bounded per query by
     # 0.2*min(1, sum_w + bias); the certificate still guarantees exactness

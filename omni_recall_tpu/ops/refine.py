@@ -210,6 +210,45 @@ def compact_select(vals_full, idxs_full, refined, t_out: int, r: int):
     return top_i[:, :k], top_v[:, :k], bound
 
 
+@functools.partial(jax.jit, static_argnames=("t_out",))
+def direct_select_from_scan(vals_full, idxs_full, t_out: int):
+    """Compact selection STRAIGHT from the scan/merge output — no refine.
+
+    The scan candidates arrive sorted descending by scan bound
+    (ops/merge.py top_k_with_payload), so the top-t_out slice plus
+
+        bound = max(scan boundary,        # rows the scan excluded
+                    (t_out+1)-th scan bound)  # candidates the slice dropped
+
+    satisfies exactly the compact_select coverage contract: every row not
+    in the returned slice has a sound upper bound <= ``bound`` (the
+    boundary covers scan-excluded rows; sorted order covers dropped
+    candidates). The engine's certificate check is unchanged.
+
+    This is the Engine:DirectSelect serving fast path: it skips the
+    residual-int8 refine gather + kernel (the serving stage's
+    second-largest device cost after the scan itself) at the price of a
+    certificate bound ~4e-3 looser (scan bounds carry the int8
+    quantization slack and the coarse keyword cap that refine would have
+    tightened). On corpora whose kth exact score clears that slack the
+    certificate resolves identically; misses rescue through the refine
+    path (engine wide rescue), so exactness is never at risk — only
+    throughput. Also the only compact path for indexes built WITHOUT
+    residual planes (DeviceIndex(refine=False), e.g. the 10M single-chip
+    capacity config where the second int8 plane would not fit HBM)."""
+    b, m1 = vals_full.shape
+    m = m1 - 1
+    k = min(t_out, m)
+    rows = idxs_full[:, :k]
+    ubs = vals_full[:, :k]
+    tail = (
+        vals_full[:, k] if m > k
+        else jnp.full((b,), -jnp.inf, dtype=vals_full.dtype)
+    )
+    bound = jnp.maximum(vals_full[:, -1], tail)
+    return rows, ubs, bound
+
+
 def quantize_queries_int8_residual(q: jax.Array):
     """Two-plane residual int8 query quantization on device.
 

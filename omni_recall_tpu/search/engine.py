@@ -495,8 +495,6 @@ class RecallEngine:
         (``q_raw_dev`` given, raw plane sharded); single-device callers
         chain DD separately (chain_dd). Shrinks the per-batch readback
         from 3x[B, m+1] to ~3x[B, 32] — the dominant transport cost."""
-        if dev.emb2 is None or m > self._REFINE_MAX_M:
-            return None, None
         from omni_recall_tpu.ops import refine as _refine
 
         # t_out must cover the largest requested k with phase-2 headroom;
@@ -506,6 +504,20 @@ class RecallEngine:
             max_k + 8,
         )
         t_out = 1 << (t_out - 1).bit_length()
+        if (
+            getattr(self.options, "direct_select", False)
+            and self._sharded_scorer is None
+        ):
+            # Engine:DirectSelect — compact slice straight from the scan
+            # bounds, refine skipped (ops/refine.py direct_select_from_scan
+            # docstring: same coverage contract, bound ~4e-3 looser; misses
+            # rescue through the refine path). Also serves indexes without
+            # residual planes (DeviceIndex(refine=False), 10M capacity).
+            return _refine.direct_select_from_scan(
+                vals_d, idxs_d, min(t_out, max(1, m - 1))
+            ), None
+        if dev.emb2 is None or m > self._REFINE_MAX_M:
+            return None, None
         # refine width: re-scoring only the top-r scan candidates halves the
         # stage's gather+kernel cost at r = m/2 (ops/refine.py docstring);
         # the (r+1)-th scan bound folds into the certificate bound

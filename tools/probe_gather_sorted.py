@@ -10,8 +10,10 @@ bit-identical results since it is a pure permutation.
 This probe times, with the chained-megastep methodology of
 tools/probe_sharded_timing.py (one readback per G-step jit):
 
-  R  — jnp.take of [B*m] RANDOM flat rows from the two int8 planes +
-       bloom (exactly the refine stage's gather traffic)
+  R  — jnp.take of [B*m] RANDOM flat rows from the two int8 planes, the
+       bloom plane at the DEFAULT config width (bloom_bits=2048 -> 256
+       B/row), and the [N,5] f32 sidecar refine_ub also gathers — the
+       refine stage's per-row gather traffic at the default config
   S  — the same take with the indices PRE-SORTED (upper bound on any
        sort-based win: sort/unpermute costs excluded)
   SF — sorted gather INCLUDING on-device argsort + inverse-permutation
@@ -44,7 +46,7 @@ def _time_mega(fn, args, G, reps=3):
 
 
 def main() -> None:
-    n, d, w = 1 << 19, 768, 128
+    n, d, w, w5 = 1 << 19, 768, 256, 5
     b, m = 1536, 64
     bm = b * m
     G = 8
@@ -55,65 +57,78 @@ def main() -> None:
         jax.random.PRNGKey(1), (n, d), dtype=jnp.uint8
     ).astype(jnp.int8)
     bloom = jax.random.bits(jax.random.PRNGKey(2), (n, w), dtype=jnp.uint8)
+    side = jax.random.normal(jax.random.PRNGKey(3), (n, w5), jnp.float32)
 
     rng = np.random.default_rng(0)
     idx_r = jnp.asarray(rng.integers(0, n, size=(bm,), dtype=np.int32))
     idx_s = jnp.sort(idx_r)
 
-    bytes_per = bm * (2 * d + w)
+    bytes_per = bm * (2 * d + w + 4 * w5)
 
-    def gathers(idx, g1, g2, gb):
-        # checksum keeps all three gathers live; idx data-depends on the
+    def gathers(idx, g1, g2, gb, gs):
+        # checksum keeps all four gathers live; idx data-depends on the
         # carry so lax.scan cannot hoist the gather out of the loop
         a = jnp.take(g1, idx, axis=0)
         bq = jnp.take(g2, idx, axis=0)
         c = jnp.take(gb, idx, axis=0)
+        sd = jnp.take(gs, idx, axis=0)
         return (
             a.astype(jnp.int32).sum()
             + bq.astype(jnp.int32).sum()
             + c.astype(jnp.int32).sum()
+            + sd.sum().astype(jnp.int32)
         )
 
-    def mega_plain(idx0, g1, g2, gb):
+    # the anti-hoist dependency rides a TRACED zero scalar (a jit
+    # argument): `idx0 + (carry & zero)` is value-identical to idx0 but
+    # XLA cannot prove it constant, so the gather provably depends on the
+    # loop carry. (The previous `c % 1` construct relied on the algebraic
+    # simplifier NOT folding integer x % 1 -> 0 — fragile across XLA
+    # versions; ADVICE r3.)
+    def mega_plain(idx0, zero, g1, g2, gb, gs):
         def step(c, _):
-            idx = idx0 + (c % 1)  # data dependency, value-identical
-            s = gathers(idx, g1, g2, gb)
-            return s % 1, s
+            idx = idx0 + (c & zero)  # data dependency, value-identical
+            s = gathers(idx, g1, g2, gb, gs)
+            return s, s
         _, outs = jax.lax.scan(step, jnp.int32(0), xs=None, length=G)
         return outs
 
-    def mega_full(idx0, g1, g2, gb):
+    def mega_full(idx0, zero, g1, g2, gb, gs):
         # end-to-end sorted variant: argsort + sorted gather + un-permute
         def step(c, _):
-            idx = idx0 + (c % 1)
+            idx = idx0 + (c & zero)
             order = jnp.argsort(idx)
             srt = jnp.take(idx, order)
             a = jnp.take(g1, srt, axis=0)
             bq = jnp.take(g2, srt, axis=0)
             cb = jnp.take(gb, srt, axis=0)
+            sd = jnp.take(gs, srt, axis=0)
             inv = jnp.zeros_like(order).at[order].set(
                 jnp.arange(bm, dtype=order.dtype)
             )
             a = jnp.take(a, inv, axis=0)
             bq = jnp.take(bq, inv, axis=0)
             cb = jnp.take(cb, inv, axis=0)
+            sd = jnp.take(sd, inv, axis=0)
             s = (
                 a.astype(jnp.int32).sum()
                 + bq.astype(jnp.int32).sum()
                 + cb.astype(jnp.int32).sum()
+                + sd.sum().astype(jnp.int32)
             )
-            return s % 1, s
+            return s, s
         _, outs = jax.lax.scan(step, jnp.int32(0), xs=None, length=G)
         return outs
 
-    ms_r = _time_mega(mega_plain, (idx_r, emb1, emb2, bloom), G)
+    zero = jnp.int32(0)
+    ms_r = _time_mega(mega_plain, (idx_r, zero, emb1, emb2, bloom, side), G)
     print(f"R : random gather      {ms_r:8.3f} ms  "
           f"{bytes_per / ms_r / 1e6:7.1f} GB/s")
-    ms_s = _time_mega(mega_plain, (idx_s, emb1, emb2, bloom), G)
+    ms_s = _time_mega(mega_plain, (idx_s, zero, emb1, emb2, bloom, side), G)
     print(f"S : sorted gather      {ms_s:8.3f} ms  "
           f"{bytes_per / ms_s / 1e6:7.1f} GB/s")
     if ms_s < 0.85 * ms_r:
-        ms_sf = _time_mega(mega_full, (idx_r, emb1, emb2, bloom), G)
+        ms_sf = _time_mega(mega_full, (idx_r, zero, emb1, emb2, bloom, side), G)
         print(f"SF: sort+gather+unperm {ms_sf:8.3f} ms  "
               f"{bytes_per / ms_sf / 1e6:7.1f} GB/s")
     else:
