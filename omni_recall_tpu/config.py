@@ -266,6 +266,11 @@ class EngineOptions:
     # refine gather + kernel (the serving stage's second-largest device
     # cost) per batch.
     direct_select: bool = False
+    # compact-selection width override (0 = auto, 32): smaller slices cut
+    # the DD raw-plane gather and the host keyword width per query; the
+    # certificate bound becomes the (t_out+1)-th bound, so thin margins
+    # escalate more — sweep per corpus. Clamped to >= max requested k + 4.
+    select_t_out: int = 0
     # coarse prepass (pallas + int8 + exact only): first scan computes
     # cosine + recency with the keyword term bounded per query by
     # 0.2*min(1, sum_w + bias); the certificate still guarantees exactness

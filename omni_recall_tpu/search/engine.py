@@ -499,10 +499,14 @@ class RecallEngine:
 
         # t_out must cover the largest requested k with phase-2 headroom;
         # round up to a power of two to bound the jit-shape variety
-        t_out = max(
-            32, getattr(self.options, "rescore_phase1_refined", 12) + 4,
-            max_k + 8,
-        )
+        t_base = getattr(self.options, "select_t_out", 0)
+        if t_base:
+            t_out = max(t_base, max_k + 4)
+        else:
+            t_out = max(
+                32, getattr(self.options, "rescore_phase1_refined", 12) + 4,
+                max_k + 8,
+            )
         t_out = 1 << (t_out - 1).bit_length()
         if (
             getattr(self.options, "direct_select", False)
