@@ -1792,14 +1792,20 @@ def bench_10m_serving(
     # cluster assignment; losses fail the certificate (counted, not hidden)
     sub = int(os.environ.get("OMNI_BENCH_10M_SUB", 1024))
     t = int(os.environ.get("OMNI_BENCH_10M_T", 2))
-    block = int(os.environ.get("OMNI_BENCH_10M_SERVE_BLOCK", 1024))
+    # block 2048 (not 1024): the kernel's [nblocks, B, n_sub*(t+1)] output
+    # pads its tiny last dim to 128 lanes, so HBM cost scales with nblocks
+    # — at block=1024 the padded output alone is 2x4.4 GB and the program
+    # exceeds HBM next to the 8.2 GB index (measured OOM)
+    block = int(os.environ.get("OMNI_BENCH_10M_SERVE_BLOCK", 2048))
 
     key = jax.random.PRNGKey(77)
     centers = jax.random.normal(key, (n_clusters, d), dtype=jnp.float32)
     centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
 
-    @ft.partial(jax.jit, donate_argnums=(0, 1))
-    def fill(emb8, scale, centers, key, start):
+    wb = 512 // 8
+
+    @ft.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def fill(emb8, scale, bloom, centers, key, start):
         cid = jax.random.randint(key, (slab,), 0, n_clusters)
         noise = jax.random.normal(
             jax.random.fold_in(key, 1), (slab, d), dtype=jnp.float32
@@ -1812,8 +1818,21 @@ def bench_10m_serving(
         q8 = jnp.clip(
             jnp.round(f / (absmax / 127.0)), -127, 127
         ).astype(jnp.int8)
+        # bloom generated per slab (a whole-index jax.random.bits holds
+        # ~5 GB of PRNG temporaries next to the 7.6 GB index: OOM)
+        bl = (
+            jax.random.bits(
+                jax.random.fold_in(key, 2), (slab, wb), dtype=jnp.uint8
+            )
+            & jax.random.bits(
+                jax.random.fold_in(key, 3), (slab, wb), dtype=jnp.uint8
+            )
+        )
         upd = jax.lax.dynamic_update_slice
-        return upd(emb8, q8, (start, 0)), upd(scale, s, (start,))
+        return (
+            upd(emb8, q8, (start, 0)), upd(scale, s, (start,)),
+            upd(bloom, bl, (start, 0)),
+        )
 
     # queries FIRST (cluster-center + noise, normalized — then frozen as
     # f32 and re-normalized in f64 on the host, the oracle's q_unit), so
@@ -1830,20 +1849,16 @@ def bench_10m_serving(
 
     emb8 = jnp.zeros((n, d), dtype=jnp.int8)
     scale = jnp.zeros((n,), dtype=jnp.float32)
-    for i in range(n // slab):
-        emb8, scale = fill(
-            emb8, scale, centers, jax.random.fold_in(key, 100 + i),
-            jnp.int32(i * slab),
-        )
-    del centers
     # bloom planes resident (0.6 GiB): the escalation path needs them, so
     # the capacity claim counts them even though the keyword-less serving
     # measurement below never reads them
-    wb = 512 // 8
-    bloom = (
-        jax.random.bits(jax.random.PRNGKey(8), (n, wb), dtype=jnp.uint8)
-        & jax.random.bits(jax.random.PRNGKey(9), (n, wb), dtype=jnp.uint8)
-    )
+    bloom = jnp.zeros((n, wb), dtype=jnp.uint8)
+    for i in range(n // slab):
+        emb8, scale, bloom = fill(
+            emb8, scale, bloom, centers, jax.random.fold_in(key, 100 + i),
+            jnp.int32(i * slab),
+        )
+    del centers
     created = jnp.linspace(0.0, 365.0, n, dtype=jnp.float32)
     valid = jnp.ones((n,), dtype=bool)
     add_row = make_add_row(created, valid, jnp.float32(365.0), jnp.int32(0))
