@@ -1,0 +1,218 @@
+"""Probe: can the scan kernels emit compact outputs without tile padding?
+
+The block kernels write (vals, idxs) as [nblocks, B, n_sub*t1] with a tiny
+last dim (2-12) that Mosaic pads to 128 lanes — 10-40x HBM write
+amplification (measured: 2x4.38 GB of padding at 10M/block=1024, ~805 MB
+per 1M serving batch, ~16% of the scan+merge time). Two candidate fixes:
+
+  P3  single packed-i32 output, same 3D layout (halves the waste: the
+      packed key encodes value AND lane; index reconstructs from column
+      position)
+  PF  single packed-i32 output, FLAT layout [B, nblocks*n_sub*t1] with a
+      (B, n_sub*t1) block at lane offset i*n_sub*t1 — NO padding, if
+      Mosaic accepts lane-unaligned output blocks
+
+This probe checks Mosaic accepts each layout and times a stripped scan
+(int8 dot + packed extraction) at 1M x 768, B=1536 against the current
+two-array emit.
+
+Run: PYTHONPATH=.:/root/.axon_site python -u tools/probe_keys_emit.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+
+import numpy as np
+
+import jax
+
+with contextlib.suppress(Exception):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("OMNI_JAX_CACHE", "/tmp/omni_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def packed_keys(scores, sub):
+    lmask = sub - 1
+    s_i = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    key_full = s_i ^ ((s_i >> 31) & jnp.int32(0x7FFFFFFF))
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, key_full.shape, 1)
+    return (key_full & jnp.int32(~lmask)) | (
+        lmask - (lane_c & jnp.int32(lmask))
+    )
+
+
+def extract_keys(scores, c, sub, t1):
+    b = scores.shape[0]
+    n_sub = c // sub
+    keys = packed_keys(scores, sub)
+    cols = []
+    for j in range(n_sub):
+        k = keys[:, j * sub : (j + 1) * sub]
+        for _ in range(t1 - 1):
+            kmax = jnp.max(k, axis=1, keepdims=True)
+            cols.append(kmax)
+            k = jnp.where(k == kmax, jnp.int32(-(2**31)), k)
+        cols.append(jnp.max(k, axis=1, keepdims=True))
+    return jnp.concatenate(cols, axis=1)  # [B, n_sub*t1] i32
+
+
+def make_kernels(n, d, b, c, sub, t1):
+    n_sub = c // sub
+    nb = n // c
+
+    def body_scores(emb_ref, q_ref, scale_ref, qs_ref):
+        dot = jax.lax.dot_general(
+            q_ref[:], emb_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        return dot * qs_ref[:] * scale_ref[:]
+
+    def kern_pair(emb_ref, q_ref, scale_ref, qs_ref, vals_ref, idxs_ref):
+        scores = body_scores(emb_ref, q_ref, scale_ref, qs_ref)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, sub), 1)
+        vcols, icols = [], []
+        base = pl.program_id(0) * c
+        for j in range(n_sub):
+            s = scores[:, j * sub : (j + 1) * sub]
+            for _ in range(t1 - 1):
+                v = jnp.max(s, axis=1, keepdims=True)
+                hit = jnp.where(s == v, lane, sub)
+                idx = jnp.min(hit, axis=1, keepdims=True)
+                vcols.append(v)
+                icols.append(idx + (base + j * sub))
+                s = jnp.where(lane == idx, -1e30, s)
+            vcols.append(jnp.max(s, axis=1, keepdims=True))
+            icols.append(jnp.full((b, 1), -2, jnp.int32))
+        vals_ref[0] = jnp.concatenate(vcols, axis=1)
+        idxs_ref[0] = jnp.concatenate(icols, axis=1)
+
+    def kern_p3(emb_ref, q_ref, scale_ref, qs_ref, keys_ref):
+        scores = body_scores(emb_ref, q_ref, scale_ref, qs_ref)
+        keys_ref[0] = extract_keys(scores, c, sub, t1)
+
+    def kern_pf(emb_ref, q_ref, scale_ref, qs_ref, keys_ref):
+        scores = body_scores(emb_ref, q_ref, scale_ref, qs_ref)
+        keys_ref[:] = extract_keys(scores, c, sub, t1)
+
+    common_in = [
+        pl.BlockSpec((c, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    pair = pl.pallas_call(
+        kern_pair, grid=(nb,), in_specs=common_in,
+        out_specs=(
+            pl.BlockSpec((1, b, n_sub * t1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, n_sub * t1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, b, n_sub * t1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, b, n_sub * t1), jnp.int32),
+        ),
+    )
+    p3 = pl.pallas_call(
+        kern_p3, grid=(nb,), in_specs=common_in,
+        out_specs=pl.BlockSpec((1, b, n_sub * t1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, b, n_sub * t1), jnp.int32),
+    )
+    pf = pl.pallas_call(
+        kern_pf, grid=(nb,), in_specs=common_in,
+        out_specs=pl.BlockSpec((b, n_sub * t1), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nb * n_sub * t1), jnp.int32),
+    )
+    return pair, p3, pf
+
+
+def time_mega(fn_scan, post, args, b, g=4, reps=2, label=""):
+    @jax.jit
+    def mega(carry, emb, q, scale, qs):
+        def step(c, _):
+            qs2 = qs + 1e-12 * c[:, None]
+            out = fn_scan(emb, q, scale, qs2)
+            return post(out), None
+        carry, _ = jax.lax.scan(step, carry, xs=None, length=g)
+        return carry
+
+    c = mega(jnp.zeros((b,), jnp.float32), *args)
+    _ = np.asarray(c[:2])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c = mega(c, *args)
+    _ = np.asarray(c[:2])
+    per = (time.perf_counter() - t0) / (g * reps) * 1000.0
+    print(f"{label:34s} {per:8.3f} ms/batch", flush=True)
+    return per
+
+
+def main() -> None:
+    n, d, b = 1 << 20, 768, 1536
+    c, sub, t1 = 2048, 1024, 2
+    key = jax.random.PRNGKey(0)
+    emb = jax.random.bits(key, (n, d), dtype=jnp.uint8).astype(jnp.int8)
+    scale = jnp.full((1, n), 1e-4, jnp.float32)
+    q = jax.random.bits(
+        jax.random.PRNGKey(1), (b, d), dtype=jnp.uint8
+    ).astype(jnp.int8)
+    qs = jnp.full((b, 1), 1e-4, jnp.float32)
+
+    pair, p3, pf = make_kernels(n, d, b, c, sub, t1)
+
+    # correctness: decoded P3/PF top-1 values upper-bound and track pair's
+    v0, i0 = pair(emb, q, scale, qs)
+    k3 = p3(emb, q, scale, qs)
+    lmask = sub - 1
+
+    def decode(kk):
+        y = kk | jnp.int32(lmask)
+        y = y ^ ((y >> 31) & jnp.int32(0x7FFFFFFF))
+        return jax.lax.bitcast_convert_type(y, jnp.float32)
+
+    dv = np.asarray(decode(k3))
+    v0n = np.asarray(v0)
+    assert (dv[:, :, 0] >= v0n.transpose(1, 0, 2)[:, :, 0].T[0] - 1e-6).all() if False else True
+    # value check: decoded >= true value, within sub ulps
+    diff = dv - np.asarray(v0).astype(np.float32)
+    assert (diff.reshape(-1) >= -1e-7).all(), diff.min()
+    print("P3 decode: sound upper bounds ok; max inflation",
+          float(diff.max()), flush=True)
+    try:
+        kf = pf(emb, q, scale, qs)
+        kf3 = np.asarray(kf).reshape(b, n // c, (c // sub) * t1)
+        assert np.array_equal(kf3, np.asarray(k3).transpose(1, 0, 2)), (
+            "PF flat layout values diverge from P3"
+        )
+        print("PF flat layout: compiles and matches P3", flush=True)
+        pf_ok = True
+    except Exception as e:
+        print(f"PF flat layout REJECTED: {type(e).__name__}: {e}"[:300],
+              flush=True)
+        pf_ok = False
+
+    args = (emb, q, scale, qs)
+    time_mega(pair, lambda o: o[0][:, 0, 0] * 1.0, args, b,
+              label="pair (vals+idxs, padded 3D)")
+    time_mega(p3, lambda o: o[:, 0, 0].astype(jnp.float32) * 1e-9, args, b,
+              label="P3  (packed keys, padded 3D)")
+    if pf_ok:
+        time_mega(pf, lambda o: o[:, 0].astype(jnp.float32) * 1e-9, args, b,
+                  label="PF  (packed keys, flat)")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,9 @@ sides on the real bench corpus:
 Run on the real chip:
   PYTHONPATH=.:/root/.axon_site python -u tools/sweep_serving_layout.py
 Knobs: SWEEP_N (default 1M), SWEEP_BT (1536), SWEEP_G (3 batches/config),
-SWEEP_CONFIGS ("1024,4;512,3;512,2;256,2;1024,3;1024,2").
+SWEEP_CONFIGS ("1024,4;512,3;512,2;256,2;1024,3;1024,2"),
+SWEEP_STAGE1=0 to skip the kernel-only stage (each config is a fresh
+remote compile; the engine stage is usually the question).
 """
 
 from __future__ import annotations
@@ -48,6 +50,10 @@ def main() -> None:
     from omni_recall_tpu.ops.merge import top_k_with_payload
     from omni_recall_tpu.ops.quantize import quantize_rows_int8
 
+    if os.environ.get("SWEEP_STAGE1", "1") != "1":
+        configs_s1 = []
+    else:
+        configs_s1 = configs
     # ---- stage 1: kernel-only scan+merge timing per layout ----
     print(f"== stage 1: kernel scan+merge at n={n}, bt={bt}, m={m}")
     key = jax.random.PRNGKey(0)
@@ -112,7 +118,7 @@ def main() -> None:
         return (time.perf_counter() - t0) / (4 * reps) * 1000.0
 
     kernel_ms = {}
-    for sub, t in configs:
+    for sub, t in configs_s1:
         try:
             ms = mega(sub, t)
         except Exception as e:  # layout unsupported (e.g. m > slices*t)
