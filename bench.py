@@ -425,6 +425,8 @@ _PROVENANCE = {
     "serve_device_qps": "measured: device megastep of the full serving "
                         "device stage (coarse scan + merge + refine/select "
                         "+ device-exact cosine)",
+    "serve_device_p50_ms": "measured: device megastep at the latency batch "
+                           "(full certified serving device stage)",
     "e2e_qps_tunnel": "measured: through the dev tunnel (transport-bound; "
                       "production rides PCIe at GB/s)",
     "e2e_qps_tunnel_pipelined": "measured: through the dev tunnel "
@@ -1189,10 +1191,46 @@ def st_serve_megastep(bench: Bench) -> dict:
         c = serve_mega(c, *args)
     _ = np.asarray(c[:2])
     per = (time.perf_counter() - t0) / (g_s * steps_s)
-    return {
-        "serve_device_ms_per_batch": round(per * 1000.0, 3),
-        "serve_device_qps": round(bt / per, 1),
-    }
+    bench.details.update(
+        serve_device_ms_per_batch=round(per * 1000.0, 3),
+        serve_device_qps=round(bt / per, 1),
+        serve_profile=(
+            f"direct_select(t_out={t_out})" if direct
+            else f"refine_select(r={min(r_w, 128)})"
+        ) + f" layout=({sub_c},{t_c})" + (" +DD" if raw_plane is not None
+                                          else ""),
+    )
+    bench.checkpoint()
+
+    # certified p50: the SAME full serving device stage at the latency
+    # batch (north star: p50 < 10 ms @ 1M) — one extra compile, skipped
+    # under budget pressure by the checkpoint above
+    b_lat = ctx["e2e_b"]
+    if os.environ.get("OMNI_BENCH_SERVE_LAT", "1") == "1" and b_lat < bt:
+        l_reqs = [make_requests(700 + gi, b_lat) for gi in range(g_s)]
+        ql = np.zeros((g_s, b_lat, d), dtype=np.float32)
+        wl = np.zeros((g_s, b_lat, bits), dtype=np.float32)
+        bl = np.zeros((g_s, b_lat), dtype=np.float32)
+        for gi, rs in enumerate(l_reqs):
+            for qi, (qtext, qemb, _) in enumerate(rs):
+                ql[gi, qi] = qemb
+                wl[gi, qi], bl[gi, qi] = hashing.query_bit_weights(
+                    oracle.query_terms(qtext), bits, dix.ngram,
+                    dix.bloom_hashes,
+                )
+        args_l = args[:10] + (
+            jnp.asarray(ql), jnp.asarray(wl), jnp.asarray(bl),
+        )
+        cl = serve_mega(jnp.zeros((b_lat,), dtype=jnp.float32), *args_l)
+        _ = np.asarray(cl[:2])
+        bench.checkpoint()
+        t0 = time.perf_counter()
+        for _i in range(steps_s):
+            cl = serve_mega(cl, *args_l)
+        _ = np.asarray(cl[:2])
+        per_l = (time.perf_counter() - t0) / (g_s * steps_s)
+        bench.details["serve_device_p50_ms"] = round(per_l * 1000.0, 3)
+        bench.details["serve_p50_batch"] = b_lat
 
 
 def st_e2e_sequential(bench: Bench) -> dict:

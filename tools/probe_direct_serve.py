@@ -29,7 +29,12 @@ from __future__ import annotations
 
 import contextlib
 import os
+import sys
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import numpy as np
 
@@ -134,7 +139,12 @@ def main() -> None:
             m=128, t=t, sub=sub,
         )
 
-    for sub, t in ((512, 2), (1024, 1), (512, 1)):
+    import ast as _ast
+
+    cfgs = _ast.literal_eval(
+        os.environ.get("PROBE_CONFIGS", "((1024, 2), (512, 2), (1024, 1))")
+    )
+    for sub, t in cfgs:
         label = f"(sub={sub}, t={t})"
 
         def s_body(c, e1, s1, er1, cr, va, qv, kv, bv):
