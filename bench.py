@@ -252,13 +252,23 @@ def build_e2e_engine(n: int, d: int, bits: int):
         # device-exact cosine serving (ops/exact_cos.py): the host streams
         # zero embedding bytes on certified queries; +d*4 bytes/row HBM
         device_exact_cos=dd_on,
-        # direct compact selection (default on since r4: +~35% serving
+        # direct compact selection (default on since r4: +45% serving
         # device rate on the 1M corpus, tools/probe_direct_serve.py;
         # certificate misses rescue through the refine path, which stays
-        # resident) + the serving extraction layout / selection width
+        # resident) + the serving extraction layout / selection width.
+        # (1024, 2) is the measured-best RESOLUTION-VIABLE layout at 1M
+        # (engine coarse/dd resolution 0.9978/0.9963, zero escalation
+        # rounds; (1024, 1) is faster but collapses on 64-row clusters —
+        # tools/sweep_serving_layout.py). Smaller corpora keep the
+        # engine's auto layout: at 64k rows (1024, 2) emits exactly m
+        # candidates and the loss margin vanishes.
         direct_select=os.environ.get("OMNI_BENCH_DIRECT", "1") == "1",
-        coarse_sub=int(os.environ.get("OMNI_BENCH_COARSE_SUB", 0)),
-        coarse_t=int(os.environ.get("OMNI_BENCH_COARSE_T", 0)),
+        coarse_sub=int(os.environ.get(
+            "OMNI_BENCH_COARSE_SUB", "1024" if n >= (1 << 20) else "0"
+        )),
+        coarse_t=int(os.environ.get(
+            "OMNI_BENCH_COARSE_T", "2" if n >= (1 << 20) else "0"
+        )),
         select_t_out=int(os.environ.get("OMNI_BENCH_T_OUT", 0)),
     )
     engine = RecallEngine(InMemoryIngestionStore(), options=opts)
@@ -366,7 +376,13 @@ def build_localq_engine(n: int, d: int, bits: int, opts):
             lq_client._forward(lq_client.params, ids))[: s1 - s0]
 
     _mark("e2e: localq index build")
-    lq_engine = RecallEngine(InMemoryIngestionStore(), options=opts)
+    # localq serves its OWN 64k corpus: keep the engine's AUTO extraction
+    # layout (the 1M-tuned (1024, 2) override emits exactly m candidates
+    # at 64 slices — zero loss margin)
+    import dataclasses as _dc
+
+    lq_opts = _dc.replace(opts, coarse_sub=0, coarse_t=0)
+    lq_engine = RecallEngine(InMemoryIngestionStore(), options=lq_opts)
     lq_dix = lq_engine.device_index
     lq_bloom = hashing.chunk_signatures_batch(
         [c.lower() for c in lq_contents],

@@ -78,21 +78,30 @@ def make_kernels(n, d, b, c, sub, t1):
         ).astype(jnp.float32)
         return dot * qs_ref[:] * scale_ref[:]
 
+    lmask = sub - 1
+
+    def decode_up(kmax):
+        y = kmax | jnp.int32(lmask)
+        y = y ^ ((y >> 31) & jnp.int32(0x7FFFFFFF))
+        return jax.lax.bitcast_convert_type(y, jnp.float32)
+
     def kern_pair(emb_ref, q_ref, scale_ref, qs_ref, vals_ref, idxs_ref):
+        # the PRODUCTION packed extraction (ops/pallas_scorer._extract_topt
+        # t1>=3 branch): packed-key rounds, decoded vals + global idx emit
         scores = body_scores(emb_ref, q_ref, scale_ref, qs_ref)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b, sub), 1)
-        vcols, icols = [], []
+        keys = packed_keys(scores, sub)
         base = pl.program_id(0) * c
+        vcols, icols = [], []
         for j in range(n_sub):
-            s = scores[:, j * sub : (j + 1) * sub]
+            k = keys[:, j * sub : (j + 1) * sub]
             for _ in range(t1 - 1):
-                v = jnp.max(s, axis=1, keepdims=True)
-                hit = jnp.where(s == v, lane, sub)
-                idx = jnp.min(hit, axis=1, keepdims=True)
-                vcols.append(v)
-                icols.append(idx + (base + j * sub))
-                s = jnp.where(lane == idx, -1e30, s)
-            vcols.append(jnp.max(s, axis=1, keepdims=True))
+                kmax = jnp.max(k, axis=1, keepdims=True)
+                vcols.append(decode_up(kmax))
+                icols.append(
+                    (lmask - (kmax & jnp.int32(lmask))) + (base + j * sub)
+                )
+                k = jnp.where(k == kmax, jnp.int32(-(2**31)), k)
+            vcols.append(decode_up(jnp.max(k, axis=1, keepdims=True)))
             icols.append(jnp.full((b, 1), -2, jnp.int32))
         vals_ref[0] = jnp.concatenate(vcols, axis=1)
         idxs_ref[0] = jnp.concatenate(icols, axis=1)
@@ -162,7 +171,12 @@ def time_mega(fn_scan, post, args, b, g=4, reps=2, label=""):
 
 def main() -> None:
     n, d, b = 1 << 20, 768, 1536
-    c, sub, t1 = 2048, 1024, 2
+    # block 1024: c=2048 at B=1536 exceeds scoped VMEM in this stripped
+    # harness (the production kernel fits there; its emb stream block specs
+    # differ) — the layout question (padded vs flat emit) is block-size
+    # independent, and block=1024 DOUBLES nblocks, making the padding
+    # delta easier to see
+    c, sub, t1 = 1024, 1024, 3
     key = jax.random.PRNGKey(0)
     emb = jax.random.bits(key, (n, d), dtype=jnp.uint8).astype(jnp.int8)
     scale = jnp.full((1, n), 1e-4, jnp.float32)
@@ -184,13 +198,9 @@ def main() -> None:
         return jax.lax.bitcast_convert_type(y, jnp.float32)
 
     dv = np.asarray(decode(k3))
-    v0n = np.asarray(v0)
-    assert (dv[:, :, 0] >= v0n.transpose(1, 0, 2)[:, :, 0].T[0] - 1e-6).all() if False else True
-    # value check: decoded >= true value, within sub ulps
-    diff = dv - np.asarray(v0).astype(np.float32)
-    assert (diff.reshape(-1) >= -1e-7).all(), diff.min()
-    print("P3 decode: sound upper bounds ok; max inflation",
-          float(diff.max()), flush=True)
+    # both paths decode the same packed keys: bit-identical values
+    assert np.array_equal(dv, np.asarray(v0)), "P3 decode != pair vals"
+    print("P3 decode: bit-identical to the pair emit", flush=True)
     try:
         kf = pf(emb, q, scale, qs)
         kf3 = np.asarray(kf).reshape(b, n // c, (c // sub) * t1)
