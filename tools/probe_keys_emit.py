@@ -185,11 +185,13 @@ def main() -> None:
     ).astype(jnp.int8)
     qs = jnp.full((b, 1), 1e-4, jnp.float32)
 
-    pair, p3, pf = make_kernels(n, d, b, c, sub, t1)
-
-    # correctness: decoded P3/PF top-1 values upper-bound and track pair's
-    v0, i0 = pair(emb, q, scale, qs)
-    k3 = p3(emb, q, scale, qs)
+    # correctness at n/8 (the padded pair outputs at full n are ~1.6 GB
+    # and crowd HBM next to the index during the timing phase)
+    n_c = n // 8
+    pair_c, p3_c, pf_c = make_kernels(n_c, d, b, c, sub, t1)
+    emb_c, scale_c = emb[:n_c], scale[:, :n_c]
+    v0, i0 = pair_c(emb_c, q, scale_c, qs)
+    k3 = p3_c(emb_c, q, scale_c, qs)
     lmask = sub - 1
 
     def decode(kk):
@@ -202,8 +204,8 @@ def main() -> None:
     assert np.array_equal(dv, np.asarray(v0)), "P3 decode != pair vals"
     print("P3 decode: bit-identical to the pair emit", flush=True)
     try:
-        kf = pf(emb, q, scale, qs)
-        kf3 = np.asarray(kf).reshape(b, n // c, (c // sub) * t1)
+        kf = pf_c(emb_c, q, scale_c, qs)
+        kf3 = np.asarray(kf).reshape(b, n_c // c, (c // sub) * t1)
         assert np.array_equal(kf3, np.asarray(k3).transpose(1, 0, 2)), (
             "PF flat layout values diverge from P3"
         )
@@ -214,6 +216,8 @@ def main() -> None:
               flush=True)
         pf_ok = False
 
+    del v0, i0, k3, emb_c, scale_c
+    pair, p3, pf = make_kernels(n, d, b, c, sub, t1)
     args = (emb, q, scale, qs)
     time_mega(pair, lambda o: o[0][:, 0, 0] * 1.0, args, b,
               label="pair (vals+idxs, padded 3D)")
