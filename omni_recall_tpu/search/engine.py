@@ -379,6 +379,25 @@ class RecallEngine:
         # executor (dispatcher thread advances the clock in
         # _dispatch_device_batch while the finalize worker records outcomes)
         self._coarse_gate_lock = threading.Lock()
+        # Adaptive DIRECT-SELECT gate (same shape as the coarse gate): the
+        # direct compact selection's certificate bound is the (t_out+1)-th
+        # SCAN bound — on corpora with fat cross-cluster similarity tails
+        # (measured: the localq trained-encoder corpus, resolution 0.47)
+        # it keeps failing and every batch pays the rescue; the refine
+        # path's tightened bounds resolve there. Track the rolling compact
+        # resolution under direct mode; fall back to the refine selection
+        # when it underperforms and re-probe periodically. Exactness is
+        # identical either way — this gates THROUGHPUT only.
+        self._direct_outcomes: list[int] = []
+        self._direct_skip_until = 0
+        self._direct_query_count = 0
+        # exponential re-probe backoff: a failed re-probe costs a
+        # rescue-heavy batch, so consecutive failures double the skip
+        # horizon (measured: a 2048-query horizon oscillated — one bad
+        # batch per ~1.3 good ones on the localq corpus); a healthy
+        # window resets it
+        self._direct_skip_h = 2048
+        self._last_select_direct: bool | None = None
         # Serializes index mutation (append/update/delete) against shadow
         # rebuild: the ingestion service shares this lock so a chunk upserted
         # to the store can never be appended to the OLD index after the
@@ -508,10 +527,19 @@ class RecallEngine:
                 max_k + 8,
             )
         t_out = 1 << (t_out - 1).bit_length()
-        if (
+        direct_opt = (
             getattr(self.options, "direct_select", False)
             and self._sharded_scorer is None
-        ):
+        )
+        # the adaptive gate falls back to the refine selection when the
+        # direct bounds keep missing — unless refine is impossible (no
+        # residual planes), where direct is the only compact path
+        use_direct = direct_opt and (
+            dev.emb2 is None or m > self._REFINE_MAX_M
+            or self._direct_gate_open()
+        )
+        self._last_select_direct = use_direct if direct_opt else None
+        if use_direct:
             # Engine:DirectSelect — compact slice straight from the scan
             # bounds, refine skipped (ops/refine.py direct_select_from_scan
             # docstring: same coverage contract, bound ~4e-3 looser; misses
@@ -732,6 +760,39 @@ class RecallEngine:
                 # distribution may change)
                 self._coarse_skip_until = self._coarse_query_count + 2048
                 self._coarse_outcomes = []
+
+    def _direct_gate_open(self) -> bool:
+        with self._coarse_gate_lock:
+            return self._direct_query_count >= self._direct_skip_until
+
+    def _direct_gate_advance(self, attempted: int) -> None:
+        with self._coarse_gate_lock:
+            self._direct_query_count += attempted
+
+    def _direct_gate_record(self, resolved: int, attempted: int) -> None:
+        """Compact-certificate outcomes under DIRECT selection: close the
+        gate (fall back to the refine selection) when the rolling
+        resolution drops below 0.9 — at that point >=10% of queries pay a
+        rescue round-trip, which costs more than refining every query."""
+        with self._coarse_gate_lock:
+            self._direct_query_count += attempted
+            self._direct_outcomes.extend(
+                [1] * resolved + [0] * (attempted - resolved)
+            )
+            if len(self._direct_outcomes) > 128:
+                self._direct_outcomes = self._direct_outcomes[-128:]
+            if (
+                len(self._direct_outcomes) >= 32
+                and sum(self._direct_outcomes)
+                / len(self._direct_outcomes) < 0.9
+            ):
+                self._direct_skip_until = (
+                    self._direct_query_count + self._direct_skip_h
+                )
+                self._direct_skip_h = min(self._direct_skip_h * 2, 1 << 18)
+                self._direct_outcomes = []
+            elif len(self._direct_outcomes) >= 32:
+                self._direct_skip_h = 2048  # healthy window: reset backoff
 
     def _select_coarse_scorer(self, m: int, n_rows_padded: int):
         """Cosine-only int8 prepass scorer (keyword capped per query), or
@@ -1648,6 +1709,11 @@ class RecallEngine:
                     dev, q_dev, w_dev, bias_dev, now_dev, c_vals, c_idxs,
                     m, max(ks), q_raw_dev=ctx.get("q_raw_dev"),
                 )
+                # which selection the direct gate chose for THIS batch (the
+                # finalize worker attributes compact-certificate outcomes
+                # to the gate; single dispatcher thread, so the read-after-
+                # call is race-free)
+                ctx["select_direct"] = self._last_select_direct
                 if sel is not None:
                     if dd_inline is not None:  # sharded: DD rode the dispatch
                         ctx["coarse_dd"] = dd_inline
@@ -2100,7 +2166,25 @@ class RecallEngine:
             )
             self.last_coarse_resolved = len(prepass) - len(unresolved)
             self.stats["coarse_resolved_total"] += self.last_coarse_resolved
-            self._coarse_gate_record(self.last_coarse_resolved, len(prepass))
+            if ctx.get("select_direct"):
+                # direct-selection misses must NOT poison the COARSE gate
+                # (the scan is fine — the looser (t_out+1)-th bound is what
+                # missed; measured: the coarse gate closed on direct misses
+                # and the engine abandoned the prepass entirely, 25x
+                # slower). Direct batches are neutral for the coarse gate
+                # and feed the direct gate instead.
+                self._coarse_gate_advance(len(prepass))
+                self._direct_gate_record(
+                    self.last_coarse_resolved, len(prepass)
+                )
+            else:
+                self._coarse_gate_record(
+                    self.last_coarse_resolved, len(prepass)
+                )
+                if ctx.get("select_direct") is False:
+                    # refine selection while the direct gate is closed:
+                    # advance its clock toward the re-probe horizon
+                    self._direct_gate_advance(len(prepass))
 
         def wide_rescue(full_key: str, scan_key: str) -> None:
             """Compact-prepass misses re-certified at the FULL scan width

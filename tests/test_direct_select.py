@@ -171,6 +171,29 @@ def test_direct_select_without_residual_planes():
     _assert_oracle_match(engine, oracle_engine, _requests(rng, vocab))
 
 
+def test_direct_gate_falls_back_to_refine_and_reprobes():
+    # the adaptive gate: on corpora where the direct bounds keep missing
+    # (rolling compact resolution < 0.9) the engine falls back to the
+    # refine selection, then re-probes direct after the horizon. Results
+    # are oracle-exact in every phase — the gate moves throughput only.
+    rng = random.Random(15)
+    engine, oracle_engine, vocab, _ = _build(rng, dd=True)
+    reqs = [
+        (" ".join(rng.choices(vocab, k=2)),
+         hash_embedder.embed_text(f"g{i}", DIM), 5)
+        for i in range(8)
+    ]
+    _assert_oracle_match(engine, oracle_engine, reqs)
+    assert engine._last_select_direct is True  # gate open: direct served
+    engine._direct_gate_record(0, 64)  # poison: a failing window
+    assert not engine._direct_gate_open()
+    _assert_oracle_match(engine, oracle_engine, reqs)
+    assert engine._last_select_direct is False  # refine selection served
+    engine._direct_gate_advance(4096)  # past the re-probe horizon
+    _assert_oracle_match(engine, oracle_engine, reqs)
+    assert engine._last_select_direct is True
+
+
 def test_direct_select_duplicate_rows_escalate_and_stay_exact():
     rng = random.Random(14)
     engine, oracle_engine, vocab, chunks = _build(rng, n=300, dup_pairs=6)
