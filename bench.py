@@ -2097,6 +2097,17 @@ def main() -> None:
         )
         bench.run("slice_for_sharded", st_slice_for_sharded, est=5,
                   deadline=60, gate=sharded_on)
+        # sharded + 10M run BEFORE the e2e engine build: both are
+        # device-side (fast, warm-cache friendly) while e2e_build is
+        # dominated by a ~3 GB raw-plane upload through the dev tunnel
+        # (60-250 s of pure transport) — on a tight day the unique
+        # capability proofs land first and the budget cuts from the
+        # host-measured tail instead
+        bench.run("sharded", st_sharded, est=60, deadline=300,
+                  gate=sharded_on and "sh" in ctx)
+        bench.run("bench_10m", st_10m, est=120, deadline=420,
+                  gate=not interp
+                  and os.environ.get("OMNI_BENCH_10M", "1") == "1")
         e2e_on = os.environ.get("OMNI_BENCH_E2E", "1") == "1" and not interp
         bench.run("e2e_build", st_e2e_build, est=100, deadline=420,
                   gate=e2e_on)
@@ -2116,14 +2127,6 @@ def main() -> None:
                   and os.environ.get("OMNI_BENCH_RESTORE", "1") == "1")
         bench.run("ingest", st_ingest, est=25, deadline=180, gate=built)
         bench.run("rebuild", st_rebuild, est=60, deadline=300, gate=built)
-        bench.run("sharded", st_sharded, est=60, deadline=300,
-                  gate=sharded_on and "sh" in ctx)
-        # 10M before localq: it frees the 1M engine planes (localq builds
-        # its own small engine afterwards); sharded must precede it (the
-        # kept scan-array slice is freed here too)
-        bench.run("bench_10m", st_10m, est=120, deadline=420,
-                  gate=not interp
-                  and os.environ.get("OMNI_BENCH_10M", "1") == "1")
         bench.run("localq", st_localq, est=130, deadline=420,
                   gate=built
                   and os.environ.get("OMNI_BENCH_LOCALQ", "1") == "1")
