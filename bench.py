@@ -2115,19 +2115,23 @@ def main() -> None:
         dd_on = built and getattr(ctx["opts"], "device_exact_cos", False)
         bench.run("serve_megastep", st_serve_megastep, est=50, deadline=300,
                   gate=built)
-        bench.run("e2e_sequential", st_e2e_sequential, est=45, deadline=300,
+        bench.run("e2e_sequential", st_e2e_sequential, est=30, deadline=300,
                   gate=built)
-        bench.run("e2e_pipelined", st_e2e_pipelined, est=45, deadline=300,
+        # the cheap host stages directly follow: the certified headline's
+        # projection needs host_rescore_pruned_qps + host_kw_rescore_qps
+        # (warm cost ~1-3 s each — a stale 40 s estimate once skipped them
+        # and the headline silently degraded to the scan metric)
+        bench.run("host_dd", st_dd_host, est=8, deadline=120, gate=dd_on)
+        bench.run("host_rescore", st_host_rescore, est=8, deadline=240,
                   gate=built)
-        bench.run("host_dd", st_dd_host, est=15, deadline=120, gate=dd_on)
-        bench.run("host_rescore", st_host_rescore, est=40, deadline=240,
+        bench.run("e2e_pipelined", st_e2e_pipelined, est=40, deadline=300,
                   gate=built)
         bench.run("restore", st_restore, est=60, deadline=300,
                   gate=built
                   and os.environ.get("OMNI_BENCH_RESTORE", "1") == "1")
-        bench.run("ingest", st_ingest, est=25, deadline=180, gate=built)
-        bench.run("rebuild", st_rebuild, est=60, deadline=300, gate=built)
-        bench.run("localq", st_localq, est=130, deadline=420,
+        bench.run("ingest", st_ingest, est=30, deadline=180, gate=built)
+        bench.run("rebuild", st_rebuild, est=40, deadline=300, gate=built)
+        bench.run("localq", st_localq, est=90, deadline=420,
                   gate=built
                   and os.environ.get("OMNI_BENCH_LOCALQ", "1") == "1")
     except Exception as e:  # a required stage failed
