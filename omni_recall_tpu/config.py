@@ -266,6 +266,17 @@ class EngineOptions:
     # refine gather + kernel (the serving stage's second-largest device
     # cost) per batch.
     direct_select: bool = False
+    # packed single-i32 kernel emit for the coarse scan (bit-identical
+    # decode outside the kernel, pinned by tests/test_pallas_scorer.py):
+    # the pair (vals, idxs) outputs pad their tiny last dim to 128 lanes —
+    # 10-40x HBM write amplification (~2 ms per 1M serving batch); the key
+    # emit halves it. Auto-falls back to the pair emit when the packed
+    # extraction's shape conditions don't hold. DEFAULT OFF: the keys
+    # kernel has not yet been compiled on real silicon (the dev tunnel's
+    # remote-compile service was failing all fresh large Pallas compiles
+    # with RESOURCE_EXHAUSTED when this landed) — flip on after one
+    # successful on-chip run.
+    packed_emit: bool = False
     # compact-selection width override (0 = auto, 32): smaller slices cut
     # the DD raw-plane gather and the host keyword width per query; the
     # certificate bound becomes the (t_out+1)-th bound, so thin margins

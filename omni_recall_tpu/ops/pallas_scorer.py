@@ -296,6 +296,80 @@ def _make_topt_kernel_int8_coarse(t1: int, c: int, sub: int):
     return kernel
 
 
+def _make_topt_kernel_int8_coarse_keys(t1: int, c: int, sub: int):
+    """Packed-emit variant of the coarse kernel: ONE i32 output holding
+    the raw packed keys of the _extract_topt packed path (value bits with
+    the low log2(sub) bits replaced by the inverted lane). The pair
+    kernel's (vals, idxs) outputs pad their tiny [*, n_sub*t1] last dim to
+    128 lanes — 10-40x HBM write amplification (~805 MB per 1M serving
+    batch, measured ~2 ms); the single-key emit halves it, and the caller
+    decodes value + global index in XLA (_decode_keys) BIT-IDENTICALLY to
+    the in-kernel decode (same decode_up / lane arithmetic, so the
+    soundness note in _extract_topt applies verbatim). Requires the packed
+    path's conditions: power-of-two ``sub`` and t1 >= 3."""
+    assert sub & (sub - 1) == 0 and t1 >= 3
+
+    def kernel(emb_ref, q_ref, add_row_ref, scale_row_ref, q_scale_ref,
+               q_bias_ref, keys_ref):
+        cosd = jax.lax.dot_general(
+            q_ref[:], emb_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # [B, C]
+        scores = (
+            cosd * q_scale_ref[:] * scale_row_ref[:]
+            + add_row_ref[:]
+            + q_bias_ref[:]
+            + PALLAS_CERT_EPS_INT8
+        )
+        b = scores.shape[0]
+        n_sub = c // sub
+        lmask = sub - 1
+        s_i = jax.lax.bitcast_convert_type(scores, jnp.int32)
+        key_full = s_i ^ ((s_i >> 31) & jnp.int32(0x7FFFFFFF))
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, key_full.shape, 1)
+        keys = (key_full & jnp.int32(~lmask)) | (
+            lmask - (lane_c & jnp.int32(lmask))
+        )
+        cols = []
+        for j in range(n_sub):
+            k = keys[:, j * sub : (j + 1) * sub]
+            for _ in range(t1 - 1):
+                kmax = jnp.max(k, axis=1, keepdims=True)
+                cols.append(kmax)
+                k = jnp.where(k == kmax, jnp.int32(-(2**31)), k)
+            cols.append(jnp.max(k, axis=1, keepdims=True))  # slice bound
+        keys_ref[0] = jnp.concatenate(cols, axis=1)
+
+    return kernel
+
+
+def _decode_keys(keys: jax.Array, sub: int, t1: int):
+    """Decode the packed-key emit to the pair kernels' (vals, idxs)
+    contract — [B, slices, t1] each, idx -2 on bound entries — with
+    EXACTLY the packed path's decode (decode_up forces lane bits to 1:
+    sound upper bounds inflated < sub ulps; index = inverted low bits +
+    the slice's global base). keys: [nblocks, B, n_sub*t1] i32."""
+    nblocks, b, nt = keys.shape
+    n_sub = nt // t1
+    lmask = sub - 1
+    y = keys | jnp.int32(lmask)
+    y = y ^ ((y >> 31) & jnp.int32(0x7FFFFFFF))
+    vals = jax.lax.bitcast_convert_type(y, jnp.float32)
+    lane = lmask - (keys & jnp.int32(lmask))
+    # global base of column (i, s): i*c + (s // t1)*sub; bound entries
+    # (s % t1 == t1-1) carry idx -2 (never read by the merge)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (nblocks, b, nt), 2)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (nblocks, b, nt), 0)
+    base = blk * (n_sub * sub) + (slot // t1) * sub
+    idxs = jnp.where(
+        slot % t1 == t1 - 1, jnp.int32(-2), base + lane
+    )
+    vals = jnp.transpose(vals, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
+    idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(b, nblocks * n_sub, t1)
+    return vals, idxs
+
+
 def _make_topt_kernel_kw_only(t1: int, c: int, sub: int):
     """Bloom-only scan for keyword-only queries (empty query embedding):
     their cosine term is EXACTLY 0 (RecallSearchService.cs:70-71), so
@@ -405,7 +479,9 @@ def score_topm_kw_only(
     return _merge_topm(vals, idxs, m)
 
 
-@functools.partial(jax.jit, static_argnames=("t", "sub", "interpret", "block"))
+@functools.partial(jax.jit, static_argnames=(
+    "t", "sub", "interpret", "block", "emit_keys",
+))
 def block_topt_int8_coarse(
     emb8: jax.Array,        # i8 [N, d]
     q8: jax.Array,          # i8 [B, d]
@@ -417,6 +493,7 @@ def block_topt_int8_coarse(
     sub: int = 512,
     interpret: bool = False,
     block: int | None = None,
+    emit_keys: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Coarse (keyword-capped) int8 scan. Same output contract as
     block_topt_int8; every emitted value/bound is a sound upper bound on the
@@ -449,6 +526,33 @@ def block_topt_int8_coarse(
     # VPU reads from the same VMEM ports the extraction already saturates,
     # so deferring the dependency only added traffic. tools/probe_pipe.py
     # keeps the prototype + the measurement-artifact note.
+    if emit_keys and sub & (sub - 1) == 0 and t1 >= 3:
+        # single packed-i32 emit + XLA decode (_decode_keys): halves the
+        # kernel's padded output writes, bit-identical results
+        keys = pl.pallas_call(
+            _make_topt_kernel_int8_coarse_keys(t1, c, sub),
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((c, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, b, n_sub * t1), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((nblocks, b, n_sub * t1), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * b * d,
+                bytes_accessed=n * d + b * nblocks * n_sub * t1 * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(emb8, q8, add_row, scale_row, q_scale, q_bias)
+        return _decode_keys(keys, sub, t1)
     kernel = pl.pallas_call(
         _make_topt_kernel_int8_coarse(t1, c, sub),
         grid=(nblocks,),
@@ -770,7 +874,9 @@ def quantize_queries_int8(q: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array
     return q8, q_scale, eq
 
 
-@functools.partial(jax.jit, static_argnames=("m", "t", "sub", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "m", "t", "sub", "interpret", "emit_keys",
+))
 def score_topm_int8_coarse(
     emb8: jax.Array,         # i8[N, d]
     scale_row: jax.Array,    # f32[N]
@@ -786,6 +892,7 @@ def score_topm_int8_coarse(
     t: int = 8,
     sub: int = 512,
     interpret: bool = False,
+    emit_keys: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Coarse int8 scan: cosine + recency computed, keyword bounded by
     0.2 * min(1, sum(weights) + bias) per query (a sound upper bound on the
@@ -799,6 +906,6 @@ def score_topm_int8_coarse(
 
     vals, idxs = block_topt_int8_coarse(
         emb8, q8, add_row, scale_row[None, :], q_scale, q_bias,
-        t=t, sub=sub, interpret=interpret,
+        t=t, sub=sub, interpret=interpret, emit_keys=emit_keys,
     )
     return _merge_topm(vals, idxs, m)

@@ -856,6 +856,11 @@ class RecallEngine:
                 dev.emb, dev.scale, dev.err, dev.created, dev.valid,
                 q, w, bias, now_days, r0, m=m, t=t, sub=sub,
                 interpret=interpret,
+                # packed single-i32 emit (halves the kernel's padded
+                # output writes; bit-identical decode). The kernel falls
+                # back to the pair emit when the packed-path shape
+                # conditions don't hold (t < 2 or non-pow2 sub).
+                emit_keys=getattr(self.options, "packed_emit", False),
             )
         return coarse
 

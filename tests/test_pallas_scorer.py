@@ -258,3 +258,54 @@ def test_certificate_detects_concurrent_embedding_update():
     expected = oracle_engine.search(query, q_emb, 5, now=NOW)
     assert [h.chunk.id for h in hits] == [h.chunk.id for h in expected]
     assert hits[0].chunk.id == target.id
+
+
+def test_packed_key_emit_bit_identical_to_pair_emit():
+    """The packed single-i32 emit (emit_keys=True) + XLA decode must be
+    BIT-identical to the pair kernels' (vals, idxs) for every entry —
+    candidates, bounds, masked rows — across windows and invalid rows
+    (the decode runs the same decode_up/lane arithmetic the pair kernel
+    runs in-kernel)."""
+    from omni_recall_tpu.ops.quantize import quantize_rows_int8
+
+    rng = np.random.default_rng(11)
+    n, b = 1024, 8
+    emb, bloom, created, valid, q, kw_w, kw_b = _random_inputs(rng, n, b=b)
+    q8, scale, err = quantize_rows_int8(emb)
+    for sub, t, r0 in ((64, 2, 0), (128, 3, 137), (256, 4, 0)):
+        pair = pallas_scorer.score_topm_int8_coarse(
+            jnp.asarray(q8), jnp.asarray(scale), jnp.asarray(err),
+            jnp.asarray(created), jnp.asarray(valid), jnp.asarray(q),
+            jnp.asarray(kw_w), jnp.asarray(kw_b),
+            jnp.float32(100.0), jnp.int32(r0), m=16, t=t, sub=sub,
+            interpret=True, emit_keys=False,
+        )
+        keys = pallas_scorer.score_topm_int8_coarse(
+            jnp.asarray(q8), jnp.asarray(scale), jnp.asarray(err),
+            jnp.asarray(created), jnp.asarray(valid), jnp.asarray(q),
+            jnp.asarray(kw_w), jnp.asarray(kw_b),
+            jnp.float32(100.0), jnp.int32(r0), m=16, t=t, sub=sub,
+            interpret=True, emit_keys=True,
+        )
+        pv, pi = map(np.asarray, pair)
+        kv, ki = map(np.asarray, keys)
+        assert np.array_equal(pv, kv), (sub, t)
+        assert np.array_equal(pi, ki), (sub, t)
+    # non-pow2-compatible shapes (t=1 -> t1=2) silently fall back to the
+    # pair emit: same results by construction
+    a = pallas_scorer.score_topm_int8_coarse(
+        jnp.asarray(q8), jnp.asarray(scale), jnp.asarray(err),
+        jnp.asarray(created), jnp.asarray(valid), jnp.asarray(q),
+        jnp.asarray(kw_w), jnp.asarray(kw_b),
+        jnp.float32(100.0), jnp.int32(0), m=8, t=1, sub=128,
+        interpret=True, emit_keys=True,
+    )
+    b_ = pallas_scorer.score_topm_int8_coarse(
+        jnp.asarray(q8), jnp.asarray(scale), jnp.asarray(err),
+        jnp.asarray(created), jnp.asarray(valid), jnp.asarray(q),
+        jnp.asarray(kw_w), jnp.asarray(kw_b),
+        jnp.float32(100.0), jnp.int32(0), m=8, t=1, sub=128,
+        interpret=True, emit_keys=False,
+    )
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b_[0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b_[1]))
