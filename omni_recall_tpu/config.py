@@ -269,13 +269,13 @@ class EngineOptions:
     # packed single-i32 kernel emit for the coarse scan (bit-identical
     # decode outside the kernel, pinned by tests/test_pallas_scorer.py):
     # the pair (vals, idxs) outputs pad their tiny last dim to 128 lanes —
-    # 10-40x HBM write amplification (~2 ms per 1M serving batch); the key
-    # emit halves it. Auto-falls back to the pair emit when the packed
-    # extraction's shape conditions don't hold. DEFAULT OFF: the keys
-    # kernel has not yet been compiled on real silicon (the dev tunnel's
-    # remote-compile service was failing all fresh large Pallas compiles
-    # with RESOURCE_EXHAUSTED when this landed) — flip on after one
-    # successful on-chip run.
+    # 10-40x HBM write amplification — and the key emit halves it. MEASURED
+    # SLOWER on chip and kept OFF: 18.0 vs 15.3 ms/batch at the (1024, 2)
+    # 1M serving layout (tools/probe_direct_serve.py SK row) — the XLA-side
+    # decode (bitcast + iota + transpose over [B, slices, t1]) costs more
+    # than the padded tile writes save, so the padding is NOT the
+    # bottleneck it reads as. Kept as a knob because the balance may flip
+    # on hardware with different HBM-write/VPU ratios.
     packed_emit: bool = False
     # compact-selection width override (0 = auto, 32): smaller slices cut
     # the DD raw-plane gather and the host keyword width per query; the

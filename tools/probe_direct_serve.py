@@ -156,6 +156,19 @@ def main() -> None:
         t_s = mega(s_body, jnp.zeros((bt,), jnp.float32), args_s, g, reps,
                    f"S  scan+merge {label}")
 
+        def sk_body(c, e1, s1, er1, cr, va, qv, kv, bv):
+            # packed single-i32 emit (Engine:PackedEmit): halves the
+            # kernel's padded output writes; bit-identical decode
+            qd = qv + 1e-12 * c[:, None]
+            v, i = ps.score_topm_int8_coarse(
+                e1, s1, er1, cr, va, qd, kv, bv, nowd, r0,
+                m=128, t=t, sub=sub, emit_keys=True,
+            )
+            return v[:, 0] + i[:, 0].astype(jnp.float32) * 1e-9
+
+        mega(sk_body, jnp.zeros((bt,), jnp.float32), args_s, g, reps,
+             f"SK scan+merge packed-emit {label}")
+
         def a_body(c, e1, s1, er1, e2, s2, er2, bl, cr, va, rw, qv, kv, bv):
             qd = qv + 1e-12 * c[:, None]
             v, i = scan(sub, t, e1, s1, er1, cr, va, qd, kv, bv)
