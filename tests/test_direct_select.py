@@ -203,3 +203,30 @@ def test_direct_select_duplicate_rows_escalate_and_stay_exact():
     ]
     _assert_oracle_match(engine, oracle_engine, requests)
     assert engine.stats["dd_escalations_total"] > 0
+
+
+def test_select_t_out_override_clamps_and_applies():
+    # Engine:SelectTOut narrows the compact slice; it must clamp to cover
+    # the requested k (+headroom) and stay oracle-exact
+    rng = random.Random(16)
+    engine, oracle_engine, vocab, _ = _build(rng, dd=True)
+    engine.options.select_t_out = 8
+    reqs = [
+        (" ".join(rng.choices(vocab, k=2)),
+         hash_embedder.embed_text(f"t{i}", DIM), 10)
+        for i in range(6)
+    ]
+    _assert_oracle_match(engine, oracle_engine, reqs)
+    # max_k=10 -> clamp to >= 14 -> pow2 16 (not the raw 8)
+    from omni_recall_tpu.ops import refine as refine_mod
+
+    sel, _ = engine._refine_select_call(
+        engine.device_index.device_arrays(),
+        None, None, None, None,
+        __import__("jax.numpy", fromlist=["zeros"]).zeros((2, 17)),
+        __import__("jax.numpy", fromlist=["zeros"]).zeros(
+            (2, 17), dtype="int32"
+        ),
+        m=16, max_k=10,
+    )
+    assert sel[0].shape[1] == 15  # min(t_out=16, m-1=15)
