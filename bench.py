@@ -53,6 +53,11 @@ import time
 with contextlib.suppress(Exception):
     ctypes.CDLL(None).prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE
 
+# ONE budget default shared by the supervisor parent and the child Bench
+# (ADVICE r4: they disagreed — 450 vs 500 — so an env-less run could be
+# SIGKILLed while still inside its own budget). CLAUDE.md documents 480.
+_BUDGET_DEFAULT_S = "480"
+
 
 def _supervise() -> int:
     """Run the bench in a CHILD process; guarantee the artifact from here.
@@ -72,7 +77,7 @@ def _supervise() -> int:
     import subprocess
     import threading
 
-    budget = float(os.environ.get("OMNI_BENCH_BUDGET_S", "450"))
+    budget = float(os.environ.get("OMNI_BENCH_BUDGET_S", _BUDGET_DEFAULT_S))
     hard = float(os.environ.get(
         "OMNI_BENCH_HARD_EXIT_S",
         str(budget + 90.0 if budget > 0 else 0.0),
@@ -525,7 +530,9 @@ class Bench:
         self._lock = threading.Lock()
         self._stage = None
         self._stage_deadline = None
-        self.budget = float(os.environ.get("OMNI_BENCH_BUDGET_S", "500"))
+        self.budget = float(
+            os.environ.get("OMNI_BENCH_BUDGET_S", _BUDGET_DEFAULT_S)
+        )
         hard_default = self.budget + 90.0 if self.budget > 0 else 0.0
         hard = float(
             os.environ.get("OMNI_BENCH_HARD_EXIT_S", str(hard_default))
@@ -1203,7 +1210,7 @@ def st_serve_megastep(bench: Bench) -> dict:
                 rows, ubs, bound = refine_mod.refine_select_from_scan(
                     emb8, scale, emb2, scale2, err2, bloom, created, valid,
                     qv, wv, biasv, jnp.float32(365.0), vals, idxs,
-                    r=min(r_w, 128),
+                    t_out=t_out, r=min(r_w, 128),
                 )
             new_c = (
                 ubs[:, 0] + rows[:, 0].astype(jnp.float32) * 1e-9 + bound

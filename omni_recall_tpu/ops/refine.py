@@ -231,9 +231,10 @@ def direct_select_from_scan(vals_full, idxs_full, t_out: int):
     certificate bound ~4e-3 looser (scan bounds carry the int8
     quantization slack and the coarse keyword cap that refine would have
     tightened). On corpora whose kth exact score clears that slack the
-    certificate resolves identically; misses rescue through the refine
-    path (engine wide rescue), so exactness is never at risk — only
-    throughput. Also the only compact path for indexes built WITHOUT
+    certificate resolves identically; misses re-certify at the full scan
+    width (the engine's wide rescue, scan bounds only) and then the
+    refine-assisted rescue-scan loop, so exactness is never at risk —
+    only throughput. Also the only compact path for indexes built WITHOUT
     residual planes (DeviceIndex(refine=False), e.g. the 10M single-chip
     capacity config where the second int8 plane would not fit HBM)."""
     b, m1 = vals_full.shape

@@ -1678,6 +1678,12 @@ class RecallEngine:
                     dev, q_dev, w_dev, bias_dev, now_dev, k_vals, k_idxs,
                     m, max(ks),
                 )
+                # which selection the direct gate chose for the kw batch:
+                # its compact outcomes feed the direct gate too (ADVICE r4:
+                # a kw-heavy workload whose direct bounds keep missing
+                # previously paid the rescue round-trip every batch with no
+                # adaptive fallback)
+                ctx["kw_select_direct"] = self._last_select_direct
                 if sel is not None:
                     ctx["kw_dd"] = chain_dd(sel, zero=True)
                     _start_host_copies(sel)
@@ -2162,6 +2168,15 @@ class RecallEngine:
             self.stats["kw_only_resolved_total"] += (
                 len(kw_only) - len(unresolved)
             )
+            # kw-only compact outcomes feed the direct gate exactly like
+            # coarse-prepass ones (never the coarse gate — kw batches did
+            # not run the coarse scan)
+            if ctx.get("kw_select_direct"):
+                self._direct_gate_record(
+                    len(kw_only) - len(unresolved), len(kw_only)
+                )
+            elif ctx.get("kw_select_direct") is False:
+                self._direct_gate_advance(len(kw_only))
 
         # Coarse prepass results (dispatched in _dispatch_device_batch)
         self.last_coarse_resolved = 0
