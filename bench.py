@@ -8,10 +8,13 @@ keyword rescore — over a 1M x 768 HBM-resident index with batched queries,
 the workload defined by BASELINE.json's north star (>=100k QPS, p50 < 10 ms
 at 1M chunks on one v5e chip).
 
-Staged, self-reporting protocol (VERDICT r3 #1/#7/#8): the bench runs a list
-of stages and prints the CUMULATIVE headline JSON line after EVERY completed
-stage — the driver parses the last complete line of stdout, so a timeout
-mid-stage can no longer erase the round's evidence. A global wall-clock
+Staged, self-reporting protocol (VERDICT r3 #1/#7/#8 + r4 #1): the bench
+runs a list of stages and prints TWO cumulative JSON lines after EVERY
+completed stage — the full details line (also mirrored to BENCH_LOCAL.json)
+followed by a compact digest line hard-capped under the driver's 2000-char
+tail capture. The driver parses the last complete line of stdout, so a
+timeout mid-stage can no longer erase the round's evidence, and the final
+line can no longer outgrow the capture. A global wall-clock
 budget (OMNI_BENCH_BUDGET_S, default 450 s; 0 = unlimited) is checked
 between stages (the remainder is skipped and annotated in
 details.stages_skipped); each stage carries its own deadline (a watchdog
@@ -57,6 +60,90 @@ with contextlib.suppress(Exception):
 # (ADVICE r4: they disagreed — 450 vs 500 — so an env-less run could be
 # SIGKILLed while still inside its own budget). CLAUDE.md documents 480.
 _BUDGET_DEFAULT_S = "480"
+
+# ---------------------------------------------------------------------------
+# Driver capture contract (VERDICT r4 #1). The driver records only the LAST
+# complete stdout line, captured from a 2000-char tail — BENCH_r03/r04 both
+# lost the round's headline because the single cumulative line (headline +
+# full details) outgrew that tail and the capture started mid-key. The
+# protocol is therefore two lines per emission:
+#   1. the FULL cumulative details line (penultimate; also written to
+#      BENCH_LOCAL.json next to this file), for humans and the judge;
+#   2. a COMPACT digest line (final; hard-capped well under the tail) that
+#      carries the headline plus the key figures — what the driver parses.
+# _compact_result is defined BEFORE the jax import so the no-jax supervisor
+# can re-compact + patch whatever line it captured when it must kill a
+# wedged child. It is idempotent: compacting a compact line is a no-op-
+# shaped re-selection.
+# ---------------------------------------------------------------------------
+
+_COMPACT_CAP = 1400  # hard cap on len(json.dumps(compact line)); tested
+
+# digest keys in priority order — later entries are dropped first when the
+# cap binds (on a full run everything here fits)
+_DIGEST_PRIORITY = (
+    "serve_device_qps", "serve_device_ms_per_batch", "serve_device_p50_ms",
+    "e2e_qps_projected_dd_pipelined", "e2e_qps_tunnel_pipelined",
+    "host_kw_rescore_qps", "host_rescore_pruned_qps",
+    "dd_resolved_frac", "e2e_coarse_resolved_frac_pipelined",
+    "scan_qps", "full_fused_scan_qps", "kw_only_scan_qps",
+    "serve_profile", "serve_p50_batch",
+    "p50_batch_latency_ms", "latency_config_qps",
+    "transport_bytes_per_batch", "transport_mb_s",
+    "e2e_qps_transport_bound", "transport_unexplained_frac",
+    "restore_chunks_per_s", "restore_host_chunks_per_s",
+    "ingest_chunks_per_s", "rebuild_chunks_per_s",
+    "e2e_qps_tunnel_localq", "e2e_qps_projected",
+    "e2e_qps_projected_pipelined", "sharded_1dev_scan_ms",
+    "elapsed_s", "hard_exit_at_s",
+)
+
+_CONFIG_10M_KEYS = (
+    "n_chunks", "serve_qps", "serve_certified_frac", "serve_scan_select_ms",
+    "serve_hybrid", "serve_kw_frac", "qps", "serve_t_out",
+)
+
+
+def _compact_result(res: dict) -> dict:
+    """Digest a full cumulative result into the driver-parseable final line
+    (< _COMPACT_CAP chars serialized): headline fields verbatim, details
+    reduced to the key figures in priority order."""
+    d = res.get("details", {}) or {}
+    out = {
+        k: res[k]
+        for k in ("metric", "value", "unit", "vs_baseline")
+        if k in res
+    }
+    if isinstance(res.get("secondary"), dict):
+        out["secondary"] = {
+            k: res["secondary"][k]
+            for k in ("metric", "value", "vs_baseline")
+            if k in res["secondary"]
+        }
+    dig: dict = {}
+    out["details"] = dig
+    items: list = [(k, d[k]) for k in _DIGEST_PRIORITY if k in d]
+    cfg = d.get("config_10m")
+    if isinstance(cfg, dict):
+        items.append((
+            "config_10m",
+            {k: cfg[k] for k in _CONFIG_10M_KEYS if k in cfg},
+        ))
+    for meta_k, cap in (("stages_skipped", 48), ("stage_errors", 64)):
+        if isinstance(d.get(meta_k), dict) and d[meta_k]:
+            items.append((
+                meta_k, {k: str(v)[:cap] for k, v in d[meta_k].items()}
+            ))
+    if d.get("supervisor"):
+        items.append(("supervisor", str(d["supervisor"])[:140]))
+    if isinstance(d.get("stage_timings_s"), dict):
+        items.append(("stage_timings_s", d["stage_timings_s"]))
+    dig["full_details"] = "penultimate stdout line + BENCH_LOCAL.json"
+    for k, v in items:
+        dig[k] = v
+        if len(json.dumps(out)) > _COMPACT_CAP:
+            del dig[k]
+    return out
 
 
 def _supervise() -> int:
@@ -113,7 +200,10 @@ def _supervise() -> int:
         print(line, end="", flush=True)
     # hard deadline: the child is wedged (likely inside a GIL-holding
     # tunnel call). Kill it and make the TAIL line a complete, annotated
-    # artifact — the driver keeps the last complete stdout line.
+    # artifact — the driver keeps the last complete stdout line. The
+    # captured line may be either a compact digest (normal) or a full
+    # details line (killed between the pair); re-compacting is idempotent
+    # and guarantees the patched line stays under the driver's tail.
     proc.kill()
     try:
         res = _json.loads(last) if last else None
@@ -127,7 +217,7 @@ def _supervise() -> int:
         f"hard deadline {hard:.0f}s: child killed mid-run (in-process "
         "watchdogs starved — wedged native call holding the GIL)"
     )
-    print(_json.dumps(res), flush=True)
+    print(_json.dumps(_compact_result(res)), flush=True)
     return 0
 
 
@@ -644,8 +734,22 @@ class Bench:
         return res
 
     def emit(self) -> None:
+        """Two-line emission (VERDICT r4 #1): the FULL cumulative details
+        line (penultimate; mirrored to BENCH_LOCAL.json), then the COMPACT
+        digest line the driver parses — hard-capped under its tail capture
+        so the headline can never again be cut off mid-key."""
         with self._lock:
-            print(json.dumps(self.result()), flush=True)
+            res = self.result()
+            full = json.dumps(res)
+            print(full, flush=True)
+            with contextlib.suppress(Exception):
+                path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_LOCAL.json",
+                )
+                with open(path, "w") as f:
+                    f.write(full + "\n")
+            print(json.dumps(_compact_result(res)), flush=True)
 
     def _hard_exit(self) -> None:
         # last-resort artifact guarantee: a stage wedged inside an
@@ -1459,10 +1563,19 @@ def st_host_rescore(bench: Bench) -> None:
 def st_restore(bench: Bench) -> None:
     """Snapshot save/restore (index/snapshot.py v3): derived arrays persist,
     restore is mmap + adopt + sampled integrity + upload — no re-hash, no
-    re-quantization."""
+    re-quantization.
+
+    Budget discipline (VERDICT r4 #2: this stage overran its deadline and
+    got shot by the supervisor in r4 — ~200 s of tunnel upload with no
+    abort point inside a trial): the full-index upload ticks
+    bench.checkpoint() at every ~64 MB slab boundary (DeviceIndex
+    UPLOAD_TICK), the default corpus is halved (131k rows ≈ 0.65 GB of
+    planes with the DD raw plane), and the second best-of trial runs only
+    if the first trial's measured cost fits the remaining budget."""
     import shutil
     import tempfile
 
+    from omni_recall_tpu.index import device_index as dix_mod
     from omni_recall_tpu.index.records import DocumentRecord
     from omni_recall_tpu.index.snapshot import (
         load_snapshot_full,
@@ -1475,13 +1588,14 @@ def st_restore(bench: Bench) -> None:
     ctx = bench.ctx
     engine, opts = ctx["engine"], ctx["opts"]
     meta = engine.bench_corpus["meta"]
-    n_res = min(ctx["e2e_n"], int(os.environ.get("OMNI_BENCH_RESTORE_N", 1 << 18)))
+    n_res = min(ctx["e2e_n"], int(os.environ.get("OMNI_BENCH_RESTORE_N", 1 << 17)))
     st = InMemoryIngestionStore()
     st.upsert_document(DocumentRecord(
         id="synthetic", file_name="s.txt", chunk_count=n_res
     ))
     st.upsert_chunks(meta[:n_res])
     tmp = tempfile.mkdtemp(dir=os.environ.get("OMNI_BENCH_TMP", None))
+    dix_mod.UPLOAD_TICK = bench.checkpoint
     try:
         t0 = time.perf_counter()
         save_snapshot(st, tmp, device_index=engine.device_index)
@@ -1498,10 +1612,11 @@ def st_restore(bench: Bench) -> None:
             return sum(jnp.ravel(a)[0].astype(jnp.float32) for a in arrs)
 
         best_idx = best_e2e = best_host = 0.0
-        # two trials, best kept: the tunnel's upload throughput varies run
-        # to run (measured 0.4s..10s for the same 0.5 GB upload) and the
+        # up to two trials, best kept: the tunnel's upload throughput varies
+        # run to run (measured 0.4s..10s for the same 0.5 GB upload) and the
         # first trial additionally pays cold disk cache
-        for _ in range(2):
+        for trial in range(2):
+            t_trial0 = time.perf_counter()
             t0 = time.perf_counter()
             store2, aux = load_snapshot_full(tmp)
             t_load = time.perf_counter() - t0
@@ -1538,7 +1653,15 @@ def st_restore(bench: Bench) -> None:
                 restore_e2e_chunks_per_s=round(best_e2e, 1),
             )
             bench.checkpoint()
+            # adaptive second trial: figures exist; run it only when its
+            # measured cost (trial 1, + slack) fits the remaining budget —
+            # a clean break, not a checkpoint abort
+            t_trial = time.perf_counter() - t_trial0
+            if trial == 0 and bench.remaining() < 1.3 * t_trial:
+                bench.details["restore_trials"] = 1
+                break
     finally:
+        dix_mod.UPLOAD_TICK = None
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -2176,10 +2299,14 @@ def main() -> None:
                   gate=built)
         bench.run("e2e_pipelined", st_e2e_pipelined, est=40, deadline=300,
                   gate=built)
-        bench.run("restore", st_restore, est=60, deadline=300,
+        # cheap host-side ingest lands BEFORE the tunnel-heavy restore
+        # (VERDICT r4 #2: restore overran in r4 and everything after it
+        # went unmeasured); restore's estimate is honest about its ~0.65 GB
+        # of tunnel upload per trial so the budget gate can pre-skip it
+        bench.run("ingest", st_ingest, est=30, deadline=180, gate=built)
+        bench.run("restore", st_restore, est=120, deadline=300,
                   gate=built
                   and os.environ.get("OMNI_BENCH_RESTORE", "1") == "1")
-        bench.run("ingest", st_ingest, est=30, deadline=180, gate=built)
         bench.run("rebuild", st_rebuild, est=40, deadline=300, gate=built)
         bench.run("localq", st_localq, est=90, deadline=420,
                   gate=built

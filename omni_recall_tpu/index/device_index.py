@@ -91,8 +91,18 @@ def _set_slab_donated(dev: jax.Array, slab: jax.Array, start: jax.Array) -> jax.
 # full uploads above this size go through _upload_slabbed
 _SLAB_UPLOAD_BYTES = 256 << 20
 
+# Optional per-slab tick for _upload_slabbed, called between slab transfers
+# (no arguments). Long full-index uploads through the dev tunnel run at
+# ~10-50 MB/s, so a multi-GB restore can spend minutes inside ONE
+# device_arrays() call; a deadline-aware caller (bench.py st_restore) sets
+# this to its checkpoint function so the upload can abort cleanly at a slab
+# boundary instead of overrunning its budget. Exceptions propagate to the
+# device_arrays() caller; the index is left device-dirty but host-intact
+# (the next device_arrays() re-derives).
+UPLOAD_TICK = None
 
-def _upload_slabbed(host: np.ndarray) -> jax.Array:
+
+def _upload_slabbed(host: np.ndarray, slab_bytes: int = 64 << 20) -> jax.Array:
     """Upload a large host array in ~64 MB slabs assembled on device.
 
     ``jnp.asarray`` on a multi-GB array allocates a same-sized fresh host
@@ -104,11 +114,13 @@ def _upload_slabbed(host: np.ndarray) -> jax.Array:
     O(slab) instead of O(total)."""
     rows = host.shape[0]
     row_bytes = max(1, int(np.prod(host.shape[1:], dtype=np.int64)) * host.itemsize)
-    slab = max(1024, (64 << 20) // row_bytes)
+    slab = max(1 if slab_bytes < (64 << 20) else 1024, slab_bytes // row_bytes)
     if rows <= slab:
         return jnp.asarray(host)
     dev = jnp.zeros(host.shape, dtype=host.dtype)
     for i in range(0, rows, slab):
+        if UPLOAD_TICK is not None:
+            UPLOAD_TICK()
         piece = jnp.asarray(np.ascontiguousarray(host[i : i + slab]))
         dev = _set_slab_donated(dev, piece, jnp.int32(i))
     return dev

@@ -48,25 +48,78 @@ def _run(env_extra: dict, timeout: int = 240):
 def test_cumulative_emission_every_stage():
     proc, parsed = _run({})
     assert proc.returncode == 0, proc.stderr[-2000:]
-    # one line per completed/skipped-with-emit stage: at least the four
-    # CPU-smoke stages (setup + 3 scans) plus the final emit
-    assert len(parsed) >= 4
+    # two lines (full + compact) per completed/skipped-with-emit stage: at
+    # least the four CPU-smoke stages (setup + 3 scans) plus the final emit
+    assert len(parsed) >= 8
     # every line is a complete, self-contained artifact with the headline
     for res in parsed:
         assert {"metric", "value", "unit", "vs_baseline", "details"} <= set(res)
+    # FINAL line: the compact driver-parseable digest (VERDICT r4 #1) —
+    # the r4 artifact was lost because the full line outgrew the driver's
+    # 2000-char tail capture
+    raw_lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(raw_lines[-1]) < 1500, len(raw_lines[-1])
     last = parsed[-1]
     assert last["metric"] == "hybrid_search_device_scan_qps_1m_chunks"
     assert last["value"] > 0
     d = last["details"]
     assert d["scan_qps"] == last["value"]
     assert "stage_timings_s" in d and "setup_scan" in d["stage_timings_s"]
-    # provenance hygiene (VERDICT r3 #8): the scan figure is labeled as the
-    # upper-bound scan, not a full search
-    assert "scan_qps" in d["provenance"]
-    assert "NOT a full search" in d["provenance"]["scan_qps"]
+    assert "full_details" in d  # pointer to the full artifact
+    # PENULTIMATE line: the full cumulative details (with provenance —
+    # VERDICT r3 #8: the scan figure is labeled as the upper-bound scan)
+    full = parsed[-2]
+    fd = full["details"]
+    assert "scan_qps" in fd["provenance"]
+    assert "NOT a full search" in fd["provenance"]["scan_qps"]
+    # ...and the same full line is mirrored to BENCH_LOCAL.json
+    with open(os.path.join(REPO, "BENCH_LOCAL.json")) as f:
+        local = json.loads(f.read())
+    assert local["metric"] == full["metric"]
+    assert "provenance" in local["details"]
     # intermediate lines are prefixes: the scan headline appears before the
-    # final line too (stage-by-stage accumulation, not one big print)
-    assert any("scan_qps" in p["details"] for p in parsed[:-1])
+    # final pair too (stage-by-stage accumulation, not one big print)
+    assert any("scan_qps" in p["details"] for p in parsed[:-2])
+
+
+def test_compact_line_capped_with_fat_details():
+    # the digest must stay under the cap no matter how many figures and
+    # how verbose the skip/error annotations get — the r4 failure mode
+    import bench
+
+    details = {k: 123456.789 for k in bench._DIGEST_PRIORITY}
+    details.update(
+        {f"extra_metric_{i}": 1e9 + i for i in range(200)},
+        config_10m={k: 0.123456 for k in bench._CONFIG_10M_KEYS},
+        stages_skipped={f"stage_{i}": "x" * 400 for i in range(20)},
+        stage_errors={f"stage_{i}": "y" * 400 for i in range(20)},
+        supervisor="z" * 1000,
+        stage_timings_s={f"stage_{i}": 99.9 for i in range(20)},
+        provenance={f"k{i}": "p" * 200 for i in range(40)},
+    )
+    res = {
+        "metric": "certified_search_qps_1m_chunks", "value": 83093.2,
+        "unit": "qps", "vs_baseline": 0.8309,
+        "note": "n" * 500,
+        "secondary": {
+            "metric": "hybrid_search_device_scan_qps_1m_chunks",
+            "value": 180000.0, "vs_baseline": 1.8,
+            "padding": "s" * 300,
+        },
+        "details": details,
+    }
+    line = json.dumps(bench._compact_result(res))
+    assert len(line) < 1500, len(line)
+    out = json.loads(line)
+    # headline fields verbatim; top-priority figures survive the cap
+    assert out["metric"] == res["metric"] and out["value"] == res["value"]
+    assert out["secondary"]["value"] == 180000.0
+    assert out["details"]["serve_device_qps"] == 123456.789
+    assert out["details"]["e2e_qps_projected_dd_pipelined"] == 123456.789
+    # idempotent: re-compacting a compact line keeps the cap and headline
+    line2 = json.dumps(bench._compact_result(out))
+    assert len(line2) < 1500
+    assert json.loads(line2)["value"] == res["value"]
 
 
 def test_wedged_stage_degrades_to_skip_annotate():
@@ -108,6 +161,9 @@ def _run_supervised(wedge_mode: str):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    # the supervisor-patched tail line must ALSO respect the driver's
+    # capture cap (VERDICT r4 #1: every tier, including this one)
+    assert len(lines[-1]) < 1500, len(lines[-1])
     last = json.loads(lines[-1])
     return last, last["details"]
 
