@@ -556,6 +556,18 @@ _PROVENANCE = {
     "rebuild_host_chunks_per_s": "measured: host side in isolation "
                                  "(the portable figure)",
     "ingest_chunks_per_s": "measured: host append path",
+    "transport_up_mb_s": "measured: 16 MB host->device probe, best of 3",
+    "transport_down_mb_s": "measured: 16 MB device->host probe, best of 3",
+    "transport_bytes_per_batch": "accounted: serving-path array shapes "
+                                 "(raw f32 query + sparse kw up; compact "
+                                 "selection + DD triple down)",
+    "e2e_qps_transport_bound": "derived: accounted bytes / measured tunnel "
+                               "bandwidth (production PCIe makes this "
+                               "negligible)",
+    "e2e_qps_projected_transport_adjusted": "derived: min(projection, "
+                                            "transport bound)",
+    "transport_unexplained_frac": "derived: 1 - measured_pipelined / "
+                                  "transport-adjusted projection",
     "e2e_qps_projected": "projected: serial compose of measured stage rates",
     "e2e_qps_projected_pipelined": "projected: slowest measured stage",
     "e2e_qps_projected_unpruned": "projected: serial compose of measured "
@@ -1475,6 +1487,97 @@ def st_e2e_pipelined(bench: Bench) -> None:
         bench.checkpoint()
 
 
+def st_transport(bench: Bench) -> dict:
+    """Transport accounting for the projection gap (VERDICT r4 #5): the
+    certified headline is a projection (min of measured device and host
+    stage rates, assuming overlap), while the measured tunnel-pipelined
+    rate runs ~4x lower. Decompose that gap: measure the dev tunnel's
+    upload and readback bandwidth with best-of reps, account the serving
+    path's actual per-batch transfer bytes from its array shapes, and
+    report the implied transport-bound QPS plus the fraction of the gap
+    transport does NOT explain. Production rides PCIe at GB/s, where the
+    same accounting makes transport negligible."""
+    ctx = bench.ctx
+    d, bt = ctx["d"], ctx["bt"]
+    opts = ctx["opts"]
+    t_out = max(getattr(opts, "select_t_out", 0) or 32, 16)
+
+    # measured tunnel bandwidth, 16 MB payloads, best of 3 (the tunnel
+    # stalls for seconds at a time; a single rep can be 10x off)
+    probe = np.random.default_rng(0).random((1 << 22,), dtype=np.float32)
+    up_bw = down_bw = 0.0
+    dev_probe = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev_probe = jnp.asarray(probe)
+        _ = float(dev_probe[0])  # force the transfer to land
+        up_bw = max(up_bw, probe.nbytes / (time.perf_counter() - t0))
+        bench.checkpoint()
+    for _ in range(3):
+        t0 = time.perf_counter()
+        host_back = np.asarray(dev_probe)
+        down_bw = max(down_bw, host_back.nbytes / (time.perf_counter() - t0))
+        bench.checkpoint()
+    del dev_probe
+
+    # per-query transfer bytes on the DD direct serving path (shapes from
+    # the dispatch in search/engine.py): upload = raw f32 query row + inverse
+    # norm + bias + sparse keyword (idx i32 + val f32, ~16 terms); readback
+    # = compact selection (rows i32 + ubs f32, t_out each; bound f32) + the
+    # DD triple (3 x t_out f32)
+    # per-dispatch RPC round-trip: every device call and every device_get
+    # through the tunnel pays this regardless of payload (measured ~2-6 ms)
+    @jax.jit
+    def _tiny(x):
+        return x + 1.0
+
+    tiny = jnp.zeros((8,), dtype=jnp.float32)
+    _ = float(_tiny(tiny)[0])  # compile
+    rtt = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(_tiny(tiny)[0])
+        rtt = min(rtt, time.perf_counter() - t0)
+        bench.checkpoint()
+
+    kw_terms = 16
+    up_q = d * 4 + 4 + 4 + kw_terms * 8
+    down_q = t_out * 4 * 2 + 4 + t_out * 4 * 3
+    bytes_batch = bt * (up_q + down_q)
+    # blocking round trips per batch on the DD direct path: dispatches and
+    # uploads are ASYNC (they pipeline inside the tunnel), so only the two
+    # batched device_get readbacks (selection triple, DD triple) pay the
+    # full RTT (search/engine.py finalize)
+    n_rpc = 2
+    # conservative serial up+down compose (the tunnel does not overlap
+    # directions reliably); per-query transport cost + amortized RPC
+    cost_q = (
+        up_q / max(up_bw, 1.0) + down_q / max(down_bw, 1.0)
+        + n_rpc * rtt / bt
+    )
+    transport_qps = 1.0 / cost_q
+    out = {
+        "transport_up_mb_s": round(up_bw / 1e6, 1),
+        "transport_down_mb_s": round(down_bw / 1e6, 1),
+        "transport_mb_s": round(min(up_bw, down_bw) / 1e6, 1),
+        "transport_rtt_ms": round(rtt * 1000.0, 2),
+        "transport_bytes_per_batch": bytes_batch,
+        "transport_bytes_per_query": up_q + down_q,
+        "e2e_qps_transport_bound": round(transport_qps, 1),
+    }
+    # decomposition: projection adjusted for measured transport vs the
+    # measured pipelined rate; the residual is the unexplained fraction
+    proj = _projections(bench.details).get("e2e_qps_projected_dd_pipelined")
+    meas = bench.details.get("e2e_qps_tunnel_pipelined")
+    if proj and meas:
+        adjusted = min(proj, transport_qps)
+        out["e2e_qps_projected_transport_adjusted"] = round(adjusted, 1)
+        out["transport_unexplained_frac"] = round(
+            max(0.0, 1.0 - meas / adjusted), 4
+        )
+    return out
+
+
 def st_dd_host(bench: Bench) -> dict:
     """DD-mode host stage: keyword-only rescore (zero embedding bytes) at
     the device-selection width — the host's whole per-pair work when the
@@ -2298,6 +2401,8 @@ def main() -> None:
         bench.run("host_rescore", st_host_rescore, est=8, deadline=240,
                   gate=built)
         bench.run("e2e_pipelined", st_e2e_pipelined, est=40, deadline=300,
+                  gate=built)
+        bench.run("transport", st_transport, est=10, deadline=120,
                   gate=built)
         # cheap host-side ingest lands BEFORE the tunnel-heavy restore
         # (VERDICT r4 #2: restore overran in r4 and everything after it
