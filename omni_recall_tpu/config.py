@@ -166,6 +166,11 @@ class EmbeddingsOptions:
     # certificate escalations materialize the rows lazily
     # (search/engine.py attach_device_embedder)
     device_query: bool = True
+    # default optimization steps for POST /api/documents/train (the
+    # inverse-cloze self-supervised fine-tune over the ingested corpus,
+    # models/finetune.py; a request body {"steps": N} overrides). 300 is
+    # the real-corpus campaign setting that reaches recall@10 ~0.96.
+    train_steps: int = 300
 
 
 @dataclass

@@ -143,6 +143,22 @@ class ReindexDocumentResponse:
     reindexed_at_utc: datetime
 
 
+@dataclass(frozen=True)
+class TrainEncoderResponse:
+    """POST /api/documents/train result (new TPU scope: the corpus-trained
+    local encoder; the reference has no trainable provider). Counters
+    aggregate the per-document reindex that re-embeds the corpus with the
+    freshly trained encoder."""
+
+    document_count: int
+    chunk_count: int
+    embedded_count: int
+    failed_count: int
+    steps: int
+    model: str
+    trained_at_utc: datetime
+
+
 # --- Health (HealthDtos.cs:3-12) ---
 
 @dataclass(frozen=True)

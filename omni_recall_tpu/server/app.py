@@ -257,6 +257,7 @@ class OmniRecallApp(WsgiApp):
         router.add("GET", "/api/documents/{document_id}/chunks", self._get_document_chunks)
         router.add("DELETE", "/api/documents/{document_id}", self._delete_document)
         router.add("POST", "/api/documents/{document_id}/reindex", self._reindex_document)
+        router.add("POST", "/api/documents/train", self._train_embedder)
         router.add("POST", "/api/recall/search", self._search_recall)
         router.add("POST", "/api/chat", self._complete_chat)
         router.add("GET", "/health", self._health)
@@ -354,6 +355,38 @@ class OmniRecallApp(WsgiApp):
         result = self.ingestion_service.reindex_document(request.path_params["document_id"])
         if result is None:
             return Response.error("Document not found.", 404)
+        return Response.json(result)
+
+    def _train_embedder(self, request: Request) -> Response:
+        """POST /api/documents/train: fine-tune the local encoder on the
+        ingested corpus and re-embed everything (ingest/service.py
+        train_embedder). Admin route, synchronous — the fine-tune takes
+        seconds to minutes depending on steps x corpus size."""
+        try:
+            payload = request.json() or {}
+        except ValueError:
+            return Response.error("Invalid JSON body.")
+        if not isinstance(payload, dict):
+            return Response.error("Request body must be a JSON object.")
+        steps = payload.get("steps", self.config.embeddings.train_steps)
+        seed = payload.get("seed", 0)
+        if not isinstance(steps, int) or isinstance(steps, bool) or steps <= 0:
+            return Response.error("steps must be a positive integer.")
+        if not isinstance(seed, int) or isinstance(seed, bool):
+            return Response.error("seed must be an integer.")
+        try:
+            result = self.ingestion_service.train_embedder(
+                steps=steps, seed=seed
+            )
+        except IngestionError as exc:
+            return Response.error(str(exc))
+        if result is None:
+            return Response.problem(
+                "Embedding provider is not trainable.",
+                "POST /api/documents/train requires "
+                "Embeddings:Provider=Local (the on-device encoder).",
+                409,
+            )
         return Response.json(result)
 
     # -- recall (RecallEndpoints.cs:20-30) --

@@ -49,6 +49,7 @@ def build_openapi_document() -> dict:
             },
             "/api/documents/{documentId}/chunks": {"parameters": [doc_id_param], "get": {"tags": ["Documents"], "responses": {"200": {"description": "OK"}, "404": {"description": "Not Found"}}}},
             "/api/documents/{documentId}/reindex": {"parameters": [doc_id_param], "post": {"tags": ["Documents"], "responses": {"200": {"description": "OK"}, "404": {"description": "Not Found"}}}},
+            "/api/documents/train": {"post": {"tags": ["Documents"], "summary": "Fine-tune the local encoder on the ingested corpus and re-embed it", "responses": {"200": {"description": "OK"}, "400": {"description": "Bad Request"}, "409": {"description": "Conflict (provider not trainable)"}}}},
             "/api/recall/search": {"post": {"tags": ["Recall"], "requestBody": body("RecallSearchRequestDto"), "responses": {"200": ok("RecallSearchResponseDto"), "400": {"description": "Bad Request"}}}},
             "/api/chat": {"post": {"tags": ["Chat"], "requestBody": body("ChatRequestDto"), "responses": {"200": ok("ChatResponseDto"), "400": {"description": "Bad Request"}, "503": {"description": "Service Unavailable"}}}},
             "/health": {"get": {"tags": ["Health"], "responses": {"200": {"description": "OK"}, "503": {"description": "Service Unavailable"}}}},
