@@ -99,8 +99,11 @@ _DIGEST_PRIORITY = (
 )
 
 _CONFIG_10M_KEYS = (
-    "n_chunks", "serve_qps", "serve_certified_frac", "serve_scan_select_ms",
-    "serve_hybrid", "serve_kw_frac", "qps", "serve_t_out",
+    "n_chunks", "serve_hybrid", "serve_kw_frac", "e2e_qps_projected_10m",
+    "e2e_qps_tunnel_10m", "e2e_batch_ms_10m", "coarse_resolved_frac",
+    "host_fallbacks", "serve_device_qps", "serve_device_ms_per_batch",
+    "host_rescore_qps_10m", "qps", "scan_ms", "host_store_bytes",
+    "build_host_s",
 )
 
 
@@ -582,6 +585,18 @@ def _projections(d: dict) -> dict:
     """Production e2e projections from the measured stage rates (pure math,
     recomputed at every emission from whatever figures exist so far)."""
     out = {}
+    # 10M restore/rebuild/ingest: linear projections from the measured
+    # per-chunk host rates (serving at 10M is MEASURED — config_10m)
+    cfg = d.get("config_10m")
+    if isinstance(cfg, dict) and cfg.get("n_chunks"):
+        n10 = cfg["n_chunks"]
+        for src, dst in (
+            ("restore_host_chunks_per_s", "restore_host_s_projected_10m"),
+            ("rebuild_host_chunks_per_s", "rebuild_host_s_projected_10m"),
+            ("ingest_chunks_per_s", "ingest_s_projected_10m"),
+        ):
+            if d.get(src):
+                out[dst] = round(n10 / d[src], 1)
     scan_qps = d.get("scan_qps")
     r = d.get("host_rescore_pruned_qps")
     if not r:
@@ -855,108 +870,6 @@ class Bench:
             self.skipped.pop(name, None)
         self.emit()
 
-
-
-def bench_10m(
-    b: int | None = None, d: int = 768, bits: int = 512,
-    sub: int | None = None, block: int | None = None,
-) -> dict:
-    """10M-chunk single-chip scan (BASELINE.json configs[4] capacity proof):
-    int8 storage (7.5 GiB) + bloom (0.6 GiB) fit one v5e HBM. Data is
-    generated slab-wise ON DEVICE into donated buffers — the dev tunnel
-    uploads host arrays at ~10-50 MB/s, so a host-side 8 GiB upload would
-    take >10 minutes; device-side generation takes seconds."""
-    import functools as ft
-
-    # swept optimum (tools/sweep_10m.py): B=896/sub=1024/block=2048 =
-    # 12.4k QPS (84% of the 14.7k int8-TOPS ceiling at 10M x 768) with the
-    # FULL index resident (incl. the bloom planes the escalation path
-    # needs). B=1536 reaches 12.7k but only fits this chip's free HBM with
-    # bloom/err dropped; B=448 is the latency config (37.6 ms/scan).
-    b = b or int(os.environ.get("OMNI_BENCH_10M_B", 896))
-    n = 10 * (1 << 20)
-    slab = 1 << 20
-    w = bits // 8
-
-    from omni_recall_tpu.ops import merge, pallas_scorer
-
-    @ft.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def fill_slab(emb8, scale, err, bloom, key, start):
-        f = jax.random.normal(key, (slab, d), dtype=jnp.float32)
-        f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
-        absmax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
-        s = (absmax / 127.0)[:, 0]
-        q = jnp.clip(jnp.round(f / (absmax / 127.0)), -127, 127).astype(jnp.int8)
-        e = jnp.linalg.norm(f - q.astype(jnp.float32) * s[:, None], axis=1) * 1.000001
-        bl = (
-            jax.random.bits(key, (slab, w), dtype=jnp.uint8)
-            & jax.random.bits(jax.random.fold_in(key, 1), (slab, w), dtype=jnp.uint8)
-        )
-        emb8 = jax.lax.dynamic_update_slice(emb8, q, (start, 0))
-        scale = jax.lax.dynamic_update_slice(scale, s, (start,))
-        err = jax.lax.dynamic_update_slice(err, e, (start,))
-        bloom = jax.lax.dynamic_update_slice(bloom, bl, (start, 0))
-        return emb8, scale, err, bloom
-
-    emb8 = jnp.zeros((n, d), dtype=jnp.int8)
-    scale = jnp.zeros((n,), dtype=jnp.float32)
-    err = jnp.zeros((n,), dtype=jnp.float32)
-    bloom = jnp.zeros((n, w), dtype=jnp.uint8)
-    key = jax.random.PRNGKey(42)
-    for i in range(n // slab):
-        emb8, scale, err, bloom = fill_slab(
-            emb8, scale, err, bloom, jax.random.fold_in(key, i), jnp.int32(i * slab)
-        )
-    created = jnp.linspace(0.0, 365.0, n, dtype=jnp.float32)
-    valid = jnp.ones((n,), dtype=bool)
-    add_row = pallas_scorer.make_add_row(
-        created, valid, jnp.float32(365.0), jnp.int32(0)
-    )
-
-    g, steps, m = 4, 2, 128
-
-    q_all = jax.random.normal(jax.random.PRNGKey(7), (g, b, d), dtype=jnp.float32)
-    q_all = q_all / jnp.linalg.norm(q_all, axis=-1, keepdims=True)
-
-    @jax.jit
-    def megastep(carry, emb8, scale, add_row, q_all):
-        def body(c, q):
-            q = q + 1e-12 * c[:, None]
-            q8, q_scale, eq = pallas_scorer.quantize_queries_int8(q)
-            q_bias = 0.7 * eq + 0.2
-            vals, idxs = pallas_scorer.block_topt_int8_coarse(
-                emb8, q8, add_row, scale[None, :], q_scale, q_bias,
-                t=1,
-                sub=sub or int(os.environ.get("OMNI_BENCH_10M_SUB", 1024)),
-                block=block or int(os.environ.get("OMNI_BENCH_10M_BLOCK", 2048)),
-            )
-            bb, nb, t1 = vals.shape
-            cand_v = vals[:, :, : t1 - 1].reshape(bb, -1)
-            cand_i = idxs[:, :, : t1 - 1].reshape(bb, -1)
-            top_v, top_i = merge.top_k_with_payload(cand_v, cand_i, m)
-            return top_v[:, 0] + top_i[:, 0].astype(jnp.float32) * 1e-9, None
-        carry, _ = jax.lax.scan(body, carry, q_all)
-        return carry
-
-    carry = jnp.zeros((b,), dtype=jnp.float32)
-    carry = megastep(carry, emb8, scale, add_row, q_all)
-    _ = np.asarray(carry[:2])
-    start = time.perf_counter()
-    c = carry
-    for _ in range(steps):
-        c = megastep(c, emb8, scale, add_row, q_all)
-    _ = np.asarray(c[:2])
-    elapsed = time.perf_counter() - start
-    scans = g * steps
-    return {
-        "n_chunks": n,
-        "scan_ms": round(elapsed / scans * 1000.0, 3),
-        "qps": round(b * scans / elapsed, 1),
-        "hbm_bytes_index": n * d + n * w + n * 8,
-        "note": "single-chip 10M int8 coarse scan; the 8-shard slice runs "
-                "the same kernel on n/8 rows per chip (tests/test_sharded.py "
-                "validates the merge at 10M rows on a CPU mesh)",
-    }
 
 
 # ---------------------------------------------------------------------------
@@ -2067,287 +1980,208 @@ def st_sharded(bench: Bench) -> None:
     bench.details["sharded_serve_parity"] = True
 
 
-def bench_10m_serving(
-    bt: int | None = None, d: int = 768, t_out: int = 32, k: int = 10,
-) -> dict:
-    """CERTIFIED serving at 10M chunks on one chip (VERDICT r3 #4: prove
-    BASELINE configs[4] as a served system, not a scan).
+def st_10m(bench: Bench) -> None:
+    """Certified HYBRID serving at 10M chunks with a REAL compact host
+    store (VERDICT r4 #4; BASELINE.json configs[4]).
 
-    Corpus contract: the row vectors ARE the dequantized int8 plane rows
-    (c* = q8 * scale — exactly representable in f32), generated
-    cluster-structured ON DEVICE (~64 rows/cluster, the 1M e2e density).
-    Under that contract (a) the scan's int8 dot is exact up to the QUERY
-    quantization error alone (row error is zero by definition), and (b)
-    the host reconstructs the EXACT f64 score of any selected row from a
-    [B, t_out+1] readback of int8 bits + scales — a genuinely certified
-    serving measurement with no 60 GB host store (infeasible in-bench on
-    the quota'd core). Queries are embedding-only (zero keyword weights —
-    the embedding-backed serving profile; the keyword term is exactly 0
-    on both sides):
+    The corpus is built host-first: the compact store's int8+scale
+    embedding column, i64-micros timestamps, and content arena are the
+    authoritative data (index/compact.py — ~850 B/chunk, streamed slab
+    build with budget checkpoints), and the device planes are generated on
+    device from the same integer tables, provably bit-identical (no
+    multi-GB transfer; tests/test_compact_store.py pins the equality).
+    Queries are HYBRID: embeddings near a cluster center plus the target
+    cluster's keyword token — all three reference score terms
+    (RecallSearchService.cs:59-67) are live, the blooms are real content
+    signatures, and every result is certified exact by the engine's normal
+    machinery (coarse scan + direct compact selection + exact f64 host
+    rescore + kth > bound, with the full rescue ladder behind it).
 
-        score = 0.7 * (q_unit . c*) + 0.1 * recency
-
-    Pipeline measured: coarse scan + merge-to-[t_out+1] (the direct
-    compact selection — the merge boundary + (t_out+1)-th bound IS the
-    certificate bound) on device via the chained megastep; the host then
-    exactly rescores the t_out slice in f64 and checks ``kth > bound``
-    per query. serve_10m_certified_frac is the fraction that certifies
-    (the analogue of dd_resolved at 1M); misses would escalate exactly as
-    the engine's rescue path does.
-
-    The DD (device-exact cosine) profile is HBM-infeasible at 10M on one
-    chip (the raw f32 plane alone is 30 GB); at the sharded 8-chip layout
-    each shard holds 1.25M rows (raw shard 3.75 GB) and the sharded DD
-    path is bit-identical to single-device (parallel/sharded.py,
-    tests/test_sharded.py) — the host-rescore profile measured here is
-    the single-chip-certified configuration."""
-    import functools as ft
-
-    from omni_recall_tpu.ops.pallas_scorer import (
-        _merge_topm,
-        block_topt_int8_coarse,
-        make_add_row,
-        quantize_queries_int8,
-    )
-
-    bt = bt or int(os.environ.get("OMNI_BENCH_10M_B", 896))
-    n = 10 * (1 << 20)
-    # half-size slabs vs the scan-only generator: the clustered fill holds
-    # centers (0.5 GB) + three [slab, d] f32 temporaries next to the 8.2 GB
-    # resident index — a 1M slab RESOURCE_EXHAUSTEDs the 16 GB HBM
-    slab = 1 << 19
-    n_clusters = n // 64
-    # t=2 at sub=1024: a query loses a true top row only when >2 of its
-    # top rows land in one of the 10240 slices — rare under the scattered
-    # cluster assignment; losses fail the certificate (counted, not hidden)
-    sub = int(os.environ.get("OMNI_BENCH_10M_SUB", 1024))
-    t = int(os.environ.get("OMNI_BENCH_10M_T", 2))
-    # block 2048 (not 1024): the kernel's [nblocks, B, n_sub*(t+1)] output
-    # pads its tiny last dim to 128 lanes, so HBM cost scales with nblocks
-    # — at block=1024 the padded output alone is 2x4.4 GB and the program
-    # exceeds HBM next to the 8.2 GB index (measured OOM)
-    block = int(os.environ.get("OMNI_BENCH_10M_SERVE_BLOCK", 2048))
-
-    key = jax.random.PRNGKey(77)
-    centers = jax.random.normal(key, (n_clusters, d), dtype=jnp.float32)
-    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
-
-    wb = 512 // 8
-
-    @ft.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def fill(emb8, scale, bloom, centers, key, start):
-        cid = jax.random.randint(key, (slab,), 0, n_clusters)
-        noise = jax.random.normal(
-            jax.random.fold_in(key, 1), (slab, d), dtype=jnp.float32
-        )
-        noise = noise / jnp.linalg.norm(noise, axis=1, keepdims=True)
-        f = jnp.take(centers, cid, axis=0) + 0.5 * noise
-        f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
-        absmax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
-        s = (absmax / 127.0)[:, 0]
-        q8 = jnp.clip(
-            jnp.round(f / (absmax / 127.0)), -127, 127
-        ).astype(jnp.int8)
-        # bloom generated per slab (a whole-index jax.random.bits holds
-        # ~5 GB of PRNG temporaries next to the 7.6 GB index: OOM)
-        bl = (
-            jax.random.bits(
-                jax.random.fold_in(key, 2), (slab, wb), dtype=jnp.uint8
-            )
-            & jax.random.bits(
-                jax.random.fold_in(key, 3), (slab, wb), dtype=jnp.uint8
-            )
-        )
-        upd = jax.lax.dynamic_update_slice
-        return (
-            upd(emb8, q8, (start, 0)), upd(scale, s, (start,)),
-            upd(bloom, bl, (start, 0)),
-        )
-
-    # queries FIRST (cluster-center + noise, normalized — then frozen as
-    # f32 and re-normalized in f64 on the host, the oracle's q_unit), so
-    # centers can be freed right after the fill loop below
-    kq = jax.random.PRNGKey(5)
-    qcid = jax.random.randint(kq, (bt,), 0, n_clusters)
-    qn = jax.random.normal(
-        jax.random.fold_in(kq, 1), (bt, d), dtype=jnp.float32
-    )
-    q_dev = jnp.take(centers, qcid, axis=0) + 0.3 * (
-        qn / jnp.linalg.norm(qn, axis=1, keepdims=True)
-    )
-    q_dev = q_dev / jnp.linalg.norm(q_dev, axis=1, keepdims=True)
-
-    emb8 = jnp.zeros((n, d), dtype=jnp.int8)
-    scale = jnp.zeros((n,), dtype=jnp.float32)
-    # bloom planes resident (0.6 GiB): the escalation path needs them, so
-    # the capacity claim counts them even though the keyword-less serving
-    # measurement below never reads them
-    bloom = jnp.zeros((n, wb), dtype=jnp.uint8)
-    for i in range(n // slab):
-        emb8, scale, bloom = fill(
-            emb8, scale, bloom, centers, jax.random.fold_in(key, 100 + i),
-            jnp.int32(i * slab),
-        )
-    del centers
-    created = jnp.linspace(0.0, 365.0, n, dtype=jnp.float32)
-    valid = jnp.ones((n,), dtype=bool)
-    add_row = make_add_row(created, valid, jnp.float32(365.0), jnp.int32(0))
-
-    q8, q_scale, eq = quantize_queries_int8(q_dev)
-    # sound per-query bias: |q_unit . c* - (q8 . c8) sq sc| <= eq * ||c*||
-    # with ||c*|| <= ||f|| + ||dequant delta|| <= 1.02 at these scales
-    # (plus PALLAS_CERT_EPS_INT8 inside the kernel for the f32 arithmetic)
-    q_bias = 0.7 * 1.02 * eq
-    q_scale_w = 0.7 * q_scale  # the coarse kernel folds the cosine weight
-
-    g_s, steps_s = 2, 2
-
-    # capacity scan figure (the r3 protocol: t=1, sub=1024, block=2048,
-    # m=128 merge — swept optimum, tools/sweep_10m.py), on the same corpus:
-    # the scan compute is data-independent, so one generation serves both
-    @jax.jit
-    def scan_mega(carry, emb8, scale, add_row, q8, q_scale_w, q_bias):
-        def body(c, _):
-            biasv = q_bias + 1e-12 * c[:, None]
-            vals, idxs = block_topt_int8_coarse(
-                emb8, q8, add_row, scale[None, :], q_scale_w, biasv,
-                t=1, sub=1024, block=2048,
-            )
-            out_v, out_i = _merge_topm(vals, idxs, 128)
-            return out_v[:, 0] + out_i[:, 0].astype(jnp.float32) * 1e-9, None
-        carry, _ = jax.lax.scan(body, carry, xs=None, length=4)
-        return carry
-
-    args_scan = (emb8, scale, add_row, q8, q_scale_w, q_bias)
-    cs = scan_mega(jnp.zeros((bt,), jnp.float32), *args_scan)
-    _ = np.asarray(cs[:2])
-    t0 = time.perf_counter()
-    for _ in range(2):
-        cs = scan_mega(cs, *args_scan)
-    _ = np.asarray(cs[:2])
-    scan_per = (time.perf_counter() - t0) / 8
-
-    @jax.jit
-    def serve_mega(carry, emb8, scale, add_row, q8, q_scale_w, q_bias):
-        def body(c, _):
-            # serialize on the previous batch's output via a tiny NONZERO
-            # bias perturbation (a `& 0`/`% 1` dependency gets folded by
-            # the algebraic simplifier and the scan hoists the kernel)
-            biasv = q_bias + 1e-12 * c[:, None]
-            vals, idxs = block_topt_int8_coarse(
-                emb8, q8, add_row, scale[None, :], q_scale_w, biasv,
-                t=t, sub=sub, block=block,
-            )
-            # direct compact selection: entry t_out of the merge output IS
-            # the certificate bound (max of the (t_out+1)-th candidate and
-            # every block bound) — ops/pallas_scorer._merge_topm
-            out_v, out_i = _merge_topm(vals, idxs, t_out)
-            new_c = out_v[:, 0] + out_i[:, 0].astype(jnp.float32) * 1e-9
-            return new_c, (out_v, out_i)
-        carry, outs = jax.lax.scan(body, carry, xs=None, length=g_s)
-        return carry, outs
-
-    args = (emb8, scale, add_row, q8, q_scale_w, q_bias)
-    carry0 = jnp.zeros((bt,), dtype=jnp.float32)
-    carry, outs = serve_mega(carry0, *args)
-    _ = np.asarray(carry[:2])
-    t0 = time.perf_counter()
-    c = carry
-    for _ in range(steps_s):
-        c, outs = serve_mega(c, *args)
-    _ = np.asarray(c[:2])
-    per = (time.perf_counter() - t0) / (g_s * steps_s)
-
-    # certification: exact f64 rescore of the selected slice on the host.
-    # One [B, t_out+1] row readback (int8 bits + scales + created) — the
-    # same readback the engine's finalize would do.
-    top_v, top_i = (o[-1] for o in outs)  # last chained batch
-    rows = jnp.maximum(top_i[:, :t_out], 0)
-    flat = rows.reshape(-1)
-    t_h0 = time.perf_counter()
-    sel8, sel_s, sel_cr, v_h, i_h, q_h = jax.device_get((
-        jnp.take(emb8, flat, axis=0), jnp.take(scale, flat),
-        jnp.take(created, flat), top_v, top_i, q_dev,
-    ))
-    q64 = q_h.astype(np.float64)
-    q64 /= np.linalg.norm(q64, axis=1, keepdims=True)
-    cstar = sel8.astype(np.float64).reshape(bt, t_out, d)
-    cstar *= sel_s.astype(np.float64).reshape(bt, t_out, 1)
-    dots = np.einsum("bd,btd->bt", q64, cstar)
-    rec = np.exp(
-        np.minimum(sel_cr.astype(np.float64).reshape(bt, t_out) - 365.0, 0.0)
-        / 30.0
-    )
-    scores = 0.7 * dots + 0.1 * rec
-    live = (i_h[:, :t_out] >= 0) & (v_h[:, :t_out] > -np.inf)
-    scores = np.where(live, scores, -np.inf)
-    scores_sorted = -np.sort(-scores, axis=1)
-    kth = scores_sorted[:, k - 1]
-    # certificate bound: the merge boundary (max of the (t_out+1)-th
-    # candidate and every extraction block bound — _merge_topm entry t_out)
-    bound = v_h[:, t_out]
-    certified = kth > bound
-    host_ms = (time.perf_counter() - t_h0) * 1000.0
-
-    return {
-        "n_chunks": n,
-        "scan_ms": round(scan_per * 1000.0, 3),
-        "qps": round(bt / scan_per, 1),
-        "hbm_bytes_index": n * d + n * wb + n * 8,
-        "serve_scan_select_ms": round(per * 1000.0, 2),
-        "serve_qps": round(bt / per, 1),
-        "serve_batch": bt,
-        "serve_t_out": t_out,
-        "serve_layout": [sub, t, block],
-        "serve_certified_frac": round(float(certified.mean()), 4),
-        "serve_host_rescore_ms_per_batch": round(host_ms, 1),
-        "serve_note": (
-            "certified-exact serving at 10M on one chip: coarse scan + "
-            "direct compact selection on device, exact f64 host rescore of "
-            "the slice, per-query certificate kth > bound (misses would "
-            "escalate like the engine rescue path). DD profile needs the "
-            "sharded 8-chip layout (raw plane 30 GB > HBM; per-shard DD "
-            "bit-identity: tests/test_sharded.py). scan_ms/qps: the r3 "
-            "capacity-scan protocol (t=1/sub=1024/block=2048, m=128 merge) "
-            "on the same corpus"
-        ),
-    }
-
-
-def st_10m(bench: Bench) -> dict:
-    """10M-chunk capacity config: ONE clustered corpus generation serves
-    both the coarse-scan capacity figure (r3 protocol) and the certified
-    serving measurement. Frees everything else first — the 10M index needs
-    the HBM."""
+    Figures: capacity-scan protocol (r3 continuity), the isolated device
+    serving stage (chained megastep), and the ENGINE-measured pipelined
+    hybrid rate through the tunnel with resolution fracs. Frees the 1M ctx
+    first (the 10M index needs the HBM) and itself at the end (e2e_build
+    rebuilds the 1M engine after)."""
     ctx = bench.ctx
     for kk in ("engine", "make_requests", "arrays", "helpers", "sh"):
         ctx.pop(kk, None)
     gc.collect()
-    cfg = bench_10m_serving()
-    # restore/rebuild at 10M: the host-side per-chunk rates are measured
-    # (256k / 64k stages) and size-linear; a literal 10M store exceeds the
-    # in-bench host budget (~60 GB f64 mirrors + ~25 min of first-touch on
-    # the quota'd core), so the 10M figures are labeled projections
-    d = bench.details
-    if d.get("restore_host_chunks_per_s"):
-        cfg["restore_host_s_projected_10m"] = round(
-            1e7 / d["restore_host_chunks_per_s"], 1
-        )
-    if d.get("rebuild_host_chunks_per_s"):
-        cfg["rebuild_host_s_projected_10m"] = round(
-            1e7 / d["rebuild_host_chunks_per_s"], 1
-        )
-    if d.get("ingest_chunks_per_s"):
-        cfg["ingest_s_projected_10m"] = round(
-            1e7 / d["ingest_chunks_per_s"], 1
-        )
-    cfg["projection_note"] = (
-        "restore/rebuild/ingest 10M figures are linear projections from "
-        "the measured per-chunk host rates at 256k/64k/20k (provenance: "
-        "projected; a 10M host store is ~60 GB of f64 mirrors — outside "
-        "the in-bench budget of the quota'd single-core host)"
+
+    from omni_recall_tpu.index import compact as compact_mod
+    from omni_recall_tpu.ops import hashing, oracle, pallas_scorer
+    from omni_recall_tpu.ops import refine as refine_mod
+
+    d = 768
+    n = int(os.environ.get("OMNI_BENCH_HYBRID_N", str(10 * (1 << 20))))
+    bt = int(os.environ.get("OMNI_BENCH_10M_B", 896))
+    kw_frac = float(os.environ.get("OMNI_BENCH_10M_KW_FRAC", "0.75"))
+    _mark("10m: compact build")
+    t0 = time.perf_counter()
+    engine, mk, now, n_clusters = compact_mod.build_compact_engine(
+        n, d, checkpoint=bench.checkpoint
     )
-    return {"config_10m": cfg}
+    dix = engine.device_index
+    build_s = time.perf_counter() - t0
+    host_bytes = (
+        dix.emb8_host.nbytes + dix.scale_host.nbytes
+        + dix.raw_norm_sq.nbytes + dix.created_us.nbytes
+        + dix.created_ts.nbytes + dix.created.nbytes + dix.seqs.nbytes
+        + len(dix._arena) + dix.content_off.nbytes + dix.valid.nbytes
+    )
+    cfg = {
+        "n_chunks": n,
+        "n_clusters": n_clusters,
+        "serve_hybrid": True,
+        "serve_kw_frac": kw_frac,
+        "store": (
+            "compact host store: int8+scale embedding column, i64-micros "
+            "timestamps, content arena, lazy meta (index/compact.py)"
+        ),
+        "host_store_bytes": host_bytes,
+        "build_host_s": round(build_s, 1),
+        "hbm_bytes_index": n * d + n * (dix.bloom_bits // 8) + n * 9,
+    }
+    bench.details["config_10m"] = cfg  # dict identity: later updates land
+    bench.checkpoint()
+
+    dev = dix.device_arrays()
+    sub = int(os.environ.get("OMNI_BENCH_10M_SUB", 1024))
+    t_c = int(os.environ.get("OMNI_BENCH_10M_T", 2))
+    t_out = 32
+    reqs = mk(11, bt, kw_frac=kw_frac)
+    q = np.stack([r[1] for r in reqs])
+    w = np.zeros((bt, dix.bloom_bits), dtype=np.float32)
+    bias = np.zeros((bt,), dtype=np.float32)
+    for i, (text, _, _) in enumerate(reqs):
+        terms = oracle.query_terms(text)
+        if terms:
+            w[i], bias[i] = hashing.query_bit_weights(
+                terms, dix.bloom_bits, dix.ngram, dix.bloom_hashes
+            )
+    now_days = jnp.float32(365.0)
+
+    # capacity-scan protocol (r3 continuity: t=1, m=128 merge)
+    @jax.jit
+    def scan_mega(carry, emb8, scale, err, created, valid, qv, wv, bv):
+        def body(c, _):
+            qq = qv + 1e-12 * c[:, None]
+            vals, idxs = pallas_scorer.score_topm_int8_coarse(
+                emb8, scale, err, created, valid, qq, wv, bv,
+                now_days, jnp.int32(0), m=128, t=1, sub=1024,
+            )
+            return vals[:, 0] + idxs[:, 0].astype(jnp.float32) * 1e-9, None
+        c2, _ = jax.lax.scan(body, carry, xs=None, length=4)
+        return c2
+
+    args = (
+        dev.emb, dev.scale, dev.err, dev.created, dev.valid,
+        jnp.asarray(q), jnp.asarray(w), jnp.asarray(bias),
+    )
+    cs = scan_mega(jnp.zeros((bt,), jnp.float32), *args)
+    _ = np.asarray(cs[:2])
+    bench.checkpoint()
+    t0 = time.perf_counter()
+    for _ in range(2):
+        cs = scan_mega(cs, *args)
+    _ = np.asarray(cs[:2])
+    scan_per = (time.perf_counter() - t0) / 8
+    cfg["scan_ms"] = round(scan_per * 1000.0, 3)
+    cfg["qps"] = round(bt / scan_per, 1)
+    bench.checkpoint()
+
+    # isolated device serving stage at the serving layout: coarse scan +
+    # merge + direct compact selection (the engine's device work per batch)
+    @jax.jit
+    def serve_mega(carry, emb8, scale, err, created, valid, qv, wv, bv):
+        def body(c, _):
+            qq = qv + 1e-12 * c[:, None]
+            vals, idxs = pallas_scorer.score_topm_int8_coarse(
+                emb8, scale, err, created, valid, qq, wv, bv,
+                now_days, jnp.int32(0), m=128, t=t_c, sub=sub,
+            )
+            rows, ubs, bound = refine_mod.direct_select_from_scan(
+                vals, idxs, t_out
+            )
+            new_c = ubs[:, 0] + rows[:, 0].astype(jnp.float32) * 1e-9 + bound
+            return new_c, None
+        c2, _ = jax.lax.scan(body, carry, xs=None, length=2)
+        return c2
+
+    cv = serve_mega(jnp.zeros((bt,), jnp.float32), *args)
+    _ = np.asarray(cv[:2])
+    bench.checkpoint()
+    best = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            cv = serve_mega(cv, *args)
+        _ = np.asarray(cv[:2])
+        best = min(best, time.perf_counter() - t0)
+    per = best / 4
+    cfg["serve_device_ms_per_batch"] = round(per * 1000.0, 2)
+    cfg["serve_device_qps"] = round(bt / per, 1)
+    cfg["serve_t_out"] = t_out
+    cfg["serve_layout"] = [sub, t_c]
+    del cs, cv, args
+    bench.checkpoint()
+
+    # ENGINE-measured hybrid serving through the tunnel (the real thing:
+    # dispatch + readback + exact f64 host rescore + certificates)
+    _mark("10m: engine serving")
+    engine.search_batches_pipelined([mk(0, bt, kw_frac=kw_frac)], now=now)
+    bench.checkpoint()
+    res0 = engine.stats["coarse_resolved_total"]
+    hf0 = engine.stats["host_fallbacks_total"]
+    g = int(os.environ.get("OMNI_BENCH_10M_PIPE_G", 3))
+    best_e = float("inf")
+    done = 0
+    for rep in range(2):
+        batches = [
+            mk(100 + rep * g + i, bt, kw_frac=kw_frac) for i in range(g)
+        ]
+        t0 = time.perf_counter()
+        outs = engine.search_batches_pipelined(batches, now=now)
+        best_e = min(best_e, time.perf_counter() - t0)
+        assert sum(len(h) for out in outs for h in out) == g * bt * 10
+        done += 1
+        cfg.update(
+            e2e_qps_tunnel_10m=round(g * bt / best_e, 1),
+            e2e_batch_ms_10m=round(best_e / g * 1000.0, 2),
+            coarse_resolved_frac=round(
+                (engine.stats["coarse_resolved_total"] - res0)
+                / (done * g * bt), 4,
+            ),
+            host_fallbacks=engine.stats["host_fallbacks_total"] - hf0,
+            serve_note=(
+                "certified-exact HYBRID serving at 10M on one chip over the "
+                "compact host store: all three score terms live "
+                "(RecallSearchService.cs:59-67), engine-measured through "
+                "the dev tunnel (transport-bound; see the transport stage), "
+                "device stage isolated above"
+            ),
+        )
+        bench.checkpoint()
+
+    # host rescore in isolation at the selection width (the projection's
+    # second leg, mirroring the 1M headline's compose): pipelined
+    # production throughput = min(device stage, host stage)
+    reqs_h = mk(7, bt, kw_frac=kw_frac)
+    rows_h = np.random.default_rng(3).integers(0, n, size=(bt, t_out + 1))
+    row_lists = [rows_h[i] for i in range(bt)]
+    queries_h = [(qt, qe) for qt, qe, _ in reqs_h]
+    engine._exact_rescore_rows(queries_h, row_lists, now)  # warm
+    bench.checkpoint()
+    reps_h = 3
+    t0 = time.perf_counter()
+    for _ in range(reps_h):
+        engine._exact_rescore_rows(queries_h, row_lists, now)
+    hq = bt / ((time.perf_counter() - t0) / reps_h)
+    cfg["host_rescore_qps_10m"] = round(hq, 1)
+    cfg["e2e_qps_projected_10m"] = round(
+        min(cfg["serve_device_qps"], hq), 1
+    )
+    del engine, dix, dev
+    gc.collect()
 
 
 def main() -> None:
@@ -2381,7 +2215,7 @@ def main() -> None:
         # host-measured tail instead
         bench.run("sharded", st_sharded, est=60, deadline=300,
                   gate=sharded_on and "sh" in ctx)
-        bench.run("bench_10m", st_10m, est=120, deadline=420,
+        bench.run("bench_10m", st_10m, est=200, deadline=480,
                   gate=not interp
                   and os.environ.get("OMNI_BENCH_10M", "1") == "1")
         e2e_on = os.environ.get("OMNI_BENCH_E2E", "1") == "1" and not interp

@@ -264,6 +264,12 @@ class DeviceIndex:
         self._block_valid = np.zeros((0,), dtype=np.int64)
         self._rows_by_doc: dict[str, list[int]] = {}
 
+        # compact bulk mode (bulk_load_compact): int8+scale embedding
+        # columns replace the f32 mirrors; serving-only
+        self.host_compact = False
+        self.emb8_host: np.ndarray | None = None
+        self.scale_host: np.ndarray | None = None
+
         self._device: DeviceArrays | None = None
         # one-shot pre-quantized device planes injected by load_slabs
         # (snapshot fast restore); consumed by the next full upload
@@ -393,6 +399,10 @@ class DeviceIndex:
     def append(self, chunks: list[ChunkRecord]) -> None:
         if not chunks:
             return
+        if getattr(self, "host_compact", False):
+            raise RuntimeError(
+                "compact bulk index is serving-only (bulk_load_compact)"
+            )
         with self._lock:
             self._append_locked(chunks)
 
@@ -879,6 +889,89 @@ class DeviceIndex:
             self._count_valid_added(0, n)
             if converted is not None:
                 self._preconverted = dict(converted)
+
+    def bulk_load_compact(
+        self,
+        *,
+        emb8: np.ndarray,         # i8 [n, d] — the embedding column itself
+        scale: np.ndarray,        # f32 [n] dequant scales
+        raw_norm_sq: np.ndarray,  # f64 [n] (see index/compact.py soundness)
+        created_days: np.ndarray, # f32 [n]
+        created_us: np.ndarray,   # i64 [n]
+        created_ts: np.ndarray,   # f64 [n]
+        arena: bytes,             # lowercased contents, concatenated
+        content_off: np.ndarray,  # i64 [n+1]
+        doc_id: str,
+        device: "DeviceArrays",   # pre-built device planes (same bits)
+    ) -> None:
+        """Compact bulk injection for very large corpora (VERDICT r4 #4;
+        index/compact.py module docstring): the host keeps int8+scale
+        embedding columns, timestamp columns, and the content arena —
+        ~850 B/chunk instead of ~6 KB — and chunk metadata is a LAZY
+        CompactMeta sequence. The device planes are passed in pre-built
+        (generated on device from the same deterministic recipe as the host
+        columns, index/compact.py rows_np/rows_jnp), so no multi-GB
+        embedding transfer crosses the link.
+
+        The index becomes SERVING-ONLY: append/update/snapshot raise;
+        delete/update-by-id are no-ops (no id map). Engine serving reads:
+        valid/window (real columns), the arena (native keyword rescore),
+        created_us/_ts/seqs (recency + tie-breaks), materialize_raw_rows
+        (exact f64 cosine of selected rows), and meta[row] for the final
+        Hit construction."""
+        from omni_recall_tpu.index.compact import CompactMeta
+
+        n = int(emb8.shape[0])
+        with self._lock:
+            if self._n != 0:
+                raise ValueError("bulk_load_compact requires an empty index")
+            if emb8.shape[1] != self.dim:
+                raise ValueError("emb8 dim mismatch")
+            if self.mesh is not None:
+                raise ValueError(
+                    "bulk_load_compact is single-device (shard the corpus "
+                    "before building per-shard indexes)"
+                )
+            self.host_compact = True
+            self.emb8_host = np.ascontiguousarray(emb8)
+            self.scale_host = np.asarray(scale, dtype=np.float32)
+            # poison the f32 mirrors: any code path that still reads them
+            # under compact mode must fail loudly, not silently serve zeros
+            self.emb = None
+            self.raw_emb = None
+            self.bloom = None
+            self.raw_norm_sq = np.asarray(raw_norm_sq, dtype=np.float64)
+            self.created = np.asarray(created_days, dtype=np.float32)
+            self.created_us = np.asarray(created_us, dtype=np.int64)
+            self.created_ts = np.asarray(created_ts, dtype=np.float64)
+            self.seqs = np.arange(n, dtype=np.int64)
+            self.valid = np.ones(n, dtype=bool)
+            self._arena = bytearray(arena)
+            self.content_off = np.asarray(content_off, dtype=np.int64)
+            # the arena bytearray is shared (no copy): compact mode never
+            # appends, so it can never reallocate under a reader
+            self.meta = CompactMeta(
+                doc_id, self.emb8_host, self.scale_host, self._arena,
+                self.content_off, self.created_us, to_micros(EPOCH),
+            )
+            self._cap = n
+            self._n = n
+            self._n_valid = n
+            nb = (n + VALID_BLOCK - 1) // VALID_BLOCK
+            self._block_valid = np.zeros(max(nb, 1), dtype=np.int64)
+            self._count_valid_added(0, n)
+            # adopt the caller's device planes: the sync path short-circuits
+            # (capacity matches, no dirty blocks)
+            self._device = device
+            self._device_cap = n
+            self._dirty_blocks.clear()
+
+    def materialize_raw_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Compact-mode exact-rescore gather: f32 rows for the selected
+        candidates, fl32(q8 * scale) — exactly the embedding column the
+        compact store defines (index/compact.py soundness note)."""
+        sel = self.emb8_host[rows]
+        return sel.astype(np.float32) * self.scale_host[rows, None]
 
     def update_embedding(self, chunk_id: str, embedding: list[float] | None) -> bool:
         with self._lock:

@@ -1138,7 +1138,8 @@ class RecallEngine:
         rec = np.exp(-age / oracle.RECENCY_HALF_LIFE_DAYS)
 
         partial = None
-        if dix.dim <= 8192 and native.rescore_available():
+        compact = getattr(dix, "host_compact", False)
+        if dix.dim <= 8192 and native.rescore_available() and not compact:
             # one native call computes 0.7*cos + 0.2*kw for every pair,
             # threaded, reading the index arrays/arena in place. Holding the
             # index lock keeps the arena buffer stable (appends reallocate).
@@ -1167,8 +1168,14 @@ class RecallEngine:
             # rescore first, then the same numpy/python fallbacks)
             kw_term = self._kw_scores_flat(rows, owner, term_lists, dix)
 
-            # cosine: raw f32 products, f64 accumulation (== oracle.cosine)
-            raw = dix.raw_emb[rows]
+            # cosine: raw f32 products, f64 accumulation (== oracle.cosine).
+            # Compact bulk indexes (index/compact.py) materialize the
+            # selected rows from the int8+scale embedding columns — the
+            # materialized bits ARE the store's embedding by definition
+            raw = (
+                dix.materialize_raw_rows(rows) if compact
+                else dix.raw_emb[rows]
+            )
             dot = np.sum(raw * q_matrix[owner], axis=1, dtype=np.float64)
             ns = dix.raw_norm_sq[rows]
             qn = q_norms[owner]
