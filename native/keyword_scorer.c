@@ -22,7 +22,7 @@
  * mtime beats the source would otherwise be called with mismatched
  * marshalling (e.g. a weight double landing where the old ABI expected the
  * out pointer -> segfault). */
-#define OMNI_NATIVE_ABI 6
+#define OMNI_NATIVE_ABI 7
 int omni_abi_version(void) { return OMNI_NATIVE_ABI; }
 
 /* Two-way/memmem is glibc; provide a fallback for other libcs. */
@@ -365,6 +365,15 @@ typedef struct {
     const long long *query_term_off;
     double *out;
     long lo, hi;
+    /* int8-backed embedding column (compact host store,
+     * index/compact.py): when emb8 != NULL the worker dequantizes each
+     * candidate row into deq (per-worker scratch) as
+     * fl32((float)e8[k] * scale[row]) — bit-identical to the numpy
+     * materialization emb8[rows].astype(f32) * scale[rows, None] under
+     * -ffp-contract=off — and runs the same pairwise dot on it. */
+    const signed char *emb8;
+    const float *scale;
+    float *deq;
 } rescore_job;
 
 static void *rescore_worker(void *argp) {
@@ -373,7 +382,8 @@ static void *rescore_worker(void *argp) {
      * (ops/exact_cos.py) already streamed the embeddings on the TPU, so
      * this call scores ONLY w_kw * keyword — no embedding/norm reads at
      * all, cutting host bytes/pair from ~dim*4 to the content bytes. */
-    int with_cos = j->raw_emb != NULL;
+    int with_cos = j->raw_emb != NULL || j->emb8 != NULL;
+    int is_int8 = j->emb8 != NULL;
     for (long i = j->lo; i < j->hi; i++) {
         if (i + 1 < j->hi) {
             /* candidate rows are scattered through a matrix far larger than
@@ -381,7 +391,11 @@ static void *rescore_worker(void *argp) {
              * content bytes so their DRAM latency overlaps this pair's
              * compute — measured ~2.3x on the dot throughput at d=768 */
             long long nrow = j->rows[i + 1];
-            if (with_cos) {
+            if (is_int8) {
+                const char *pe = (const char *)(j->emb8 + (size_t)nrow * j->dim);
+                for (long o = 0; o < j->dim; o += 256) __builtin_prefetch(pe + o, 0, 0);
+                __builtin_prefetch((const char *)(j->norm_sq + nrow), 0, 0);
+            } else if (with_cos) {
                 const char *pe = (const char *)(j->raw_emb + (size_t)nrow * j->dim);
                 long pb = j->dim * (long)sizeof(float);
                 for (long o = 0; o < pb; o += 256) __builtin_prefetch(pe + o, 0, 0);
@@ -396,9 +410,18 @@ static void *rescore_worker(void *argp) {
             double qn = j->q_norm[q];
             double ns = j->norm_sq[row];
             if (qn > 0.0 && ns > 0.0) {
+                const float *rowp;
+                if (is_int8) {
+                    const signed char *e = j->emb8 + (size_t)row * j->dim;
+                    float s = j->scale[row];
+                    for (long k = 0; k < j->dim; k++)
+                        j->deq[k] = (float)e[k] * s;
+                    rowp = j->deq;
+                } else {
+                    rowp = j->raw_emb + (size_t)row * j->dim;
+                }
                 double dot = pairwise_prod_f64(j->q_emb + (size_t)q * j->dim,
-                                               j->raw_emb + (size_t)row * j->dim,
-                                               j->dim);
+                                               rowp, j->dim);
                 cos = dot / (sqrt(qn) * sqrt(ns));
             }
         }
@@ -471,6 +494,61 @@ int hybrid_rescore(const float *raw_emb, const double *norm_sq, long dim,
         started = w + 1;
     }
     for (long w = 0; w < started; w++) pthread_join(tids[w], NULL);
+    return 0;
+}
+
+/* int8-backed variant for the compact host store (index/compact.py): the
+ * embedding column is the int8 plane + per-row f32 scale; each worker
+ * dequantizes candidate rows into its own scratch buffer and reuses the
+ * exact pairwise dot, so scores stay bit-identical to the numpy
+ * materialized path (engine._exact_rescore_rows compact branch). */
+int hybrid_rescore_int8(const signed char *emb8, const float *scale,
+                        const double *norm_sq, long dim,
+                        const char *arena, const long long *arena_off,
+                        const long long *rows, const long long *owner,
+                        long total,
+                        const float *q_emb, const double *q_norm, long nq,
+                        const char *terms_flat, const long long *term_off,
+                        const long long *query_term_off, long n_threads,
+                        double w_cos, double w_kw,
+                        double *out) {
+    (void)nq;
+    if (total <= 0) return 0;
+    if (dim <= 0 || emb8 == NULL || scale == NULL) return 1;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 16) n_threads = 16;
+    if (total < 256) n_threads = 1;
+    float *scratch = (float *)malloc((size_t)n_threads * dim * sizeof(float));
+    if (scratch == NULL) return 1;
+    rescore_job jobs[16];
+    pthread_t tids[16];
+    long per = (total + n_threads - 1) / n_threads;
+    long started = 0;
+    for (long w = 0; w < n_threads; w++) {
+        long lo = w * per;
+        long hi = lo + per < total ? lo + per : total;
+        if (lo >= hi) break;
+        jobs[w] = (rescore_job){NULL, norm_sq, dim, arena, arena_off,
+                                rows, owner, total, w_cos, w_kw,
+                                q_emb, q_norm,
+                                terms_flat, term_off, query_term_off,
+                                out, lo, hi,
+                                emb8, scale, scratch + (size_t)w * dim};
+        if (w == n_threads - 1 || hi == total) {
+            rescore_worker(&jobs[w]);  /* run the last slice inline */
+            started = w;
+            break;
+        }
+        if (pthread_create(&tids[w], NULL, rescore_worker, &jobs[w]) != 0) {
+            jobs[w].hi = total;
+            rescore_worker(&jobs[w]);
+            started = w;
+            break;
+        }
+        started = w + 1;
+    }
+    for (long w = 0; w < started; w++) pthread_join(tids[w], NULL);
+    free(scratch);
     return 0;
 }
 

@@ -49,7 +49,7 @@ def _build() -> bool:
     return False
 
 
-_ABI_VERSION = 6  # must match OMNI_NATIVE_ABI in keyword_scorer.c
+_ABI_VERSION = 7  # must match OMNI_NATIVE_ABI in keyword_scorer.c
 
 
 def _abi_version(lib) -> int:
@@ -140,6 +140,19 @@ def _load() -> ctypes.CDLL | None:
                 c_f32p, c_f64p, ctypes.c_long,            # raw_emb, norm_sq, dim
                 ctypes.c_void_p, c_i64p,                  # arena, arena_off
                 c_i64p, c_i64p,                           # rows, owner (both int64)
+                ctypes.c_long,                            # total
+                c_f32p, c_f64p, ctypes.c_long,            # q_emb, q_norm, nq
+                ctypes.c_void_p, c_i64p, c_i64p,          # terms, term_off, query_term_off
+                ctypes.c_long,                            # n_threads
+                ctypes.c_double, ctypes.c_double,         # w_cos, w_kw
+                c_f64p,                                   # out
+            ]
+            lib.hybrid_rescore_int8.restype = ctypes.c_int
+            lib.hybrid_rescore_int8.argtypes = [
+                ctypes.c_void_p, c_f32p,                  # emb8, scale
+                c_f64p, ctypes.c_long,                    # norm_sq, dim
+                ctypes.c_void_p, c_i64p,                  # arena, arena_off
+                c_i64p, c_i64p,                           # rows, owner
                 ctypes.c_long,                            # total
                 c_f32p, c_f64p, ctypes.c_long,            # q_emb, q_norm, nq
                 ctypes.c_void_p, c_i64p, c_i64p,          # terms, term_off, query_term_off
@@ -351,6 +364,86 @@ def hybrid_rescore(
         )
     finally:
         views.clear()  # release bytearray exports immediately
+    return out if rc == 0 else None
+
+
+def hybrid_rescore_int8(
+    emb8,               # np.int8 [cap, dim] C-contiguous (compact store)
+    scale,              # np.float32 [cap]
+    norm_sq,            # np.float64 [cap]
+    arena,              # concatenated lowercased contents (bytes/bytearray)
+    arena_off,          # np.int64 [cap + 1]
+    rows,               # np.int64 [total]
+    owner,              # np.int64 [total]
+    q_emb,              # np.float32 [nq, dim] C-contiguous
+    q_norm,             # np.float64 [nq]
+    terms_flat: bytes,  # concatenated term bytes
+    term_off,           # np.int64 [n_terms + 1]
+    query_term_off,     # np.int64 [nq + 1]
+    n_threads: int | None = None,
+):
+    """hybrid_rescore over the compact host store's int8+scale embedding
+    column (index/compact.py): workers dequantize candidate rows in native
+    scratch — bit-identical to numpy's materialize-then-rescore chain
+    (fl32(e8*scale) products, pairwise f64 sum) and ~dim*3 fewer host bytes
+    of temporaries per pair. Returns np.float64 [total] or None."""
+    import numpy as np
+
+    from omni_recall_tpu.ops.oracle import COSINE_WEIGHT, KEYWORD_WEIGHT
+
+    if not rescore_available():
+        return None
+    lib = _load()
+    total = len(rows)
+    out = np.empty(total, dtype=np.float64)
+    if total == 0:
+        return out
+    if n_threads is None:
+        n_threads = int(os.environ.get("OMNI_RESCORE_THREADS", "0")) or min(
+            16, max(4, os.cpu_count() or 1)
+        )
+    views = []
+
+    def buf_ptr(b):
+        if not len(b):
+            return None
+        if isinstance(b, bytes):
+            views.append(b)
+            return ctypes.c_void_p(
+                ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p).value
+            )
+        view = (ctypes.c_char * len(b)).from_buffer(b)
+        views.append(view)
+        return ctypes.c_void_p(ctypes.addressof(view))
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    rows_c = np.ascontiguousarray(rows, dtype=np.int64)
+    owner_c = np.ascontiguousarray(owner, dtype=np.int64)
+    try:
+        rc = lib.hybrid_rescore_int8(
+            ctypes.c_void_p(emb8.ctypes.data),
+            scale.ctypes.data_as(f32p),
+            norm_sq.ctypes.data_as(f64p),
+            emb8.shape[1],
+            buf_ptr(arena),
+            arena_off.ctypes.data_as(i64p),
+            rows_c.ctypes.data_as(i64p),
+            owner_c.ctypes.data_as(i64p),
+            total,
+            q_emb.ctypes.data_as(f32p),
+            q_norm.ctypes.data_as(f64p),
+            q_emb.shape[0],
+            buf_ptr(terms_flat),
+            term_off.ctypes.data_as(i64p),
+            query_term_off.ctypes.data_as(i64p),
+            n_threads,
+            ctypes.c_double(COSINE_WEIGHT), ctypes.c_double(KEYWORD_WEIGHT),
+            out.ctypes.data_as(f64p),
+        )
+    finally:
+        views.clear()
     return out if rc == 0 else None
 
 

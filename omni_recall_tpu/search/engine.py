@@ -1139,10 +1139,13 @@ class RecallEngine:
 
         partial = None
         compact = getattr(dix, "host_compact", False)
-        if dix.dim <= 8192 and native.rescore_available() and not compact:
+        if dix.dim <= 8192 and native.rescore_available():
             # one native call computes 0.7*cos + 0.2*kw for every pair,
             # threaded, reading the index arrays/arena in place. Holding the
             # index lock keeps the arena buffer stable (appends reallocate).
+            # Compact indexes route to the int8 variant: workers dequantize
+            # candidate rows from the int8+scale embedding column in native
+            # scratch, bit-identical to the numpy materialized chain.
             flat_terms: list[bytes] = []
             q_term_off = [0]
             for terms in term_lists:
@@ -1151,12 +1154,21 @@ class RecallEngine:
             term_off = np.zeros(len(flat_terms) + 1, dtype=np.int64)
             np.cumsum([len(t) for t in flat_terms], out=term_off[1:])
             with dix._lock:
-                partial = native.hybrid_rescore(
-                    dix.raw_emb, dix.raw_norm_sq, dix._arena, dix.content_off,
-                    rows, owner, q_matrix, q_norms,
-                    b"".join(flat_terms), term_off,
-                    np.asarray(q_term_off, dtype=np.int64),
-                )
+                if compact:
+                    partial = native.hybrid_rescore_int8(
+                        dix.emb8_host, dix.scale_host, dix.raw_norm_sq,
+                        dix._arena, dix.content_off,
+                        rows, owner, q_matrix, q_norms,
+                        b"".join(flat_terms), term_off,
+                        np.asarray(q_term_off, dtype=np.int64),
+                    )
+                else:
+                    partial = native.hybrid_rescore(
+                        dix.raw_emb, dix.raw_norm_sq, dix._arena, dix.content_off,
+                        rows, owner, q_matrix, q_norms,
+                        b"".join(flat_terms), term_off,
+                        np.asarray(q_term_off, dtype=np.int64),
+                    )
         if partial is not None:
             scores = partial + oracle.RECENCY_WEIGHT * rec
         else:

@@ -133,3 +133,60 @@ def test_native_rescore_after_delete_and_update():
     finally:
         native._rescore_verified = True
     assert np.array_equal(got[0][1], want[0][1])
+
+
+def test_native_int8_rescore_bit_identical_to_numpy_materialized():
+    """Compact host store (index/compact.py): the native int8 rescorer's
+    workers dequantize fl32(e8 * scale) rows in C scratch; scores must be
+    BIT-identical to the numpy chain the engine's compact fallback runs
+    (materialize rows -> f32 products -> pairwise f64 sum)."""
+    import numpy as np
+
+    from omni_recall_tpu.ops import oracle
+
+    if not native.rescore_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(77)
+    n, d, nq, t = 400, 768, 8, 24
+    emb8 = rng.integers(-112, 113, size=(n, d)).astype(np.int8)
+    scale = (1.0 / np.sqrt(
+        np.einsum("ij,ij->i", emb8.astype(np.float64), emb8.astype(np.float64))
+    )).astype(np.float32)
+    raw = emb8.astype(np.float32) * scale[:, None]
+    norm_sq = np.einsum(
+        "ij,ij->i", raw.astype(np.float64), raw.astype(np.float64)
+    )
+    contents = [f"c{i % 13:04d}x filler words".encode() for i in range(n)]
+    arena = b"".join(contents)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in contents], out=off[1:])
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    qn = np.einsum("ij,ij->i", q.astype(np.float64), q.astype(np.float64))
+    rows = rng.integers(0, n, size=nq * t).astype(np.int64)
+    owner = np.repeat(np.arange(nq), t).astype(np.int64)
+    term_lists = [[f"c{i % 13:04d}x", "filler"] for i in range(nq)]
+    flat = [tm.encode() for terms in term_lists for tm in terms]
+    term_off = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum([len(t_) for t_ in flat], out=term_off[1:])
+    q_term_off = np.arange(nq + 1, dtype=np.int64) * 2
+
+    got = native.hybrid_rescore_int8(
+        emb8, scale, norm_sq, arena, off, rows, owner, q, qn,
+        b"".join(flat), term_off, q_term_off,
+    )
+    assert got is not None
+    # numpy chain: exactly what engine._exact_rescore_rows' compact
+    # fallback computes (and what the f32-mirror native path computes on
+    # the materialized rows)
+    sel = emb8[rows].astype(np.float32) * scale[rows, None]
+    dot = np.sum(sel * q[owner], axis=1, dtype=np.float64)
+    cos = dot / (np.sqrt(qn[owner]) * np.sqrt(norm_sq[rows]))
+    kw = np.zeros(len(rows))
+    for i, r in enumerate(rows):
+        terms = term_lists[owner[i]]
+        c = contents[r].decode()
+        kw[i] = sum(tm in c for tm in terms) / len(terms)
+    want = oracle.COSINE_WEIGHT * cos + oracle.KEYWORD_WEIGHT * kw
+    assert np.array_equal(got, want)
