@@ -1228,6 +1228,12 @@ def st_serve_megastep(bench: Bench) -> dict:
                 emb8, scale, err, created, valid, qv, wv, biasv,
                 jnp.float32(365.0), jnp.int32(0), m=128, t=t_c, sub=sub_c,
                 interpret=interp,
+                # match the engine's emit layout (transposed packed keys
+                # by default since r5 — engine _select_coarse_scorer)
+                emit_keys=(
+                    "t" if getattr(opts, "transposed_emit", True)
+                    else getattr(opts, "packed_emit", False)
+                ),
             )
             if direct:
                 # the Engine:DirectSelect serving path (the engine's
@@ -2098,6 +2104,7 @@ def st_10m(bench: Bench) -> None:
             vals, idxs = pallas_scorer.score_topm_int8_coarse(
                 emb8, scale, err, created, valid, qq, wv, bv,
                 now_days, jnp.int32(0), m=128, t=t_c, sub=sub,
+                emit_keys="t",  # the engine's default emit layout (r5)
             )
             rows, ubs, bound = refine_mod.direct_select_from_scan(
                 vals, idxs, t_out

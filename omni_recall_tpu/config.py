@@ -282,6 +282,13 @@ class EngineOptions:
     # bottleneck it reads as. Kept as a knob because the balance may flip
     # on hardware with different HBM-write/VPU ratios.
     packed_emit: bool = False
+    # transposed packed-key emit for the coarse scan (r5 default): the
+    # emitted block keeps the query batch on the minor dimension, removing
+    # the 128-lane padding amplification of the pair/packed layouts
+    # (ops/pallas_scorer.py _make_topt_kernel_int8_coarse_keys_t; decode
+    # values match the packed path bit for bit). Falls back to the pair
+    # emit automatically when the shape conditions don't hold.
+    transposed_emit: bool = True
     # compact-selection width override (0 = auto, 32): smaller slices cut
     # the DD raw-plane gather and the host keyword width per query; the
     # certificate bound becomes the (t_out+1)-th bound, so thin margins

@@ -123,10 +123,81 @@ def dd_sum_products(q: jax.Array, c: jax.Array):
         p = jnp.pad(p, pw)
     hi = p
     lo = jnp.zeros_like(p)
-    while hi.shape[-1] > 1:
+    # Fold by halving slices while the width stays lane-aligned (>= 256 ->
+    # slices land on 128-lane boundaries), then by lane ROTATION at a
+    # constant 128 width: position 0 of the rolled fold sees EXACTLY the
+    # same operand pairs in the same order as the halving tree (s[i] =
+    # x[i] + x[i+half] for i < half), so the returned values are
+    # bit-identical to the pure halving tree — but no sub-128-lane slices
+    # exist for Mosaic to relayout, which measured ~4x on the pallas DD
+    # kernel (the lanes >= half compute wrapped garbage that is never
+    # read).
+    while hi.shape[-1] > 128:
         hi, lo = _dd_fold(hi, lo)
+    half = hi.shape[-1] // 2
+    while half >= 1:
+        h2 = jnp.roll(hi, -half, axis=-1)
+        l2 = jnp.roll(lo, -half, axis=-1)
+        s, e = _two_sum(hi, h2)
+        lo_new = e + (lo + l2)
+        hi, lo = _two_sum(s, lo_new)
+        half //= 2
     sabs = jnp.sum(jnp.abs(p), axis=-1)  # f32 reduce; SABS_REL covers rounding
     return hi[..., 0], lo[..., 0], sabs
+
+
+def _dd_rows_kernel(q_ref, c_ref, hi_ref, lo_ref, sabs_ref):
+    """Pallas body: the EXACT dd_sum_products graph evaluated on a VMEM
+    block. Every op is the same correctly-rounded IEEE-f32 elementwise op
+    the XLA version runs, in the same tree order, so results are
+    bit-identical — only the memory behavior differs (the fold levels live
+    in VMEM instead of materializing ~4x the gathered bytes in HBM, which
+    measured ~2 ms of the serving stage at [1536, 32, 768])."""
+    hi, lo, sabs = dd_sum_products(q_ref[:][:, None, :], c_ref[:])
+    hi_ref[:] = hi
+    lo_ref[:] = lo
+    sabs_ref[:] = sabs
+
+
+def _dd_rows_pallas(q_raw: jax.Array, c: jax.Array):
+    """Blocked pallas evaluation of dd_sum_products over gathered rows.
+    Requires B % qb == 0 for some qb in the chain below (serving batches
+    are multiples of 8; odd shapes fall back to the XLA path)."""
+    from jax.experimental import pallas as pl
+
+    b, t, d = c.shape
+    qb = next((x for x in (8, 4, 2, 1) if b % x == 0), 1)
+    out_shape = [jax.ShapeDtypeStruct((b, t), jnp.float32)] * 3
+    return pl.pallas_call(
+        _dd_rows_kernel,
+        grid=(b // qb,),
+        in_specs=[
+            pl.BlockSpec((qb, d), lambda i: (i, 0)),
+            pl.BlockSpec((qb, t, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((qb, t), lambda i: (i, 0))] * 3,
+        out_shape=out_shape,
+    )(q_raw, c)
+
+
+def dd_rows(q_raw: jax.Array, c: jax.Array):
+    """Backend dispatcher for the per-row DD dot: on TPU the TwoSum tree
+    runs as a pallas kernel (hi/lo bit-identical to the XLA graph, fold
+    levels in VMEM — _dd_rows_kernel; sabs may differ from the XLA
+    reduction in f32 rounding order, which SABS_REL covers for any order);
+    elsewhere, or with OMNI_DD_PALLAS=0, the plain XLA graph runs. EVERY
+    DD consumer (single-device exact_cos_rows AND the sharded
+    parallel/sharded.py refine_select_dd) must come through here so both
+    paths produce the same bits per backend (the bench's sharded stage
+    asserts it)."""
+    import os as _os
+
+    if (
+        jax.default_backend() == "tpu"
+        and _os.environ.get("OMNI_DD_PALLAS", "1") == "1"
+    ):
+        return _dd_rows_pallas(q_raw, c)
+    return dd_sum_products(q_raw[:, None, :], c)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -144,7 +215,7 @@ def exact_cos_rows(raw: jax.Array, rows: jax.Array, q_raw: jax.Array):
     certificate — this op only replaces the embedding stream."""
     safe = jnp.maximum(rows, 0)
     c = jnp.take(raw, safe, axis=0)           # [B, t, d]
-    return dd_sum_products(q_raw[:, None, :], c)
+    return dd_rows(q_raw, c)
 
 
 # ---- host-side finalization helpers (numpy; exact f64) ----

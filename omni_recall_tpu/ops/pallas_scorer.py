@@ -344,6 +344,93 @@ def _make_topt_kernel_int8_coarse_keys(t1: int, c: int, sub: int):
     return kernel
 
 
+def _make_topt_kernel_int8_coarse_keys_t(t1: int, c: int, sub: int,
+                                         nt_pad: int):
+    """TRANSPOSED packed-emit coarse kernel (VERDICT r4 #3): scores are
+    computed [C, B] (chunk rows on sublanes, queries on lanes) so each
+    extraction round's max reduces across SUBLANES to a [1, B] row and the
+    emitted block is [n_sub*t1 (pad 8), B] — the minor dimension is the
+    query batch, which is already lane-aligned. The pair/packed layouts
+    emit [B, n_sub*t1] whose tiny minor dim pads to 128 lanes: 805 MB /
+    402 MB of HBM writes per 1M serving batch (~21x / ~10x amplification)
+    vs ~25 MB here, and the r4 packed-emit experiment showed the XLA
+    decode of the padded layout costs more than the halved writes saved.
+
+    Value semantics are IDENTICAL to the packed path: the same monotone
+    f32->i32 key transform, the same lane-bit sacrifice (position within
+    the sub-slice rides the low key bits, inverted so i32 max prefers the
+    lowest row), the same per-round max+mask — max is order-independent
+    and keys are unique per position, so each round's winner matches the
+    [B, C] layout's winner bit for bit. The f32 score arithmetic keeps the
+    exact op order of the other kernels ((cosd * q_scale) * scale_row +
+    add_row + q_bias + eps), so scores are elementwise bit-identical too;
+    _extract_topt's soundness note applies verbatim."""
+    assert sub & (sub - 1) == 0 and t1 >= 3
+
+    def kernel(emb_ref, q_ref, add_row_ref, scale_row_ref, q_scale_ref,
+               q_bias_ref, keys_ref):
+        cosd = jax.lax.dot_general(
+            emb_ref[:], q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # [C, B]
+        scores = (
+            cosd * q_scale_ref[:] * scale_row_ref[:]
+            + add_row_ref[:]
+            + q_bias_ref[:]
+            + PALLAS_CERT_EPS_INT8
+        )
+        n_sub = c // sub
+        lmask = sub - 1
+        s_i = jax.lax.bitcast_convert_type(scores, jnp.int32)
+        key_full = s_i ^ ((s_i >> 31) & jnp.int32(0x7FFFFFFF))
+        pos_r = jax.lax.broadcasted_iota(jnp.int32, key_full.shape, 0)
+        keys = (key_full & jnp.int32(~lmask)) | (
+            lmask - (pos_r & jnp.int32(lmask))
+        )  # [C, B]
+        cols = []
+        for j in range(n_sub):
+            k = keys[j * sub : (j + 1) * sub, :]
+            for _ in range(t1 - 1):
+                kmax = jnp.max(k, axis=0, keepdims=True)  # [1, B]
+                cols.append(kmax)
+                k = jnp.where(k == kmax, jnp.int32(-(2**31)), k)
+            cols.append(jnp.max(k, axis=0, keepdims=True))  # slice bound
+        out = jnp.concatenate(cols, axis=0)  # [n_sub*t1, B]
+        if nt_pad > n_sub * t1:
+            out = jnp.pad(out, ((0, nt_pad - n_sub * t1), (0, 0)))
+        keys_ref[0] = out
+
+    return kernel
+
+
+def _decode_keys_t(keys: jax.Array, sub: int, t1: int, nt: int):
+    """Decode the transposed packed emit to the pair kernels' (vals, idxs)
+    contract. keys: [nblocks, nt_pad, B] i32. The decode math is
+    _decode_keys' verbatim (decode_up lane-bit inflation, inverted low
+    bits, global base), evaluated in the transposed layout so no padded
+    intermediate ever materializes; ONE clean 2D [nblocks*nt, B] ->
+    [B, nblocks*nt] transpose at the end lands the merge's query-major
+    layout (minor dims divisible by 128 on both sides)."""
+    nblocks, nt_pad, b = keys.shape
+    n_sub = nt // t1
+    lmask = sub - 1
+    k2 = keys[:, :nt, :].reshape(nblocks * nt, b)
+    y = k2 | jnp.int32(lmask)
+    y = y ^ ((y >> 31) & jnp.int32(0x7FFFFFFF))
+    vals_t = jax.lax.bitcast_convert_type(y, jnp.float32)
+    lane = lmask - (k2 & jnp.int32(lmask))
+    flat = jax.lax.broadcasted_iota(jnp.int32, (nblocks * nt, b), 0)
+    blk = flat // nt
+    slot = flat % nt
+    base = blk * (n_sub * sub) + (slot // t1) * sub
+    is_bound = (slot % t1) == (t1 - 1)
+    idxs_t = jnp.where(is_bound, jnp.int32(-2), lane + base)
+    vals = jnp.transpose(vals_t, (1, 0)).reshape(b, nblocks * n_sub, t1)
+    idxs = jnp.transpose(idxs_t, (1, 0)).reshape(b, nblocks * n_sub, t1)
+    return vals, idxs
+
+
 def _decode_keys(keys: jax.Array, sub: int, t1: int):
     """Decode the packed-key emit to the pair kernels' (vals, idxs)
     contract — [B, slices, t1] each, idx -2 on bound entries — with
@@ -526,6 +613,40 @@ def block_topt_int8_coarse(
     # VPU reads from the same VMEM ports the extraction already saturates,
     # so deferring the dependency only added traffic. tools/probe_pipe.py
     # keeps the prototype + the measurement-artifact note.
+    if emit_keys == "t" and sub & (sub - 1) == 0 and t1 >= 3:
+        # TRANSPOSED packed emit: [nblocks, n_sub*t1 (pad 8), B] — the
+        # minor dim is the query batch, killing the 128-lane padding
+        # amplification entirely (kernel docstring; bit-identical decode)
+        nt = n_sub * t1
+        nt_pad = ((nt + 7) // 8) * 8
+        keys = pl.pallas_call(
+            _make_topt_kernel_int8_coarse_keys_t(t1, c, sub, nt_pad),
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((c, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, nt_pad, b), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((nblocks, nt_pad, b), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * b * d,
+                bytes_accessed=n * d + nblocks * nt_pad * b * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(
+            emb8, q8,
+            add_row.reshape(-1, 1), scale_row.reshape(-1, 1),
+            q_scale.reshape(1, -1), q_bias.reshape(1, -1),
+        )
+        return _decode_keys_t(keys, sub, t1, nt)
     if emit_keys and sub & (sub - 1) == 0 and t1 >= 3:
         # single packed-i32 emit + XLA decode (_decode_keys): halves the
         # kernel's padded output writes, bit-identical results

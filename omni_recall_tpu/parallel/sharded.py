@@ -243,7 +243,10 @@ class ShardedScorer:
                 owned_s = (rows_sel >= 0) & (loc_s >= 0) & (loc_s < n_local)
                 safe_s = jnp.where(owned_s, loc_s, 0)
                 c = jnp.take(raw, safe_s, axis=0)          # [B, k, d]
-                hi, lo, sabs = _ec.dd_sum_products(q_raw_[:, None, :], c)
+                # SAME backend-dispatched DD as the single-device
+                # exact_cos_rows (pallas on TPU): the bench's sharded
+                # stage asserts bit-parity between the two paths
+                hi, lo, sabs = _ec.dd_rows(q_raw_, c)
                 hi = jax.lax.psum(jnp.where(owned_s, hi, 0.0), "shards")
                 lo = jax.lax.psum(jnp.where(owned_s, lo, 0.0), "shards")
                 sabs = jax.lax.psum(jnp.where(owned_s, sabs, 0.0), "shards")

@@ -851,16 +851,26 @@ class RecallEngine:
         sub, t = layout
         interpret = _jax.default_backend() != "tpu"
 
+        # Emit layout (ops/pallas_scorer.py): "t" = TRANSPOSED packed-key
+        # emit, the r5 default — the [nblocks, n_sub*t1 (pad 8), B] output
+        # keeps the query batch on the minor dim, killing the 128-lane
+        # padding amplification (805 MB -> ~25 MB of emit writes at the 1M
+        # serving layout; measured ~1 ms faster AND far more run-to-run
+        # stable than the pair emit). True = the r4 packed [B-major] emit
+        # (kept for comparison, measured slower than pair); False = pair.
+        # The kernel falls back to the pair emit when the packed-path
+        # shape conditions don't hold (t < 2 or non-pow2 sub).
+        if getattr(self.options, "transposed_emit", True):
+            emit = "t"
+        else:
+            emit = getattr(self.options, "packed_emit", False)
+
         def coarse(dev, q, w, bias, now_days, r0, m):
             return pallas_scorer.score_topm_int8_coarse(
                 dev.emb, dev.scale, dev.err, dev.created, dev.valid,
                 q, w, bias, now_days, r0, m=m, t=t, sub=sub,
                 interpret=interpret,
-                # packed single-i32 emit (halves the kernel's padded
-                # output writes; bit-identical decode). The kernel falls
-                # back to the pair emit when the packed-path shape
-                # conditions don't hold (t < 2 or non-pow2 sub).
-                emit_keys=getattr(self.options, "packed_emit", False),
+                emit_keys=emit,
             )
         return coarse
 

@@ -199,6 +199,83 @@ def main() -> None:
             mega(b_body, jnp.zeros((bt,), jnp.float32), args_b, g, reps,
                  f"B  direct_select(t_out={t_out})+DD {label}")
 
+        if os.environ.get("PROBE_EMIT_T", "0") == "1":
+            def st_body(c, e1, s1, er1, cr, va, qv, kv, bv):
+                qd = qv + 1e-12 * c[:, None]
+                v, i = ps.score_topm_int8_coarse(
+                    e1, s1, er1, cr, va, qd, kv, bv, nowd, r0,
+                    m=128, t=t, sub=sub, emit_keys="t",
+                )
+                return v[:, 0] + i[:, 0].astype(jnp.float32) * 1e-9
+            mega(st_body, jnp.zeros((bt,), jnp.float32), args_s, g, reps,
+                 f"T  scan+merge keys_t {label}")
+
+            def bt_body(c, e1, s1, er1, cr, va, rw, qv, kv, bv):
+                qd = qv + 1e-12 * c[:, None]
+                v, i = ps.score_topm_int8_coarse(
+                    e1, s1, er1, cr, va, qd, kv, bv, nowd, r0,
+                    m=128, t=t, sub=sub, emit_keys="t",
+                )
+                rows, ubs, bound = rf.direct_select_from_scan(v, i, 32)
+                hi, lo, sa = ec.exact_cos_rows(rw, rows, qd)
+                return (ubs[:, 0] + bound + hi[:, 0] + lo[:, 0]
+                        + sa[:, 0] * 1e-9
+                        + rows[:, 0].astype(jnp.float32) * 1e-9)
+            args_bt = (emb8, scale, err, created, valid, raw, q, kw, bias)
+            mega(bt_body, jnp.zeros((bt,), jnp.float32), args_bt, g, reps,
+                 f"BT direct_select(32)+DD keys_t {label}")
+
+        if os.environ.get("PROBE_DECOMP", "0") != "1":
+            continue
+        # ---- decomposition of the select+DD overhead (VERDICT r4 #3):
+        # where do the ~3 ms between "scan+merge" and the full serving
+        # stage go? Variants isolate the merge width, the compact-slice
+        # construction, the DD gather, and the TwoSum chain. ----
+        for m_ in (33, 64):
+            def m_body(c, e1, s1, er1, cr, va, qv, kv, bv, m_=m_):
+                qd = qv + 1e-12 * c[:, None]
+                v, i = ps.score_topm_int8_coarse(
+                    e1, s1, er1, cr, va, qd, kv, bv, nowd, r0,
+                    m=m_, t=t, sub=sub,
+                )
+                return v[:, 0] + i[:, 0].astype(jnp.float32) * 1e-9
+            mega(m_body, jnp.zeros((bt,), jnp.float32), args_s, g, reps,
+                 f"Sm scan+merge(m={m_}) {label}")
+
+        def bn_body(c, e1, s1, er1, cr, va, qv, kv, bv):
+            qd = qv + 1e-12 * c[:, None]
+            v, i = scan(sub, t, e1, s1, er1, cr, va, qd, kv, bv)
+            rows, ubs, bound = rf.direct_select_from_scan(v, i, 32)
+            return (ubs[:, 0] + bound
+                    + rows[:, 0].astype(jnp.float32) * 1e-9)
+        mega(bn_body, jnp.zeros((bt,), jnp.float32), args_s, g, reps,
+             f"Bn direct_select(32), no DD {label}")
+
+        def bg_body(c, e1, s1, er1, cr, va, rw, qv, kv, bv):
+            qd = qv + 1e-12 * c[:, None]
+            v, i = scan(sub, t, e1, s1, er1, cr, va, qd, kv, bv)
+            rows, ubs, bound = rf.direct_select_from_scan(v, i, 32)
+            gth = jnp.take(rw, jnp.maximum(rows, 0), axis=0)
+            return (ubs[:, 0] + bound + gth[:, 0, 0]
+                    + rows[:, 0].astype(jnp.float32) * 1e-9)
+        args_g = (emb8, scale, err, created, valid, raw, q, kw, bias)
+        mega(bg_body, jnp.zeros((bt,), jnp.float32), args_g, g, reps,
+             f"Bg + DD gather only (sum) {label}")
+
+        def b33_body(c, e1, s1, er1, cr, va, rw, qv, kv, bv):
+            qd = qv + 1e-12 * c[:, None]
+            v, i = ps.score_topm_int8_coarse(
+                e1, s1, er1, cr, va, qd, kv, bv, nowd, r0,
+                m=33, t=t, sub=sub,
+            )
+            rows, ubs, bound = rf.direct_select_from_scan(v, i, 32)
+            hi, lo, sa = ec.exact_cos_rows(rw, rows, qd)
+            return (ubs[:, 0] + bound + hi[:, 0] + lo[:, 0]
+                    + sa[:, 0] * 1e-9
+                    + rows[:, 0].astype(jnp.float32) * 1e-9)
+        mega(b33_body, jnp.zeros((bt,), jnp.float32), args_g, g, reps,
+             f"B33 merge(m=33)+direct_select(32)+DD {label}")
+
 
 if __name__ == "__main__":
     main()
