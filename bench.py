@@ -280,7 +280,6 @@ def build_e2e_engine(n: int, d: int, bits: int):
     from omni_recall_tpu.ops import hashing
 
     _mark("e2e: corpus gen")
-    rng = np.random.default_rng(0)
     # cluster-structured corpus (real corpora have topic structure;
     # isotropic noise would make every score a near-tie and — correctly —
     # drive the exactness certificate to full scans). Chunk contents carry
@@ -291,35 +290,52 @@ def build_e2e_engine(n: int, d: int, bits: int):
     # the r2 256k-corpus density): a cluster larger than candidate_m makes
     # EVERY query structurally escalate (the m+1-th same-cluster row's
     # bound sits above the exact kth), which measures the corpus shape,
-    # not the engine
+    # not the engine.
+    #
+    # Since r5 the embeddings come from the DETERMINISTIC integer recipe
+    # (index/compact.py tables + row ids, spread=True for the r2-r4
+    # heterogeneous cluster radii): host rows are fl32(q8 * scale) with
+    # q8 = center8[cid] + noise8[nid] and scale = fl32(1/sqrt(sum q8^2)),
+    # and the DEVICE regenerates the identical bits from the same uploaded
+    # tables — which removes the ~3 GB raw-plane upload (60-250 s of pure
+    # dev-tunnel transport) that dominated e2e_build in r2-r4.
+    from omni_recall_tpu.index import compact as compact_mod
+
     n_clusters = max(4096, n // 64)
-    centers = rng.standard_normal((n_clusters, d), dtype=np.float32)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    assign = rng.integers(0, n_clusters, size=n)
-    # slab-wise with a reused scratch buffer: the whole-matrix formulation
-    # touches ~12 GB of FRESH pages (noise + gather + product temporaries),
-    # and this host's first-touch fault path runs at ~60 MB/s — the scratch
-    # loop faults only emb (n*d*4) once plus one slab
-    emb = np.empty((n, d), dtype=np.float32)
+    center8, noise8 = compact_mod.make_tables(n_clusters, d, spread=True)
+    noise_k = noise8.shape[0]
     slab_rows = 1 << 17
-    scratch = np.empty((slab_rows, d), dtype=np.float32)
-    nrm = np.empty((slab_rows, 1), dtype=np.float32)
+    if n % slab_rows != 0:
+        slab_rows = max(1, 1 << (n.bit_length() - 4))
+        while n % slab_rows:
+            slab_rows //= 2
+    emb = np.empty((n, d), dtype=np.float32)
+    s2f = np.empty(n, dtype=np.float32)
+    assign = np.empty(n, dtype=np.int64)
+    q8buf = np.empty((slab_rows, d), dtype=np.int8)
+    tmp8 = np.empty((slab_rows, d), dtype=np.int8)
     for s0 in range(0, n, slab_rows):
-        s1 = min(s0 + slab_rows, n)
-        k = s1 - s0
-        noise = scratch[:k]
-        rng.standard_normal(out=noise, dtype=np.float32)
-        np.sqrt(np.einsum("ij,ij->i", noise, noise)[:, None], out=nrm[:k])
-        noise /= nrm[:k]
-        spread = rng.uniform(0.2, 0.8, size=(k, 1)).astype(np.float32)
-        noise *= spread
-        e = emb[s0:s1]
+        s1 = s0 + slab_rows
+        cid, nid = compact_mod.row_ids_np(s0, s1, n_clusters, noise_k)
         # mode='clip' (indices valid by construction): the default 'raise'
         # forces the checked per-element path — measured 80x slower with out=
-        np.take(centers, assign[s0:s1], axis=0, out=e, mode="clip")
-        e += noise
-        np.sqrt(np.einsum("ij,ij->i", e, e)[:, None], out=nrm[:k])
-        e /= nrm[:k]
+        np.take(center8, cid, axis=0, out=q8buf, mode="clip")
+        np.take(noise8, nid, axis=0, out=tmp8, mode="clip")
+        q8buf += tmp8  # wrap-free (make_tables amplitude invariant)
+        e = emb[s0:s1]
+        np.copyto(e, q8buf, casting="unsafe")  # int8 -> f32, exact
+        # exact f32 sum of squares (values < 2^24 — index/compact.py)
+        np.einsum("ij,ij->i", e, e, out=s2f[s0:s1])
+        assign[s0:s1] = cid
+    scale_col = (
+        1.0 / np.sqrt(np.where(s2f > 0, s2f, 1.0).astype(np.float64))
+    ).astype(np.float32)
+    emb *= scale_col[:, None]  # rows = fl32(q8 * scale), unit norm ± 1e-7
+    # query geometry: f32 unit cluster centers
+    centers = center8.astype(np.float32)
+    centers /= np.sqrt(
+        np.einsum("ij,ij->i", centers, centers)
+    )[:, None].astype(np.float32)
 
     contents = [f"topic c{cid}x synthetic chunk" for cid in range(n_clusters)]
     # 3-decimal days (86.4 ms granularity): the record datetimes below are
@@ -374,15 +390,78 @@ def build_e2e_engine(n: int, d: int, bits: int):
     # or the device keyword score is not a sound upper bound (bulk_load
     # asserts the width; ngram/hashes are taken from the live index here)
     dix = engine.device_index
-    cluster_sigs = np.stack([
-        hashing.chunk_signature(content.lower(), dix.bloom_bits, dix.ngram,
-                                dix.bloom_hashes)
-        for content in contents
-    ])
+    from omni_recall_tpu.ops import native as native_mod
+
+    cluster_sigs = native_mod.chunk_signatures(
+        [c.lower().encode() for c in contents],
+        dix.bloom_bits, dix.ngram, dix.bloom_hashes,
+    )
+    if cluster_sigs is None:
+        cluster_sigs = np.stack([
+            hashing.chunk_signature(content.lower(), dix.bloom_bits,
+                                    dix.ngram, dix.bloom_hashes)
+            for content in contents
+        ])
     bloom = cluster_sigs[assign]
-    _mark("e2e: bulk_load + upload")
+    _mark("e2e: bulk_load")
     engine.device_index.bulk_load(emb, bloom, created_days, meta)
-    engine.device_index.device_arrays()  # quantize + upload once
+
+    # device planes generated ON DEVICE from the same integer recipe —
+    # bit-identical to what the standard upload + device quantization
+    # would produce (DeviceIndex.install_device_planes contract), with a
+    # sampled equality check below. Removes the 3 GB tunnel upload.
+    _mark("e2e: device plane gen")
+    import functools as _ft
+
+    from omni_recall_tpu.index.device_index import (
+        DeviceArrays as _DA,
+        _device_quantize,
+        _device_quantize_keep,
+    )
+
+    cap = dix._cap
+    c8_dev = jnp.asarray(center8)
+    n8_dev = jnp.asarray(noise8)
+    sc_dev = jnp.asarray(scale_col)
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def fillraw(plane, c8, n8, sc, lo):
+        q8r = compact_mod.rows_jnp(lo, slab_rows, c8, n8, n_clusters, noise_k)
+        sl = jax.lax.dynamic_slice(sc, (lo,), (slab_rows,))
+        raw_slab = q8r.astype(jnp.float32) * sl[:, None]
+        return jax.lax.dynamic_update_slice(plane, raw_slab, (lo, 0))
+
+    raw_dev = jnp.zeros((cap, d), dtype=jnp.float32)
+    for lo in range(0, n, slab_rows):
+        raw_dev = fillraw(raw_dev, c8_dev, n8_dev, sc_dev, jnp.int32(lo))
+    if dd_on:
+        conv = _device_quantize_keep(raw_dev, dix.refine)
+    else:
+        conv = _device_quantize(raw_dev, dix.refine)
+        raw_dev = None
+    pad_assign = np.zeros(cap, dtype=np.int32)
+    pad_assign[:n] = assign
+    bloom_dev = jnp.take(
+        jnp.asarray(cluster_sigs), jnp.asarray(pad_assign), axis=0
+    )
+    # pad rows must be DEAD on device: valid False + bloom zero (the take
+    # above put cluster-0 signatures there)
+    if cap > n:
+        bloom_dev = bloom_dev.at[n:].set(0)
+    dev = _DA(
+        emb=conv["emb"], bloom=bloom_dev,
+        created=jnp.asarray(dix.created), valid=jnp.asarray(dix.valid),
+        scale=conv.get("scale"), err=conv.get("err"),
+        emb2=conv.get("emb2"), scale2=conv.get("scale2"),
+        err2=conv.get("err2"), raw=raw_dev,
+    )
+    dix.install_device_planes(dev)
+    # sampled contract check: the device raw rows are the host mirror bits
+    if dd_on:
+        probe_rows = np.asarray(dev.raw[: min(256, n)])
+        assert np.array_equal(probe_rows, emb[: min(256, n)]), (
+            "device-generated raw plane diverges from the host mirror"
+        )
 
     def make_requests(seed, nb):
         # queries target a cluster center (clear relevance structure); the

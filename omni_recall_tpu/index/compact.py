@@ -133,11 +133,17 @@ _CID_MULT = np.uint32(2654435761)
 
 def make_tables(
     n_clusters: int, d: int, noise_k: int = 4096, seed: int = 0,
-    amp_center: int = 90, amp_noise: int = 22,
+    amp_center: int = 90, amp_noise: int = 22, spread: bool = False,
 ):
     """Small host-built tables (uploaded once): int8 cluster centers
     [C, d] and int8 noise rows [K, d]. All per-row derivation from these is
-    integer arithmetic, identical on host and device."""
+    integer arithmetic, identical on host and device.
+
+    ``spread``: scale noise row k by a factor in [0.3, 1] (linear in k) so
+    in-cluster radii VARY per row — real corpora have heterogeneous
+    cluster tightness, and constant-radius clusters make the top-10 vs
+    certificate-bound gap artificially uniform (the 1M e2e corpus keeps
+    the r2-r4 0.2-0.8 spread character through this)."""
     # amplitude invariant: center + noise <= 127, so row derivation is a
     # single wrap-free int8 add (no int16 widening, no clip pass — at 10M
     # the widening alone costs ~10 s of host memory traffic)
@@ -147,9 +153,13 @@ def make_tables(
     center8 = rng.integers(
         -amp_center, amp_center + 1, size=(n_clusters, d), dtype=np.int16
     ).astype(np.int8)
-    noise8 = rng.integers(
+    noise16 = rng.integers(
         -amp_noise, amp_noise + 1, size=(noise_k, d), dtype=np.int16
-    ).astype(np.int8)
+    )
+    if spread:
+        fac = 0.3 + 0.7 * np.arange(noise_k) / max(1, noise_k - 1)
+        noise16 = np.rint(noise16 * fac[:, None]).astype(np.int16)
+    noise8 = noise16.astype(np.int8)
     return center8, noise8
 
 

@@ -966,6 +966,29 @@ class DeviceIndex:
             self._device_cap = n
             self._dirty_blocks.clear()
 
+    def install_device_planes(self, dev: "DeviceArrays") -> None:
+        """Adopt externally-built device planes for a bulk-loaded index.
+
+        CONTRACT: the planes must be BIT-identical to what the standard
+        upload + on-device quantization would produce from this index's
+        host mirrors (raw = fl32 of the same values, quantization via
+        _device_quantize(_keep), bloom = the same signatures, created/valid
+        the same columns) — callers generate them on device from a
+        deterministic integer recipe (bench.py build_e2e_engine,
+        index/compact.py) to skip a multi-GB host->device transfer, and
+        sample-verify the equality. A mismatch would silently break the
+        exactness certificate (device bounds vs host rescore), which is
+        why this is not a general-purpose setter."""
+        with self._lock:
+            if dev.emb.shape[0] != self._cap:
+                raise ValueError(
+                    f"device planes rows {dev.emb.shape[0]} != capacity "
+                    f"{self._cap}"
+                )
+            self._device = dev
+            self._device_cap = self._cap
+            self._dirty_blocks.clear()
+
     def materialize_raw_rows(self, rows: np.ndarray) -> np.ndarray:
         """Compact-mode exact-rescore gather: f32 rows for the selected
         candidates, fl32(q8 * scale) — exactly the embedding column the
