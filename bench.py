@@ -337,7 +337,12 @@ def build_e2e_engine(n: int, d: int, bits: int):
         np.einsum("ij,ij->i", centers, centers)
     )[:, None].astype(np.float32)
 
-    contents = [f"topic c{cid}x synthetic chunk" for cid in range(n_clusters)]
+    # fixed-width cluster contents (zero-padded cid) so the lowercased
+    # arena builds as ONE vectorized gather (bulk_load aux below) instead
+    # of 1M python encodes; queries carry the same padded token
+    contents = [
+        f"topic c{cid:05d}x synthetic chunk" for cid in range(n_clusters)
+    ]
     # 3-decimal days (86.4 ms granularity): the record datetimes below are
     # built from the ROUNDED value, so the device created column handed to
     # bulk_load must encode the same instant — snapshot restore's integrity
@@ -358,6 +363,26 @@ def build_e2e_engine(n: int, d: int, bits: int):
                 embedding=emb[i], created_at_utc=when, seq=i,
             )
         )
+    # vectorized bulk_load aux columns (the per-record python derivation
+    # measured ~45 s at 1M on the quota'd host). Exactness of the
+    # timestamp columns: millidays*86_400_000 is the exact integer µs of
+    # the rounded day, and datetime.timestamp() is exactly
+    # f64(total_µs)/1e6 (one correctly-rounded division of an exact
+    # <2^53 integer), so both columns are BIT-equal to the record-derived
+    # values — the snapshot integrity sample stays green
+    from omni_recall_tpu.index.device_index import to_micros as _to_us
+
+    millidays = np.round(created_days.astype(np.float64) * 1000.0).astype(np.int64)
+    aux_us = _to_us(EPOCH) + millidays * 86_400_000
+    contents_fixed = np.array(contents, dtype="S")
+    stride = contents_fixed.dtype.itemsize
+    aux = {
+        "created_us": aux_us,
+        "created_ts": aux_us.astype(np.float64) / 1e6,
+        "seqs": np.arange(n, dtype=np.int64),
+        "lower_arena": contents_fixed[assign].tobytes(),
+        "lower_off": np.arange(n + 1, dtype=np.int64) * stride,
+    }
     dd_on = os.environ.get("OMNI_BENCH_DD", "1") == "1"
     opts = EngineOptions(
         backend="pallas", embedding_dim=d, recent_window=0,
@@ -404,7 +429,13 @@ def build_e2e_engine(n: int, d: int, bits: int):
         ])
     bloom = cluster_sigs[assign]
     _mark("e2e: bulk_load")
-    engine.device_index.bulk_load(emb, bloom, created_days, meta)
+    # exact-fit bulk load (capacity == n): the emb array is ADOPTED for
+    # both the normalized and raw mirrors (zero copies). A pre-grown
+    # headroom variant was tried to spare st_ingest's one-time growth
+    # copy (~60 s) and REVERTED: the non-aliased bulk path pays 80-200 s
+    # of host fresh-page copying instead, and the padded capacity
+    # invalidates every cached engine executable
+    engine.device_index.bulk_load(emb, bloom, created_days, meta, aux=aux)
 
     # device planes generated ON DEVICE from the same integer recipe —
     # bit-identical to what the standard upload + device quantization
@@ -475,7 +506,7 @@ def build_e2e_engine(n: int, d: int, bits: int):
             qn /= np.linalg.norm(qn)
             q = centers[cluster] + 0.2 * qn
             q /= np.linalg.norm(q)
-            reqs.append((f"c{cluster}x", q, 10))
+            reqs.append((f"c{cluster:05d}x", q, 10))
         return reqs
 
     engine.bench_n_clusters = n_clusters
@@ -1245,11 +1276,9 @@ def st_e2e_build(bench: Bench) -> dict:
     """Free the scan arrays and build the certified-exact engine at the
     headline corpus scale (1M default)."""
     ctx = bench.ctx
-    # drop the scan arrays AND the megastep closures that captured them:
-    # the e2e engine's device planes need the HBM
-    ctx.pop("arrays", None)
-    ctx.pop("helpers", None)
-    gc.collect()
+    # the scan arrays STAY resident (r5 ordering runs the scan stages
+    # after the headline pipeline): scan corpus ~1 GB + e2e engine
+    # ~4.7 GB coexist comfortably; the 10M stage at the tail pops both
     e2e_n = min(ctx["n"], int(os.environ.get("OMNI_BENCH_E2E_N", 1 << 20)))
     engine, make_requests, now, opts = build_e2e_engine(
         e2e_n, ctx["d"], ctx["bits"]
@@ -2000,7 +2029,7 @@ def st_sharded(bench: Bench) -> None:
     sh_args = (emb, r_scale, row_err, bloom, created, valid, q1, kw1, bias1)
     _ = np.asarray(sh_mega_j(*sh_args))
     bench.checkpoint()
-    reps_sh = 3
+    reps_sh = 2
     t0 = time.perf_counter()
     for _ in range(reps_sh):
         outs_sh = sh_mega_j(*sh_args)
@@ -2280,32 +2309,14 @@ def main() -> None:
         interp = ctx.get("interpret", True)
         dtype = ctx.get("dtype", "int8")
         is_int8 = dtype == "int8"
-        # generous deadlines on the headline-critical scans: a cold remote
-        # compile through the tunnel can take 300+ s by itself (observed);
-        # the global budget + supervisor own the overall cap
-        bench.run("scan_coarse", st_scan_coarse, est=40, deadline=480,
-                  gate=is_int8)
-        bench.run("scan_full", st_scan_full, est=40, deadline=360)
-        bench.run("scan_kw", st_scan_kw, est=30, deadline=240, gate=is_int8)
-        sharded_on = (
-            is_int8 and not interp
-            and os.environ.get("OMNI_BENCH_SHARDED", "1") == "1"
-        )
-        bench.run("slice_for_sharded", st_slice_for_sharded, est=5,
-                  deadline=60, gate=sharded_on)
-        # sharded + 10M run BEFORE the e2e engine build: both are
-        # device-side (fast, warm-cache friendly) while e2e_build is
-        # dominated by a ~3 GB raw-plane upload through the dev tunnel
-        # (60-250 s of pure transport) — on a tight day the unique
-        # capability proofs land first and the budget cuts from the
-        # host-measured tail instead
-        bench.run("sharded", st_sharded, est=60, deadline=300,
-                  gate=sharded_on and "sh" in ctx)
-        bench.run("bench_10m", st_10m, est=200, deadline=480,
-                  gate=not interp
-                  and os.environ.get("OMNI_BENCH_10M", "1") == "1")
+        # HEADLINE FIRST (r5 ordering): e2e_build is cheap since r5
+        # (device-side corpus generation — no raw-plane upload), so the
+        # certified-serving pipeline runs before everything else; one
+        # wedged scan stage can no longer starve the round's headline (a
+        # 290 s scan stall was observed doing exactly that), and the 10M
+        # hybrid stage moved to the tail for the same reason
         e2e_on = os.environ.get("OMNI_BENCH_E2E", "1") == "1" and not interp
-        bench.run("e2e_build", st_e2e_build, est=100, deadline=420,
+        bench.run("e2e_build", st_e2e_build, est=60, deadline=420,
                   gate=e2e_on)
         built = "engine" in ctx
         dd_on = built and getattr(ctx["opts"], "device_exact_cos", False)
@@ -2324,15 +2335,42 @@ def main() -> None:
                   gate=built)
         bench.run("transport", st_transport, est=10, deadline=120,
                   gate=built)
+        # generous deadlines on the scans: a cold remote compile through
+        # the tunnel can take 300+ s by itself (observed); the global
+        # budget + supervisor own the overall cap
+        bench.run("scan_coarse", st_scan_coarse, est=40, deadline=480,
+                  gate=is_int8)
+        bench.run("scan_full", st_scan_full, est=40, deadline=360)
+        bench.run("scan_kw", st_scan_kw, est=30, deadline=240, gate=is_int8)
+        sharded_on = (
+            is_int8 and not interp
+            and os.environ.get("OMNI_BENCH_SHARDED", "1") == "1"
+        )
+        bench.run("slice_for_sharded", st_slice_for_sharded, est=5,
+                  deadline=60, gate=sharded_on)
+        bench.run("sharded", st_sharded, est=60, deadline=300,
+                  gate=sharded_on and "sh" in ctx)
         # cheap host-side ingest lands BEFORE the tunnel-heavy restore
         # (VERDICT r4 #2: restore overran in r4 and everything after it
         # went unmeasured); restore's estimate is honest about its ~0.65 GB
         # of tunnel upload per trial so the budget gate can pre-skip it
-        bench.run("ingest", st_ingest, est=30, deadline=180, gate=built)
-        bench.run("restore", st_restore, est=120, deadline=300,
+        # ingest's est includes the one-time geometric growth copy its
+        # probe batch triggers on the exact-fit 1M index (~8 GB of fresh
+        # pages, measured ~60 s; the TIMED figure excludes it)
+        bench.run("ingest", st_ingest, est=70, deadline=240, gate=built)
+        bench.run("restore", st_restore, est=70, deadline=300,
                   gate=built
                   and os.environ.get("OMNI_BENCH_RESTORE", "1") == "1")
         bench.run("rebuild", st_rebuild, est=40, deadline=300, gate=built)
+        # the 10M hybrid config (BASELINE configs[4] + VERDICT r4 #4
+        # evidence) runs AFTER every 1M-engine stage: it frees the 1M
+        # engine for HBM room, and on a slow-tunnel day the budget gate
+        # must starve the tail, never the certified-headline pipeline.
+        # Ests are measured warm costs x ~1.3 (10m: 95-99 s measured;
+        # restore's second best-of trial self-gates on remaining budget)
+        bench.run("bench_10m", st_10m, est=130, deadline=480,
+                  gate=not interp
+                  and os.environ.get("OMNI_BENCH_10M", "1") == "1")
         bench.run("localq", st_localq, est=90, deadline=420,
                   gate=built
                   and os.environ.get("OMNI_BENCH_LOCALQ", "1") == "1")

@@ -716,6 +716,7 @@ class DeviceIndex:
         bloom: np.ndarray,                # u8 [n, W]
         created_days: np.ndarray,         # f32 [n], nondecreasing
         meta: list[ChunkRecord],
+        aux: dict | None = None,
     ) -> None:
         """Bulk array injection for large-scale restore/benchmarks: bypasses
         per-chunk python hashing/normalization. Rows must already be in
@@ -726,13 +727,25 @@ class DeviceIndex:
         self.ngram, self.bloom_hashes)`` — otherwise the device keyword score
         is not a sound upper bound and 'certified-exact' results can be
         silently wrong. The width is asserted; ngram/hash count cannot be
-        recovered from the arrays and are the caller's responsibility."""
+        recovered from the arrays and are the caller's responsibility.
+
+        ``aux`` (optional) provides pre-vectorized columns the default path
+        derives with per-record python iteration (~45 s at 1M rows on the
+        quota'd host): keys ``created_us`` i64[n], ``created_ts`` f64[n],
+        ``seqs`` i64[n], ``lower_arena`` bytes, ``lower_off`` i64[n+1].
+        SAME contract as the record-derived values — to_micros/timestamp of
+        each record's created_at_utc, record seq, and the concatenated
+        lowercased UTF-8 contents — callers own the equivalence (the bench
+        corpus computes both sides from the same day grid)."""
         with self._lock:
             if self._n != 0:
                 raise ValueError("bulk_load requires an empty index")
-            self._bulk_load_locked(emb_normalized, bloom, created_days, meta)
+            self._bulk_load_locked(
+                emb_normalized, bloom, created_days, meta, aux
+            )
 
-    def _bulk_load_locked(self, emb_normalized, bloom, created_days, meta) -> None:
+    def _bulk_load_locked(self, emb_normalized, bloom, created_days, meta,
+                          aux=None) -> None:
         n = emb_normalized.shape[0]
         if not (len(meta) == n == bloom.shape[0] == created_days.shape[0]):
             raise ValueError("bulk_load arrays must have matching row counts")
@@ -769,19 +782,28 @@ class DeviceIndex:
         self.raw_norm_sq[:n] = np.sum(
             emb_normalized * emb_normalized, axis=1, dtype=np.float64
         )
-        self.created_us[:n] = np.fromiter(
-            (to_micros(c.created_at_utc) for c in meta), dtype=np.int64, count=n
-        )
-        self.created_ts[:n] = np.fromiter(
-            (_aware(c.created_at_utc).timestamp() for c in meta),
-            dtype=np.float64, count=n,
-        )
-        self.seqs[:n] = np.fromiter((c.seq for c in meta), dtype=np.int64, count=n)
-        encs = [c.content_lower_utf8() for c in meta]
-        self._arena.extend(b"".join(encs))
-        self.content_off[1 : n + 1] = np.cumsum(
-            np.fromiter((len(e) for e in encs), dtype=np.int64, count=n)
-        )
+        if aux is not None:
+            self.created_us[:n] = aux["created_us"]
+            self.created_ts[:n] = aux["created_ts"]
+            self.seqs[:n] = aux["seqs"]
+            self._arena.extend(aux["lower_arena"])
+            self.content_off[1 : n + 1] = np.asarray(
+                aux["lower_off"], dtype=np.int64
+            )[1 : n + 1]
+        else:
+            self.created_us[:n] = np.fromiter(
+                (to_micros(c.created_at_utc) for c in meta), dtype=np.int64, count=n
+            )
+            self.created_ts[:n] = np.fromiter(
+                (_aware(c.created_at_utc).timestamp() for c in meta),
+                dtype=np.float64, count=n,
+            )
+            self.seqs[:n] = np.fromiter((c.seq for c in meta), dtype=np.int64, count=n)
+            encs = [c.content_lower_utf8() for c in meta]
+            self._arena.extend(b"".join(encs))
+            self.content_off[1 : n + 1] = np.cumsum(
+                np.fromiter((len(e) for e in encs), dtype=np.int64, count=n)
+            )
         self.meta.extend(meta)
         self._row_by_chunk_id.update(zip((c.id for c in meta), range(n)))
         by_doc = self._rows_by_doc
