@@ -15,7 +15,7 @@ followed by a compact digest line hard-capped under the driver's 2000-char
 tail capture. The driver parses the last complete line of stdout, so a
 timeout mid-stage can no longer erase the round's evidence, and the final
 line can no longer outgrow the capture. A global wall-clock
-budget (OMNI_BENCH_BUDGET_S, default 450 s; 0 = unlimited) is checked
+budget (OMNI_BENCH_BUDGET_S, default 500 s; 0 = unlimited) is checked
 between stages (the remainder is skipped and annotated in
 details.stages_skipped); each stage carries its own deadline (a watchdog
 thread annotates + re-emits if exceeded, and stages poll bench.checkpoint()
@@ -59,7 +59,7 @@ with contextlib.suppress(Exception):
 # ONE budget default shared by the supervisor parent and the child Bench
 # (ADVICE r4: they disagreed — 450 vs 500 — so an env-less run could be
 # SIGKILLed while still inside its own budget). CLAUDE.md documents 480.
-_BUDGET_DEFAULT_S = "480"
+_BUDGET_DEFAULT_S = "500"
 
 # ---------------------------------------------------------------------------
 # Driver capture contract (VERDICT r4 #1). The driver records only the LAST
@@ -264,7 +264,7 @@ def _mark(stage: str) -> None:
               file=sys.stderr, flush=True)
 
 
-def build_e2e_engine(n: int, d: int, bits: int):
+def build_e2e_engine(n: int, d: int, bits: int, checkpoint=None):
     """Build the bench's cluster-structured corpus and a certified-exact
     engine over it at scale (shared by bench_e2e and
     tools/sweep_serving_layout.py). Returns (engine, make_requests, now,
@@ -304,7 +304,10 @@ def build_e2e_engine(n: int, d: int, bits: int):
     n_clusters = max(4096, n // 64)
     center8, noise8 = compact_mod.make_tables(n_clusters, d, spread=True)
     noise_k = noise8.shape[0]
-    slab_rows = 1 << 17
+    # 2^18-row slabs: 4 device fill dispatches at 1M instead of 8 — each
+    # dispatch pays the tunnel's flaky RTT, and stalls were observed
+    # hitting the fill loop hardest
+    slab_rows = 1 << 18
     if n % slab_rows != 0:
         slab_rows = max(1, 1 << (n.bit_length() - 4))
         while n % slab_rows:
@@ -327,6 +330,8 @@ def build_e2e_engine(n: int, d: int, bits: int):
         # exact f32 sum of squares (values < 2^24 — index/compact.py)
         np.einsum("ij,ij->i", e, e, out=s2f[s0:s1])
         assign[s0:s1] = cid
+        if checkpoint is not None:
+            checkpoint()
     scale_col = (
         1.0 / np.sqrt(np.where(s2f > 0, s2f, 1.0).astype(np.float64))
     ).astype(np.float32)
@@ -465,6 +470,8 @@ def build_e2e_engine(n: int, d: int, bits: int):
     raw_dev = jnp.zeros((cap, d), dtype=jnp.float32)
     for lo in range(0, n, slab_rows):
         raw_dev = fillraw(raw_dev, c8_dev, n8_dev, sc_dev, jnp.int32(lo))
+        if checkpoint is not None:
+            checkpoint()
     if dd_on:
         conv = _device_quantize_keep(raw_dev, dix.refine)
     else:
@@ -486,6 +493,8 @@ def build_e2e_engine(n: int, d: int, bits: int):
         emb2=conv.get("emb2"), scale2=conv.get("scale2"),
         err2=conv.get("err2"), raw=raw_dev,
     )
+    if checkpoint is not None:
+        checkpoint()
     dix.install_device_planes(dev)
     # sampled contract check: the device raw rows are the host mirror bits
     if dd_on:
@@ -1280,9 +1289,27 @@ def st_e2e_build(bench: Bench) -> dict:
     # after the headline pipeline): scan corpus ~1 GB + e2e engine
     # ~4.7 GB coexist comfortably; the 10M stage at the tail pops both
     e2e_n = min(ctx["n"], int(os.environ.get("OMNI_BENCH_E2E_N", 1 << 20)))
-    engine, make_requests, now, opts = build_e2e_engine(
-        e2e_n, ctx["d"], ctx["bits"]
-    )
+    # tunnel keepalive: 3 of 4 observed multi-minute execution wedges
+    # followed the build's long host-only phases (idle tunnel session);
+    # a tiny device round trip every few seconds keeps it hot. Daemon
+    # thread — numpy's big ops release the GIL, so it actually runs.
+    stop_ka = threading.Event()
+
+    def _keepalive():
+        while not stop_ka.wait(4.0):
+            try:
+                _ = float(jnp.add(jnp.int32(1), jnp.int32(1)))
+            except Exception:
+                return
+
+    ka = threading.Thread(target=_keepalive, daemon=True)
+    ka.start()
+    try:
+        engine, make_requests, now, opts = build_e2e_engine(
+            e2e_n, ctx["d"], ctx["bits"], checkpoint=bench.checkpoint
+        )
+    finally:
+        stop_ka.set()
     ctx.update(
         engine=engine, make_requests=make_requests, now=now, opts=opts,
         e2e_n=e2e_n, e2e_b=min(ctx["b"], 448),
@@ -1784,10 +1811,12 @@ def st_restore(bench: Bench) -> None:
             )
             bench.checkpoint()
             # adaptive second trial: figures exist; run it only when its
-            # measured cost (trial 1, + slack) fits the remaining budget —
-            # a clean break, not a checkpoint abort
+            # measured cost (trial 1, + slack) fits the remaining budget
+            # WITH the tail stages' reserve (the 10M hybrid config at
+            # est 130 outranks a best-of-2 restore refinement) — a clean
+            # break, not a checkpoint abort
             t_trial = time.perf_counter() - t_trial0
-            if trial == 0 and bench.remaining() < 1.3 * t_trial:
+            if trial == 0 and bench.remaining() < 1.3 * t_trial + 150:
                 bench.details["restore_trials"] = 1
                 break
     finally:
@@ -1797,10 +1826,13 @@ def st_restore(bench: Bench) -> None:
 
 def st_ingest(bench: Bench) -> dict:
     """Ingest rate: full append path (normalize + native bloom signatures +
-    host mirrors + arena) for a fresh batch of real chunk records. A probe
-    batch first triggers the one-time geometric capacity growth (bulk_load
-    filled capacity exactly; growing the index copies every array once) so
-    the timed number is the steady-state rate."""
+    host mirrors + arena) for a fresh batch of real chunk records, appended
+    to a FRESH index with the engine's exact parameters. The per-chunk
+    append rate is index-size independent, and appending into the 1M
+    exact-fit engine instead costs a one-time ~8 GB geometric-growth copy
+    (~60 s on this host) that measures the allocator, not the append path.
+    A probe batch still precedes the timed batch (first-append warmup)."""
+    from omni_recall_tpu.index.device_index import DeviceIndex as _DIX
     from omni_recall_tpu.index.records import ChunkRecord
 
     ctx = bench.ctx
@@ -1808,22 +1840,29 @@ def st_ingest(bench: Bench) -> dict:
     corpus = engine.bench_corpus
     contents, assign, emb = corpus["contents"], corpus["assign"], corpus["emb"]
     n, n_clusters = ctx["e2e_n"], engine.bench_n_clusters
+    old = engine.device_index
+    dix = _DIX(
+        old.dim, capacity_block=32768, bloom_bits=old.bloom_bits,
+        ngram=old.ngram, bloom_hashes=old.bloom_hashes,
+        scan_dtype=old.scan_dtype, refine=old.refine,
+        exact_cos=old.exact_cos,
+    )
 
     def mk_ing(tag, count):
         return [
             ChunkRecord(
                 id=f"{tag}:{i}", document_id="ingbench", chunk_index=i,
                 content=contents[assign[i % n] % n_clusters],
-                embedding=emb[i % n], created_at_utc=now, seq=n + i,
+                embedding=emb[i % n], created_at_utc=now, seq=i,
             )
             for i in range(count)
         ]
 
-    engine.device_index.append(mk_ing("grow", 1024))
+    dix.append(mk_ing("grow", 1024))
     bench.checkpoint()
     ing = mk_ing("ing", 20_000)
     t0 = time.perf_counter()
-    engine.device_index.append(ing)
+    dix.append(ing)
     return {
         "ingest_chunks_per_s": round(
             len(ing) / (time.perf_counter() - t0), 1
@@ -2316,7 +2355,16 @@ def main() -> None:
         # 290 s scan stall was observed doing exactly that), and the 10M
         # hybrid stage moved to the tail for the same reason
         e2e_on = os.environ.get("OMNI_BENCH_E2E", "1") == "1" and not interp
-        bench.run("e2e_build", st_e2e_build, est=60, deadline=420,
+        # insurance BEFORE the build: scan_coarse is ~20 s warm and its
+        # figure carries the scan headline tier — a build wedged inside an
+        # uninterruptible tunnel call can then no longer leave the round
+        # with bench_incomplete (observed twice tonight)
+        bench.run("scan_coarse", st_scan_coarse, est=40, deadline=480,
+                  gate=is_int8)
+        # deadline 300 (not 420): a tunnel-wedged build must degrade to
+        # a scans-only run while budget remains, not eat the whole round
+        # (checkpoints ride the build's slab loops for clean aborts)
+        bench.run("e2e_build", st_e2e_build, est=60, deadline=300,
                   gate=e2e_on)
         built = "engine" in ctx
         dd_on = built and getattr(ctx["opts"], "device_exact_cos", False)
@@ -2338,8 +2386,6 @@ def main() -> None:
         # generous deadlines on the scans: a cold remote compile through
         # the tunnel can take 300+ s by itself (observed); the global
         # budget + supervisor own the overall cap
-        bench.run("scan_coarse", st_scan_coarse, est=40, deadline=480,
-                  gate=is_int8)
         bench.run("scan_full", st_scan_full, est=40, deadline=360)
         bench.run("scan_kw", st_scan_kw, est=30, deadline=240, gate=is_int8)
         sharded_on = (
@@ -2354,10 +2400,7 @@ def main() -> None:
         # (VERDICT r4 #2: restore overran in r4 and everything after it
         # went unmeasured); restore's estimate is honest about its ~0.65 GB
         # of tunnel upload per trial so the budget gate can pre-skip it
-        # ingest's est includes the one-time geometric growth copy its
-        # probe batch triggers on the exact-fit 1M index (~8 GB of fresh
-        # pages, measured ~60 s; the TIMED figure excludes it)
-        bench.run("ingest", st_ingest, est=70, deadline=240, gate=built)
+        bench.run("ingest", st_ingest, est=15, deadline=180, gate=built)
         bench.run("restore", st_restore, est=70, deadline=300,
                   gate=built
                   and os.environ.get("OMNI_BENCH_RESTORE", "1") == "1")
