@@ -374,10 +374,16 @@ def _make_topt_kernel_int8_coarse_keys_t(t1: int, c: int, sub: int,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)  # [C, B]
+        # aux inputs arrive in the STANDARD layouts ([1, C] per-row terms,
+        # [B, 1] per-query terms) and transpose per block IN VMEM: a
+        # host-side [N, 1] reshape tiles as T(8,128) with a 128x lane-pad
+        # (f32[10485760,1] = 5 GB — measured HBM OOM at the 10M config)
         scores = (
-            cosd * q_scale_ref[:] * scale_row_ref[:]
-            + add_row_ref[:]
-            + q_bias_ref[:]
+            cosd
+            * q_scale_ref[:].reshape(1, -1)
+            * scale_row_ref[:].reshape(-1, 1)
+            + add_row_ref[:].reshape(-1, 1)
+            + q_bias_ref[:].reshape(1, -1)
             + PALLAS_CERT_EPS_INT8
         )
         n_sub = c // sub
@@ -625,10 +631,10 @@ def block_topt_int8_coarse(
             in_specs=[
                 pl.BlockSpec((c, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (1, nt_pad, b), lambda i: (i, 0, 0),
@@ -641,11 +647,7 @@ def block_topt_int8_coarse(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(
-            emb8, q8,
-            add_row.reshape(-1, 1), scale_row.reshape(-1, 1),
-            q_scale.reshape(1, -1), q_bias.reshape(1, -1),
-        )
+        )(emb8, q8, add_row, scale_row, q_scale, q_bias)
         return _decode_keys_t(keys, sub, t1, nt)
     if emit_keys and sub & (sub - 1) == 0 and t1 >= 3:
         # single packed-i32 emit + XLA decode (_decode_keys): halves the
