@@ -309,3 +309,54 @@ def test_packed_key_emit_bit_identical_to_pair_emit():
     )
     assert np.array_equal(np.asarray(a[0]), np.asarray(b_[0]))
     assert np.array_equal(np.asarray(a[1]), np.asarray(b_[1]))
+
+
+def test_transposed_key_emit_bit_identical_to_packed_emit():
+    """The TRANSPOSED packed-key emit (emit_keys="t", the r5 engine
+    default) must decode bit-identically to the packed emit — same key
+    transform, same per-round max winners (keys are unique per position),
+    same decode arithmetic — across layouts, windows and invalid rows.
+    Aux inputs ride the standard [1, N]/[B, 1] layouts and transpose per
+    block IN VMEM (a host-side [N, 1] reshape lane-pads 128x: measured
+    5 GB per aux column and an HBM OOM at the 10M config)."""
+    from omni_recall_tpu.ops.quantize import quantize_rows_int8
+
+    rng = np.random.default_rng(13)
+    n, b = 1024, 8
+    emb, bloom, created, valid, q, kw_w, kw_b = _random_inputs(rng, n, b=b)
+    q8, scale, err = quantize_rows_int8(emb)
+    for sub, t, r0 in ((64, 2, 0), (128, 3, 137), (256, 4, 0)):
+        packed = pallas_scorer.score_topm_int8_coarse(
+            jnp.asarray(q8), jnp.asarray(scale), jnp.asarray(err),
+            jnp.asarray(created), jnp.asarray(valid), jnp.asarray(q),
+            jnp.asarray(kw_w), jnp.asarray(kw_b),
+            jnp.float32(100.0), jnp.int32(r0), m=16, t=t, sub=sub,
+            interpret=True, emit_keys=True,
+        )
+        keys_t = pallas_scorer.score_topm_int8_coarse(
+            jnp.asarray(q8), jnp.asarray(scale), jnp.asarray(err),
+            jnp.asarray(created), jnp.asarray(valid), jnp.asarray(q),
+            jnp.asarray(kw_w), jnp.asarray(kw_b),
+            jnp.float32(100.0), jnp.int32(r0), m=16, t=t, sub=sub,
+            interpret=True, emit_keys="t",
+        )
+        assert np.array_equal(np.asarray(packed[0]), np.asarray(keys_t[0])), (sub, t)
+        assert np.array_equal(np.asarray(packed[1]), np.asarray(keys_t[1])), (sub, t)
+    # shapes the packed paths reject (t1 < 3) fall back to the pair emit
+    for ek in ("t", True):
+        f = pallas_scorer.score_topm_int8_coarse(
+            jnp.asarray(q8), jnp.asarray(scale), jnp.asarray(err),
+            jnp.asarray(created), jnp.asarray(valid), jnp.asarray(q),
+            jnp.asarray(kw_w), jnp.asarray(kw_b),
+            jnp.float32(100.0), jnp.int32(0), m=8, t=1, sub=128,
+            interpret=True, emit_keys=ek,
+        )
+        g = pallas_scorer.score_topm_int8_coarse(
+            jnp.asarray(q8), jnp.asarray(scale), jnp.asarray(err),
+            jnp.asarray(created), jnp.asarray(valid), jnp.asarray(q),
+            jnp.asarray(kw_w), jnp.asarray(kw_b),
+            jnp.float32(100.0), jnp.int32(0), m=8, t=1, sub=128,
+            interpret=True, emit_keys=False,
+        )
+        assert np.array_equal(np.asarray(f[0]), np.asarray(g[0]))
+        assert np.array_equal(np.asarray(f[1]), np.asarray(g[1]))
